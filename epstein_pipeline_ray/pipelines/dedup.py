@@ -1,0 +1,139 @@
+"""Flagship pipeline: transcript near-dup detection + clustering.
+
+Distributed re-expression of ``epstein-pipeline dedup``
+(reference: src/epstein_pipeline/cli.py:556-636 →
+processors/dedup.py:138-236). Stage graph (SURVEY.md §7.1):
+
+    read_parquet(turns)
+     → rollup: groupby(conv_id) sort(turn_idx) concat     # SHUFFLE 1
+     → normalize + content_hash map_batches               # stateless Arrow
+     → exact: groupby(content_hash) → pairs               # SHUFFLE 2
+     → minhash: SignatureActor pool → band rows
+       → groupby(bucket) → verified pairs                 # SHUFFLE 3
+       → groupby(pair) dedup                              # small shuffle
+     → merge passes (first-wins: exact > minhash)         # small shuffle
+     → union-find on driver over streamed pairs
+     → cluster table via broadcast map_batches            # no shuffle
+    [each stage optionally checkpointed with a lineage manifest]
+
+Pass-merge semantics match the reference's first-wins ordering
+(dedup.py:143-168): a pair found by both passes keeps the exact record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+from ray.data import Dataset
+
+from epstein_pipeline_ray.config import DedupConfig, RunConfig
+from epstein_pipeline_ray.sources.turns import rollup_convs
+from epstein_pipeline_ray.stages.cluster import assign_clusters
+from epstein_pipeline_ray.stages.exact import exact_pairs, hash_representatives, with_content_hash
+from epstein_pipeline_ray.stages.minhash_stage import minhash_pairs
+from epstein_pipeline_ray.state import metrics
+from epstein_pipeline_ray.state.lineage import run_stage
+
+
+@dataclass
+class DedupResult:
+    docs: Dataset      # (conv_id, text, n_turns, n_chars, content_hash)
+    pairs: Dataset     # (id_a, id_b, score, method, reason)
+    clusters: Dataset  # (conv_id, cluster_id, representative, cluster_size, avg_similarity)
+
+
+def _merge_first_wins(all_pairs: Dataset) -> Dataset:
+    """Pair-key dedup preferring exact > minhash > semantic, then insertion
+    semantics of the reference (earlier pass wins, dedup.py:143-168)."""
+    rank = {"exact": 0, "minhash": 1, "semantic": 2}
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g["method"].map(rank).sort_values(kind="mergesort").index[0]
+        return g.loc[[idx]]
+
+    return all_pairs.groupby(["id_a", "id_b"]).map_groups(pick, batch_format="pandas")
+
+
+def dedup_conv_docs(
+    docs: Dataset,
+    cfg: DedupConfig | None = None,
+    run: RunConfig | None = None,
+    *,
+    minhash_on_reps: bool = False,
+) -> DedupResult:
+    """Dedup over already-rolled-up conversation docs
+    (conv_id, text, n_chars[, n_turns]).
+
+    ``minhash_on_reps=True`` is the scale path: the MinHash pass runs only
+    on one representative per content-hash group (identical texts share
+    identical signatures); exact pairs restore full connectivity, so
+    cluster assignments are unchanged while the largest LSH-skew source
+    disappears. Pair-level output then differs from the reference on
+    redundant cross-pairs — keep False for strict pair parity.
+    """
+    cfg = cfg or DedupConfig()
+    run = run or RunConfig(write_checkpoints=False)
+    fp = cfg.fingerprint()
+
+    def ck(stage: str, builder):
+        if not run.write_checkpoints:
+            return builder()
+        return run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
+
+    hashed = ck("docs_hashed", lambda: with_content_hash(docs))
+    if not run.write_checkpoints:
+        # the hashed-docs dataset feeds three consumers (exact pass, minhash
+        # pass, cluster stamping); without a Parquet checkpoint the lazy DAG
+        # would recompute the rollup per consumer. Pinning it in the object
+        # store is the in-memory equivalent of the checkpoint — at persistent
+        # 100TB scale, run with write_checkpoints=True instead.
+        hashed = hashed.materialize()
+
+    parts = []
+    if cfg.enable_exact:
+        parts.append(ck("pairs_exact", lambda: exact_pairs(hashed)))
+    if cfg.enable_minhash:
+        mh_input = hash_representatives(hashed) if minhash_on_reps else hashed
+        parts.append(ck("pairs_minhash", lambda: minhash_pairs(mh_input, cfg)))
+
+    if not parts:
+        raise ValueError("at least one dedup pass must be enabled")
+    all_pairs = parts[0]
+    for p in parts[1:]:
+        all_pairs = all_pairs.union(p)
+    pairs = ck("pairs", lambda: _merge_first_wins(all_pairs))
+    if not run.write_checkpoints:
+        pairs = pairs.materialize()  # consumed by union-find + returned; small
+
+    clusters = ck("clusters", lambda: assign_clusters(hashed, pairs))
+
+    if run.write_checkpoints:
+        snap = metrics.snapshot()
+        os.makedirs(run.run_dir, exist_ok=True)
+        with open(os.path.join(run.run_dir, "metrics.json"), "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+
+    return DedupResult(docs=hashed, pairs=pairs, clusters=clusters)
+
+
+def dedup_turns(
+    turns: Dataset,
+    cfg: DedupConfig | None = None,
+    run: RunConfig | None = None,
+    *,
+    minhash_on_reps: bool = False,
+) -> DedupResult:
+    """Full flagship: turn table in, pairs + clusters out."""
+    cfg = cfg or DedupConfig()
+    run = run or RunConfig(write_checkpoints=False)
+
+    def ck(stage: str, builder):
+        if not run.write_checkpoints:
+            return builder()
+        return run_stage(stage, run.run_dir, cfg.fingerprint(), builder, resume=run.resume)
+
+    docs = ck("conv_docs", lambda: rollup_convs(turns))
+    return dedup_conv_docs(docs, cfg, run, minhash_on_reps=minhash_on_reps)

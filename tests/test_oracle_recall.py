@@ -1,0 +1,77 @@
+"""The recall >= 0.99 conformance harness (BASELINE.md target).
+
+Engine (distributed shuffle machinery) vs the pure-Python
+reference-semantics oracle on the 'small' corpus (~2k convs, FIXTURES.md).
+Recall is measured over cluster-implied pairs — all intra-cluster pairs —
+per the north rule's "matching the reference's cluster assignments".
+Pair-for-pair equality in parity mode is asserted as the stronger check.
+"""
+
+import itertools
+
+import pytest
+
+from epstein_pipeline_ray.config import DedupConfig
+from epstein_pipeline_ray.oracle.refsem import oracle_clusters
+from epstein_pipeline_ray.pipelines.dedup import dedup_conv_docs
+
+
+def _implied_pairs(sets):
+    out = set()
+    for members in sets:
+        for a, b in itertools.combinations(sorted(members), 2):
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_docs):
+    return oracle_clusters(small_docs, DedupConfig())
+
+
+def _docs_ds(docs):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "conv_id": [d for d, _ in docs],
+            "text": pa.array([t for _, t in docs], pa.large_string()),
+            "n_turns": pa.array([1] * len(docs), pa.int32()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_parity_mode_recall(ray_session, small_docs, oracle_result):
+    opairs, ogroups, orep = oracle_result
+    res = dedup_conv_docs(_docs_ds(small_docs), DedupConfig())
+    pairs = res.pairs.to_pandas()
+    clusters = res.clusters.to_pandas()
+
+    eng_pairs = set(zip(pairs.id_a, pairs.id_b))
+    ora_pairs = {(p.id_a, p.id_b) for p in opairs}
+    # strict pair-for-pair parity in parity mode
+    assert eng_pairs == ora_pairs
+
+    eng_sets = [frozenset(g.conv_id) for _, g in clusters.groupby("cluster_id")]
+    ora_sets = [frozenset(v) for v in ogroups.values()]
+    eng_implied = _implied_pairs(eng_sets)
+    ora_implied = _implied_pairs(ora_sets)
+    recall = len(eng_implied & ora_implied) / max(1, len(ora_implied))
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+    assert set(eng_sets) == set(ora_sets)
+    # representatives match
+    assert set(clusters[clusters.representative].conv_id) == set(orep.values())
+
+
+def test_reps_mode_cluster_parity(ray_session, small_docs, oracle_result):
+    """minhash_on_reps=True (the scale path) must keep cluster assignments
+    identical even though redundant cross-pairs are not emitted."""
+    _, ogroups, _ = oracle_result
+    res = dedup_conv_docs(_docs_ds(small_docs), DedupConfig(), minhash_on_reps=True)
+    clusters = res.clusters.to_pandas()
+    eng_sets = {frozenset(g.conv_id) for _, g in clusters.groupby("cluster_id")}
+    ora_sets = {frozenset(v) for v in ogroups.values()}
+    assert eng_sets == ora_sets
