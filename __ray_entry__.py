@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript dedup pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names, aggregates rounded identically
+on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,392 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TERMS = ["spark", "window", "stream", "vector", "merge"]
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship: transcript near-dup detection + clustering
+# ---------------------------------------------------------------------------
+
+
+def _flagship(sf_dir: str):
+    from epstein_pipeline_ray.pipelines.dedup import dedup_turns
+    from epstein_pipeline_ray.sources.derive import turns_from_documents
+
+    turns = turns_from_documents(sf_dir)
+    return dedup_turns(turns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derived transcript
+    turn table → rollup → exact + MinHash/LSH dedup → union-find clusters."""
+    res = _flagship("/root/testdata/sf0.001")
+    return res.clusters
+
+
+def q_transcript_clusters(sf_dir: str):
+    return _flagship(sf_dir).clusters
+
+
+def q_transcript_pairs(sf_dir: str):
+    return _flagship(sf_dir).pairs
+
+
+# ---------------------------------------------------------------------------
+# relational / stats / window operators (SQL-verifiable)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str):
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return grouped_stats(docs, ["source", "lang"], sum_cols=["n_chars"], mean_cols=["n_chars"])
+
+
+def q_lineitem_pricing(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_stats(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity", "disc_price"],
+        mean_cols=["l_quantity"],
+    )
+
+
+def q_top_orders(sf_dir: str):
+    from epstein_pipeline_ray.stages.relational import broadcast_join, top_k
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    return top_k(joined, "o_totalprice", 20).select_columns(
+        ["o_orderkey", "o_totalprice", "c_name"]
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    from epstein_pipeline_ray.stages.relational import events_tumbling_window
+
+    events = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return events_tumbling_window(events, "hour", ["event_type"], "value")
+
+
+def q_events_sessions(sf_dir: str):
+    from epstein_pipeline_ray.stages.relational import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts", "value"]), gap_minutes=30)
+
+
+def q_props_k_sum(sf_dir: str):
+    from epstein_pipeline_ray.stages.relational import props_key_sum
+
+    return props_key_sum(_read(sf_dir, "events", ["event_type", "props"]))
+
+
+def q_region_suppliers(sf_dir: str):
+    from epstein_pipeline_ray.stages.relational import broadcast_join, grouped_stats
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation").to_pandas()[["n_nationkey", "n_regionkey"]]
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ].rename(columns={"n_nationkey": "s_nationkey"})
+    joined = broadcast_join(sup, dim, on="s_nationkey")
+    return grouped_stats(joined, ["r_name"], count_alias="n_suppliers")
+
+
+# ---------------------------------------------------------------------------
+# dedup family on the documents table (SQL-verifiable where expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.exact import with_content_hash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = with_content_hash(docs)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+def q_fingerprints(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import with_fingerprint
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def q_wordset_jaccard(sf_dir: str):
+    from epstein_pipeline_ray.stages.dedup_extra import wordset_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return wordset_jaccard_pairs(docs, threshold=0.9)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from epstein_pipeline_ray.stages.dedup_extra import simhash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-verifiable where expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import with_token_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_token_counts(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import with_quality
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_quality(docs).select_columns(["doc_id", "uniq_ratio"])
+
+
+def q_langid(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import with_lang_guess
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_lang_guess(docs).select_columns(["doc_id", "lang_guess"])
+
+
+def q_term_links(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import term_links
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_links(docs, _TERMS)
+
+
+def q_doc_chunks(sf_dir: str):
+    from epstein_pipeline_ray.stages.chunker import chunk_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_docs(docs, chunk_size=200, overlap=50)
+
+
+# ---------------------------------------------------------------------------
+# embedding operators (SQL-verifiable via list_cosine_similarity)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str):
+    from epstein_pipeline_ray.stages.embed import ann_topk
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = vecs.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return ann_topk(vecs, queries, qdf["vec_id"].tolist(), k=10)
+
+
+def q_embed_neardup(sf_dir: str):
+    from epstein_pipeline_ray.stages.embed import cosine_neardup_pairs
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_neardup_pairs(vecs, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (deterministic fake decode — rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.multimodal import media_features, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(200))
+    return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcript_clusters": q_transcript_clusters,
+        "transcript_pairs": q_transcript_pairs,
+        "doc_stats": q_doc_stats,
+        "lineitem_pricing": q_lineitem_pricing,
+        "top_orders": q_top_orders,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "props_k_sum": q_props_k_sum,
+        "region_suppliers": q_region_suppliers,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "fingerprints": q_fingerprints,
+        "wordset_jaccard": q_wordset_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "langid": q_langid,
+        "term_links": q_term_links,
+        "doc_chunks": q_doc_chunks,
+        "ann_topk": q_ann_topk,
+        "embed_neardup": q_embed_neardup,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    terms_values = ", ".join(f"('{t}')" for t in _TERMS)
+    return {
+        "doc_stats": """
+            SELECT source, lang, count(*) AS n,
+                   round(sum(n_chars)::DOUBLE, 4) AS sum_n_chars,
+                   round(sum(n_chars)::DOUBLE / count(*), 4) AS avg_n_chars
+            FROM documents GROUP BY source, lang
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_l_quantity,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_l_quantity
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, c_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC LIMIT 20
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM gaps
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(epoch(max(ts) - min(ts)), 4) AS duration_sec
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "props_k_sum": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 4) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "region_suppliers": """
+            SELECT r_name, count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "exact_dedup_docs": f"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY {_NORM_SQL}
+        """,
+        "fingerprints": f"""
+            SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+        """,
+        "wordset_jaccard": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "quality": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio
+            FROM t
+        """,
+        "term_links": f"""
+            SELECT doc_id, term
+            FROM documents CROSS JOIN (VALUES {terms_values}) AS t(term)
+            WHERE contains(text, term)
+        """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   g::INT AS chunk_index,
+                   (g * 150)::BIGINT AS char_offset,
+                   substr(text, (g * 150 + 1)::INT, 200) AS chunk_text
+            FROM documents,
+                 LATERAL unnest(generate_series(0,
+                     CASE WHEN n_chars > 200
+                          THEN ceil((n_chars - 200) / 150.0)::BIGINT
+                          ELSE 0 END)) AS u(g)
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS cos,
+                              row_number() OVER (
+                                  PARTITION BY q.qid
+                                  ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC,
+                                           e.vec_id ASC) AS rk
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id != q.qid)
+            SELECT query_id, neighbor_id, cos FROM s WHERE rk <= 10
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+    }

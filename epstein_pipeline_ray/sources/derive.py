@@ -1,0 +1,77 @@
+"""Derive a transcript turn table from the driver-provided ``documents``
+Parquet (TESTDATA.md) — deterministic, seeded, per-row pure — so the
+flagship transcript pipeline has a turn-shaped input at every sf without
+shipping external data.
+
+Each document becomes one conversation (turns = fixed word windows);
+every 13th doc also emits an exact-duplicate conversation and every 7th
+a near-duplicate (~3% token edits) so the dedup passes have work to do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+from epstein_pipeline_ray.sources.synth import TURNS_SCHEMA, _EPOCH_US, _VOCAB
+
+_TURN_WORDS = 10
+
+
+def _doc_turns(text: str) -> list[str]:
+    words = text.split()
+    if not words:
+        return [""]
+    return [" ".join(words[i : i + _TURN_WORDS]) for i in range(0, len(words), _TURN_WORDS)]
+
+
+def _emit_conv(rows: dict, conv_id: str, turn_texts: list[str], base_ts: int) -> None:
+    ts = base_ts
+    for j, t in enumerate(turn_texts):
+        rows["conv_id"].append(conv_id)
+        rows["turn_idx"].append(j)
+        rows["role"].append("user" if j % 2 == 0 else "assistant")
+        rows["text"].append(t)
+        rows["tool"].append("")
+        ts += 5_000_000
+        rows["ts"].append(ts)
+
+
+def turns_from_documents(sf_dir: str, seed: int = 42) -> Dataset:
+    """documents.parquet → turn table (TURNS_SCHEMA), with planted dups."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {c: [] for c in TURNS_SCHEMA.names}
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        for doc_id, text in zip(ids, texts):
+            turn_texts = _doc_turns(text or "")
+            base_ts = _EPOCH_US + int(doc_id) * 90_000_000
+            _emit_conv(rows, f"doc-{doc_id:08d}", turn_texts, base_ts)
+            if doc_id % 13 == 0:
+                _emit_conv(rows, f"copy-{doc_id:08d}", list(turn_texts), base_ts + 7)
+            if doc_id % 7 == 0:
+                rng = np.random.default_rng(seed * 1_000_003 + int(doc_id))
+                edited = []
+                for t in turn_texts:
+                    ws = t.split()
+                    if len(ws) > 4 and rng.random() < 0.35:
+                        ws[int(rng.integers(0, len(ws)))] = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+                    edited.append(" ".join(ws))
+                _emit_conv(rows, f"near-{doc_id:08d}", edited, base_ts + 13)
+        return pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                "role": pa.array(rows["role"], pa.string()),
+                "text": pa.array(rows["text"], pa.large_string()),
+                "tool": pa.array(rows["tool"], pa.string()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            },
+            schema=TURNS_SCHEMA,
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,87 @@
+"""Vectorized text-analysis stages over a documents Dataset.
+
+All stages are stateless Arrow `map_batches`; heavier NLP stages in the
+reference (spaCy/GLiNER NER, classifiers — SURVEY.md §2.3 A3-A6) have no
+in-container models and are represented by the heuristic equivalents here
+plus the actor-pool plumbing pattern in ``stages.multimodal``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from epstein_pipeline_ray.functions.normalize import normalize_array
+from epstein_pipeline_ray.functions.textstats import (
+    detect_lang,
+    fingerprint_md5,
+    quality_scores,
+    token_count_array,
+    unique_token_ratio,
+)
+
+
+def with_token_counts(docs: Dataset, text_col: str = "text") -> Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column("n_tokens", token_count_array(batch[text_col]))
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_quality(docs: Dataset, text_col: str = "text") -> Dataset:
+    """quality score + unique-token ratio, rounded for oracle comparison."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        batch = batch.append_column(
+            "uniq_ratio", pa.array(np.round(unique_token_ratio(texts), 6), pa.float64())
+        )
+        return batch.append_column("quality", pa.array(quality_scores(texts), pa.float64()))
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_lang_guess(docs: Dataset, text_col: str = "text") -> Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "lang_guess", pa.array(detect_lang(batch[text_col].to_pylist()), pa.string())
+        )
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_fingerprint(docs: Dataset, text_col: str = "text") -> Dataset:
+    """md5-of-normalized-text fingerprint (SQL-verifiable twin of the
+    SHA-256 content hash; reference M2, utils/hashing.py:17-20)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        norm = normalize_array(batch[text_col])
+        return batch.append_column("fingerprint", fingerprint_md5(norm))
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_links(docs: Dataset, terms: list[str], id_col: str = "doc_id",
+               text_col: str = "text") -> Dataset:
+    """Broadcast substring semi-join: (doc, term) for every term contained
+    in the doc text — the reference's person-linking pattern
+    (src/epstein_pipeline/processors/person_linker.py:35-60) with the
+    small side shipped once via ``ray.put`` and matched vectorized."""
+    import pyarrow.compute as pc
+
+    terms_ref = ray.put(sorted(terms))
+
+    def link(batch: pa.Table) -> pa.Table:
+        term_list = ray.get(terms_ref)
+        ids, out_terms = [], []
+        id_arr = batch[id_col]
+        for term in term_list:
+            mask = pc.match_substring(batch[text_col], term)
+            hit_ids = id_arr.filter(mask).to_pylist()
+            ids.extend(hit_ids)
+            out_terms.extend([term] * len(hit_ids))
+        return pa.table({id_col: pa.array(ids, id_arr.type), "term": pa.array(out_terms, pa.string())})
+
+    return docs.map_batches(link, batch_format="pyarrow", zero_copy_batch=True)
