@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: flagship transcript dedup (rollup → exact + MinHash/LSH →
+union-find clusters) over a deterministic synthetic turn corpus sized to
+the sf under test. Prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "turns": T, "turns_per_sec": R}
+
+``--scaling`` runs the headline twice in fresh processes at num_cpus=8
+and num_cpus=32 on the SAME input and reports both throughputs plus the
+scaling efficiency (the sandbox proxy for the north rule's N vs 4N
+cluster-size criterion — see BASELINE.md).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus size scales with the sf tables: sf0.1 → 30k convs (~220k turns)
+_SF_CONVS = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 30000}
+N_CONVS = int(
+    os.environ.get("EPR_BENCH_CONVS", _SF_CONVS.get(os.path.basename(SF_DIR.rstrip("/")), 30000))
+)
+SEED = 42
+
+
+def _corpus_path() -> str:
+    return f"/tmp/epr_bench/turns_{N_CONVS}_{SEED}"
+
+
+def _ensure_corpus() -> str:
+    """Generate (once) the deterministic synthetic corpus; untimed."""
+    path = _corpus_path()
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        from epstein_pipeline_ray.sources.synth import write_turns_parquet
+
+        write_turns_parquet(path, N_CONVS, SEED)
+        open(done, "w").close()
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from epstein_pipeline_ray.config import DedupConfig
+    from epstein_pipeline_ray.pipelines.dedup import dedup_turns
+
+    path = _ensure_corpus()
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    turns = rd.read_parquet(path)
+    n_turns = turns.count()
+
+    t0 = time.time()
+    res = dedup_turns(rd.read_parquet(path), DedupConfig(), minhash_on_reps=True)
+    n_pairs = res.pairs.count()
+    n_clustered = res.clusters.count()
+    headline = time.time() - t0
+
+    queries: dict[str, float] = {"dedup_pipeline": round(headline, 3)}
+
+    import __ray_entry__ as entrymod
+
+    for name in (
+        "lineitem_pricing",
+        "events_hourly",
+        "events_sessions",
+        "doc_stats",
+        "ann_topk",
+        "doc_chunks",
+        "wordset_jaccard",
+        "token_counts",
+    ):
+        q = entrymod.queries()[name]
+        t0 = time.time()
+        out = q(SF_DIR)
+        # consume to force execution
+        if hasattr(out, "count"):
+            out.count()
+        else:
+            len(out)
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "transcript dedup wall time (synthetic corpus, exact+minhash+cluster)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "pairs": n_pairs,
+        "clustered_convs": n_clustered,
+        "n_convs": N_CONVS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            EPR_BENCH_CONVS=str(N_CONVS),
+            EPR_BENCH_HEADLINE_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N=8 vs 4N=32 CPUs, fresh ray.init each)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "turns": r_hi["turns"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        if os.environ.get("EPR_BENCH_HEADLINE_ONLY"):
+            # scaling subprocess: skip the secondary query timings
+            import ray
+
+            ray.init(
+                address="local",
+                num_cpus=NUM_CPUS,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            import ray.data as rd
+
+            from epstein_pipeline_ray.config import DedupConfig
+            from epstein_pipeline_ray.pipelines.dedup import dedup_turns
+
+            path = _ensure_corpus()
+            turns = rd.read_parquet(path)
+            n_turns = turns.count()
+            t0 = time.time()
+            res = dedup_turns(rd.read_parquet(path), DedupConfig(), minhash_on_reps=True)
+            res.pairs.count()
+            res.clusters.count()
+            headline = time.time() - t0
+            print(
+                json.dumps(
+                    {
+                        "metric": "dedup headline",
+                        "value": round(headline, 3),
+                        "unit": "sec",
+                        "turns": n_turns,
+                        "turns_per_sec": round(n_turns / headline, 1),
+                        "num_cpus": NUM_CPUS,
+                        "sf": os.path.basename(SF_DIR.rstrip("/")),
+                    }
+                )
+            )
+            ray.shutdown()
+        else:
+            print(json.dumps(run_bench()))

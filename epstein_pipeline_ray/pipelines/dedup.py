@@ -46,15 +46,28 @@ class DedupResult:
 
 
 def _merge_first_wins(all_pairs: Dataset) -> Dataset:
-    """Pair-key dedup preferring exact > minhash > semantic, then insertion
-    semantics of the reference (earlier pass wins, dedup.py:143-168)."""
+    """Pair-key dedup preferring exact > minhash > semantic — the
+    reference's earlier-pass-wins merge (dedup.py:143-168), as one
+    vectorized pass per key-sorted block."""
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
     rank = {"exact": 0, "minhash": 1, "semantic": 2}
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        idx = g["method"].map(rank).sort_values(kind="mergesort").index[0]
-        return g.loc[[idx]]
+    def pick_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df["__rank"] = df["method"].map(rank)
+        df = (
+            df.sort_values(["id_a", "id_b", "__rank"], kind="mergesort")
+            .drop_duplicates(["id_a", "id_b"], keep="first")
+            .drop(columns="__rank")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    return all_pairs.groupby(["id_a", "id_b"]).map_groups(pick, batch_format="pandas")
+    return map_key_blocks(all_pairs, ["id_a", "id_b"], pick_block)
 
 
 def dedup_conv_docs(
@@ -79,18 +92,18 @@ def dedup_conv_docs(
     fp = cfg.fingerprint()
 
     def ck(stage: str, builder):
+        # Stage-sequential execution in BOTH modes. Checkpoint mode
+        # serializes through Parquet; in-memory mode pins each stage in the
+        # object store. Fusing every pass into one lazy DAG measured ~2.5x
+        # slower on one node: 4+ concurrent hash-shuffle operators and the
+        # signature actor pool over-subscribe the CPU pool and thrash.
+        # (At persistent 100TB scale run with write_checkpoints=True; the
+        # in-memory path is for tests/bench at object-store-sized inputs.)
         if not run.write_checkpoints:
-            return builder()
+            return builder().materialize()
         return run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
 
     hashed = ck("docs_hashed", lambda: with_content_hash(docs))
-    if not run.write_checkpoints:
-        # the hashed-docs dataset feeds three consumers (exact pass, minhash
-        # pass, cluster stamping); without a Parquet checkpoint the lazy DAG
-        # would recompute the rollup per consumer. Pinning it in the object
-        # store is the in-memory equivalent of the checkpoint — at persistent
-        # 100TB scale, run with write_checkpoints=True instead.
-        hashed = hashed.materialize()
 
     parts = []
     if cfg.enable_exact:
@@ -101,12 +114,10 @@ def dedup_conv_docs(
 
     if not parts:
         raise ValueError("at least one dedup pass must be enabled")
-    all_pairs = parts[0]
-    for p in parts[1:]:
-        all_pairs = all_pairs.union(p)
+    from epstein_pipeline_ray.stages.groupblock import concat_datasets
+
+    all_pairs = parts[0] if len(parts) == 1 else concat_datasets(parts)
     pairs = ck("pairs", lambda: _merge_first_wins(all_pairs))
-    if not run.write_checkpoints:
-        pairs = pairs.materialize()  # consumed by union-find + returned; small
 
     clusters = ck("clusters", lambda: assign_clusters(hashed, pairs))
 

@@ -9,15 +9,22 @@ The rollup concatenates each conversation's turns in stable
 equivalent of the reference loading one JSON document per file
 (reference: cli.py:595-611). Rows may arrive in any physical order;
 ordering is restored per group, never assumed from block layout.
+
+Implementation: hash-shuffle by conv_id with key-sorted blocks
+(stages.groupblock), then ONE vectorized pass per block that lexsorts by
+(conv, turn_idx) and joins each contiguous run — no per-group Python UDF
+dispatch (a per-group ``map_groups`` costs ~2ms/group, which at one
+group per conversation dominates the whole pipeline).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
+
+from epstein_pipeline_ray.stages.groupblock import group_starts, map_key_blocks
 
 ROLLUP_SEP = "\n"
 
@@ -43,27 +50,51 @@ def stable_turns(turns: Dataset) -> Dataset:
     return turns.sort(["conv_id", "turn_idx"])
 
 
-def _rollup_group(g: pd.DataFrame) -> pd.DataFrame:
-    order = np.argsort(g["turn_idx"].to_numpy(), kind="stable")
-    texts = g["text"].to_numpy()[order]
-    text = ROLLUP_SEP.join(texts)
-    return pd.DataFrame(
+def _concat_block(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return CONV_DOC_SCHEMA.empty_table()
+    conv = batch["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    # block is sorted by conv_id → dictionary codes are monotonic run ids
+    codes = np.asarray(conv.dictionary_encode().indices)
+    turn_idx = np.asarray(batch["turn_idx"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((turn_idx, codes))  # groups stay contiguous, turns sorted
+    texts = batch["text"].to_pylist()
+    conv_ids = conv.to_pylist()
+    starts = group_starts(codes[order])
+    ends = np.concatenate([starts[1:], [len(order)]]).astype(np.int64)
+    out_ids: list[str] = []
+    out_text: list[str] = []
+    out_turns = np.empty(len(starts), dtype=np.int32)
+    out_chars = np.empty(len(starts), dtype=np.int64)
+    join = ROLLUP_SEP.join
+    for g, (s, e) in enumerate(zip(starts, ends)):
+        idx = order[s:e]
+        t = join([texts[i] for i in idx])
+        out_ids.append(conv_ids[idx[0]])
+        out_text.append(t)
+        out_turns[g] = e - s
+        out_chars[g] = len(t)
+    return pa.table(
         {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "text": [text],
-            "n_turns": [np.int32(len(texts))],
-            "n_chars": [np.int64(len(text))],
-        }
+            "conv_id": pa.array(out_ids, pa.string()),
+            "text": pa.array(out_text, pa.large_string()),
+            "n_turns": pa.array(out_turns, pa.int32()),
+            "n_chars": pa.array(out_chars, pa.int64()),
+        },
+        schema=CONV_DOC_SCHEMA,
     )
 
 
-def rollup_convs(turns: Dataset) -> Dataset:
+def rollup_convs(turns: Dataset, num_partitions: int | None = None) -> Dataset:
     """Turns → one row per conversation (SHUFFLE 1, key=conv_id).
 
-    ``groupby(conv_id).map_groups`` hash-partitions turns by conversation;
-    each group is sorted by ``turn_idx`` inside the group function so the
-    result is independent of physical row order. Only the columns the
-    rollup needs survive to the shuffle (column pruning before the wide op).
+    Hash-partitioning by conv_id moves each conversation's turns to one
+    partition; the concat is independent of physical row order. Only the
+    columns the rollup needs survive to the shuffle (column pruning before
+    the wide op). ``num_partitions`` is the explicit shuffle width — size
+    it so one partition's conversations fit a worker heap.
     """
     pruned = turns.select_columns(["conv_id", "turn_idx", "text"])
-    return pruned.groupby("conv_id").map_groups(_rollup_group, batch_format="pandas")
+    return map_key_blocks(pruned, ["conv_id"], _concat_block, num_partitions)

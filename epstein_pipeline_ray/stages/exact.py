@@ -5,19 +5,22 @@ C(n,2) pairs with score 1.0, canonical (min,max) id order
 (reference: src/epstein_pipeline/processors/dedup.py:92-95, 247-273).
 
 Ray shape: vectorized hash column in ``map_batches`` (zero-copy Arrow)
-followed by ``groupby(content_hash).map_groups`` — the hash-partition
-shuffle replaces the reference's driver-side dict.
+followed by a hash-shuffle on content_hash and ONE vectorized pass per
+key-sorted block (stages.groupblock) — the shuffle replaces the
+reference's driver-side dict, the block pass replaces per-group UDF
+dispatch.
 """
 
 from __future__ import annotations
 
 import itertools
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
 from epstein_pipeline_ray.functions.normalize import content_hash_array, normalize_array
+from epstein_pipeline_ray.stages.groupblock import encode_groups, group_starts, map_key_blocks
 
 PAIRS_SCHEMA = pa.schema(
     [
@@ -28,10 +31,6 @@ PAIRS_SCHEMA = pa.schema(
         ("reason", pa.string()),
     ]
 )
-
-_EMPTY_PAIRS = pd.DataFrame({"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object"),
-                             "score": pd.Series(dtype="float64"), "method": pd.Series(dtype="object"),
-                             "reason": pd.Series(dtype="object")})
 
 
 def with_content_hash(docs: Dataset, text_col: str = "text") -> Dataset:
@@ -44,43 +43,63 @@ def with_content_hash(docs: Dataset, text_col: str = "text") -> Dataset:
     return docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _emit_exact_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(g["conv_id"].tolist())
-    if len(ids) < 2:
-        return _EMPTY_PAIRS
-    a, b = zip(*itertools.combinations(ids, 2))
-    return pd.DataFrame(
+def _exact_pairs_block(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return PAIRS_SCHEMA.empty_table()
+    codes = encode_groups(batch, "content_hash")
+    ids = batch["conv_id"].to_pylist()
+    starts = group_starts(codes)
+    ends = np.concatenate([starts[1:], [len(codes)]]).astype(np.int64)
+    out_a: list[str] = []
+    out_b: list[str] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        group = sorted(ids[s:e])
+        for a, b in itertools.combinations(group, 2):
+            out_a.append(a)
+            out_b.append(b)
+    n = len(out_a)
+    return pa.table(
         {
-            "id_a": list(a),
-            "id_b": list(b),
-            "score": 1.0,
-            "method": "exact",
-            "reason": "exact content hash match",
-        }
+            "id_a": pa.array(out_a, pa.string()),
+            "id_b": pa.array(out_b, pa.string()),
+            "score": pa.array([1.0] * n, pa.float64()),
+            "method": pa.array(["exact"] * n, pa.string()),
+            "reason": pa.array(["exact content hash match"] * n, pa.string()),
+        },
+        schema=PAIRS_SCHEMA,
     )
 
 
-def exact_pairs(docs_hashed: Dataset) -> Dataset:
+def exact_pairs(docs_hashed: Dataset, num_partitions: int | None = None) -> Dataset:
     """SHUFFLE key=content_hash → all-pairs per group, score 1.0.
 
     Group blowup note: a group of n identical docs emits C(n,2) pairs, same
-    as the reference. Downstream cluster assignment only needs connectivity,
-    so callers at extreme scale can cap via DedupConfig.max_bucket_size by
-    deduping to representatives first (see pipeline.minhash_on_reps).
+    as the reference. Callers at extreme duplicate rates should dedupe to
+    representatives before the MinHash pass (pipeline.minhash_on_reps) so
+    the blowup stays confined to this cheap id-only stage.
     """
     pruned = docs_hashed.select_columns(["conv_id", "content_hash"])
-    return pruned.groupby("content_hash").map_groups(_emit_exact_pairs, batch_format="pandas")
+    return map_key_blocks(pruned, ["content_hash"], _exact_pairs_block, num_partitions)
 
 
-def hash_representatives(docs_hashed: Dataset) -> Dataset:
+def _first_by_id_block(batch: pa.Table) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    codes = encode_groups(batch, "content_hash")
+    ids = batch["conv_id"].to_pylist()
+    starts = group_starts(codes)
+    ends = np.concatenate([starts[1:], [len(codes)]]).astype(np.int64)
+    keep = [s + min(range(e - s), key=lambda i: ids[s + i]) for s, e in zip(starts, ends)]
+    return batch.take(pa.array(keep, pa.int64()))
+
+
+def hash_representatives(docs_hashed: Dataset, num_partitions: int | None = None) -> Dataset:
     """One representative doc per content-hash group (min conv_id).
 
     Scale path for the MinHash pass: identical texts share identical
     signatures, so running LSH once per distinct text removes the largest
     skew source; exact pairs restore full-cluster connectivity.
     """
-
-    def first_by_id(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("conv_id", kind="mergesort").head(1)
-
-    return docs_hashed.groupby("content_hash").map_groups(first_by_id, batch_format="pandas")
+    return map_key_blocks(docs_hashed, ["content_hash"], _first_by_id_block, num_partitions)

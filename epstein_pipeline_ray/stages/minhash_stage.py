@@ -61,6 +61,14 @@ class SignatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
+        # eligibility lives INSIDE the actor (not a separate filter stage):
+        # a fully-filtered batch must still emit a band-schema empty table,
+        # or Ray's empty-block pass-through would leak the doc schema into
+        # the bucket shuffle (reference eligibility: dedup.py:346-350)
+        import pyarrow.compute as pc
+
+        mask = pc.greater(pc.utf8_length(batch["text"]), cfg.min_text_len)
+        batch = batch.filter(mask)
         norm = normalize_array(batch["text"])
         texts = norm.to_pylist()
         n = len(texts)
@@ -95,15 +103,7 @@ def signature_band_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
     ``min_text_len`` enter the MinHash pass (dedup.py:346-350).
     """
 
-    def eligible(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.greater(pc.utf8_length(batch["text"]), cfg.min_text_len)
-        return batch.filter(mask)
-
-    pruned = docs.select_columns(["conv_id", "text", "n_chars"]).map_batches(
-        eligible, batch_format="pyarrow", zero_copy_batch=True
-    )
+    pruned = docs.select_columns(["conv_id", "text", "n_chars"])
     if cfg.signature_concurrency:
         concurrency = cfg.signature_concurrency
     else:
@@ -122,73 +122,99 @@ def signature_band_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-_PAIR_COLS = {
-    "id_a": "object", "id_b": "object", "score": "float64",
-    "method": "object", "reason": "object",
-}
-
-
-def _empty_pairs() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _PAIR_COLS.items()})
-
-
-def _make_bucket_fn(cfg: DedupConfig):
+def _make_bucket_block_fn(cfg: DedupConfig):
     threshold = cfg.jaccard_threshold
     cap = cfg.max_bucket_size
 
-    def emit_bucket_pairs(g: pa.Table) -> pd.DataFrame:
-        n = g.num_rows
-        if n < 2:
-            return _empty_pairs()
-        ids = np.asarray(g["conv_id"].to_pylist(), dtype=object)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        # drop duplicate doc entries (same doc can hit one bucket once only
-        # per band, but pair dedup below also guards)
-        sigs = np.asarray(g["sig"].combine_chunks().flatten()).reshape(n, -1)[order]
-        if n <= cap:
-            iu, ju = np.triu_indices(n, k=1)
-        else:
-            # star (everything vs member 0) + chain (i, i+1): keeps every
-            # genuinely-duplicate member connected to the bucket while
-            # bounding emission to 2n-3 pairs instead of C(n,2). The drop
-            # is accounted, never silent.
-            star_i = np.zeros(n - 1, dtype=np.int64)
-            star_j = np.arange(1, n, dtype=np.int64)
-            chain_i = np.arange(1, n - 1, dtype=np.int64)
-            chain_j = chain_i + 1
-            iu = np.concatenate([star_i, chain_i])
-            ju = np.concatenate([star_j, chain_j])
-            from epstein_pipeline_ray.state import metrics
+    def emit_block_pairs(batch: pa.Table) -> pa.Table:
+        """One call per key-sorted block: iterate bucket runs, vectorized
+        signature-Jaccard pair emission per run. Emits the reference's full
+        DuplicatePair shape (dedup.py:388-396) so every downstream block —
+        empty or not — shares one schema."""
+        from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
 
-            metrics.inc("lsh.buckets_capped")
-            metrics.inc("lsh.pairs_capped", n * (n - 1) // 2 - iu.shape[0])
-        eq = (sigs[iu] == sigs[ju]).mean(axis=1)
-        keep = (eq >= threshold) & (ids[iu] != ids[ju])
-        if not keep.any():
-            return _empty_pairs()
-        jac = np.round(eq[keep], 4)
-        return pd.DataFrame(
+        empty = PAIRS_SCHEMA.empty_table()
+        n_rows = batch.num_rows
+        if n_rows < 2:
+            return empty
+        buckets = np.asarray(batch["bucket"].to_numpy(zero_copy_only=False))
+        sig_col = batch["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs_all = np.asarray(sig_col.flatten()).reshape(n_rows, -1)
+        ids_all = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        starts = np.concatenate([[0], np.nonzero(buckets[1:] != buckets[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n_rows]]).astype(np.int64)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            n = int(e - s)
+            if n < 2:
+                continue
+            ids = ids_all[s:e]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            sigs = sigs_all[s:e][order]
+            if n <= cap:
+                iu, ju = np.triu_indices(n, k=1)
+            else:
+                # star + chain: connectivity-preserving cap for flooded
+                # buckets (north rule skew handling); drop is accounted
+                star_i = np.zeros(n - 1, dtype=np.int64)
+                star_j = np.arange(1, n, dtype=np.int64)
+                chain_i = np.arange(1, n - 1, dtype=np.int64)
+                iu = np.concatenate([star_i, chain_i])
+                ju = np.concatenate([star_j, chain_i + 1])
+                from epstein_pipeline_ray.state import metrics
+
+                metrics.inc("lsh.buckets_capped")
+                metrics.inc("lsh.pairs_capped", n * (n - 1) // 2 - iu.shape[0])
+            eq = (sigs[iu] == sigs[ju]).mean(axis=1)
+            keep = (eq >= threshold) & (ids[iu] != ids[ju])
+            if keep.any():
+                out_a.append(ids[iu[keep]])
+                out_b.append(ids[ju[keep]])
+                out_s.append(np.round(eq[keep], 4))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        sc = np.concatenate(out_s)
+        return pa.table(
             {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "score": jac,
-                "method": "minhash",
-                "reason": [f"MinHash Jaccard similarity: {j:.2%}" for j in jac],
-            }
+                "id_a": pa.array(a.tolist(), pa.string()),
+                "id_b": pa.array(b.tolist(), pa.string()),
+                "score": pa.array(sc, pa.float64()),
+                "method": pa.array(["minhash"] * a.shape[0], pa.string()),
+                "reason": pa.array(
+                    [f"MinHash Jaccard similarity: {s:.2%}" for s in sc], pa.string()
+                ),
+            },
+            schema=PAIRS_SCHEMA,
         )
 
-    return emit_bucket_pairs
+    return emit_block_pairs
 
 
-def minhash_pairs(docs: Dataset, cfg: DedupConfig) -> Dataset:
+def _dedup_pairs_block(batch: pa.Table) -> pa.Table:
+    """Band-level pair dedup: one row per (id_a, id_b). Scores for a given
+    pair are identical across bands (pure function of the two signatures),
+    so keeping any row is exact."""
+    from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+    df = batch.to_pandas()
+    df = df.drop_duplicates(subset=["id_a", "id_b"], keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False).cast(PAIRS_SCHEMA)
+
+
+def minhash_pairs(docs: Dataset, cfg: DedupConfig,
+                  num_partitions: int | None = None) -> Dataset:
     """Full MinHash/LSH pass: docs → confirmed, band-deduped pairs."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
     band_rows = signature_band_rows(docs, cfg)
-    raw_pairs = band_rows.groupby("bucket").map_groups(
-        _make_bucket_fn(cfg), batch_format="pyarrow"
+    raw_pairs = map_key_blocks(
+        band_rows, ["bucket"], _make_bucket_block_fn(cfg), num_partitions
     )
-
-    def first_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return raw_pairs.groupby(["id_a", "id_b"]).map_groups(first_pair, batch_format="pandas")
+    return map_key_blocks(raw_pairs, ["id_a", "id_b"], _dedup_pairs_block, num_partitions)
