@@ -76,6 +76,7 @@ def dedup_conv_docs(
     run: RunConfig | None = None,
     *,
     minhash_on_reps: bool = False,
+    pre_hashed: bool = False,
 ) -> DedupResult:
     """Dedup over already-rolled-up conversation docs
     (conv_id, text, n_chars[, n_turns]).
@@ -103,14 +104,26 @@ def dedup_conv_docs(
             return builder().materialize()
         return run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
 
-    hashed = ck("docs_hashed", lambda: with_content_hash(docs))
+    if pre_hashed:
+        hashed = docs
+    else:
+        hashed = ck("docs_hashed", lambda: with_content_hash(docs))
 
+    # raw pair streams: exact pairs + UN-deduped minhash bucket pairs; the
+    # single merge shuffle below handles both the cross-band pair dedup and
+    # the first-wins pass preference in one exchange
     parts = []
     if cfg.enable_exact:
         parts.append(ck("pairs_exact", lambda: exact_pairs(hashed)))
     if cfg.enable_minhash:
-        mh_input = hash_representatives(hashed) if minhash_on_reps else hashed
-        parts.append(ck("pairs_minhash", lambda: minhash_pairs(mh_input, cfg)))
+        from epstein_pipeline_ray.stages.minhash_stage import minhash_raw_pairs
+
+        mh_input = (
+            ck("minhash_reps", lambda: hash_representatives(hashed))
+            if minhash_on_reps
+            else hashed
+        )
+        parts.append(ck("pairs_minhash_raw", lambda: minhash_raw_pairs(mh_input, cfg)))
 
     if not parts:
         raise ValueError("at least one dedup pass must be enabled")
@@ -143,8 +156,10 @@ def dedup_turns(
 
     def ck(stage: str, builder):
         if not run.write_checkpoints:
-            return builder()
+            return builder().materialize()
         return run_stage(stage, run.run_dir, cfg.fingerprint(), builder, resume=run.resume)
 
-    docs = ck("conv_docs", lambda: rollup_convs(turns))
-    return dedup_conv_docs(docs, cfg, run, minhash_on_reps=minhash_on_reps)
+    docs = ck("conv_docs", lambda: rollup_convs(turns, with_hash=True))
+    return dedup_conv_docs(
+        docs, cfg, run, minhash_on_reps=minhash_on_reps, pre_hashed=True
+    )

@@ -50,9 +50,13 @@ def stable_turns(turns: Dataset) -> Dataset:
     return turns.sort(["conv_id", "turn_idx"])
 
 
-def _concat_block(batch: pa.Table) -> pa.Table:
+CONV_DOC_HASHED_SCHEMA = CONV_DOC_SCHEMA.append(pa.field("content_hash", pa.string()))
+
+
+def _concat_block(batch: pa.Table, with_hash: bool = False) -> pa.Table:
+    schema = CONV_DOC_HASHED_SCHEMA if with_hash else CONV_DOC_SCHEMA
     if batch.num_rows == 0:
-        return CONV_DOC_SCHEMA.empty_table()
+        return schema.empty_table()
     conv = batch["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
@@ -76,18 +80,28 @@ def _concat_block(batch: pa.Table) -> pa.Table:
         out_text.append(t)
         out_turns[g] = e - s
         out_chars[g] = len(t)
-    return pa.table(
-        {
-            "conv_id": pa.array(out_ids, pa.string()),
-            "text": pa.array(out_text, pa.large_string()),
-            "n_turns": pa.array(out_turns, pa.int32()),
-            "n_chars": pa.array(out_chars, pa.int64()),
-        },
-        schema=CONV_DOC_SCHEMA,
-    )
+    cols = {
+        "conv_id": pa.array(out_ids, pa.string()),
+        "text": pa.array(out_text, pa.large_string()),
+        "n_turns": pa.array(out_turns, pa.int32()),
+        "n_chars": pa.array(out_chars, pa.int64()),
+    }
+    if with_hash:
+        import hashlib
+
+        cols["content_hash"] = pa.array(
+            [
+                hashlib.sha256(" ".join(t.lower().split()).encode("utf-8")).hexdigest()
+                for t in out_text
+            ],
+            pa.string(),
+        )
+    return pa.table(cols, schema=schema)
 
 
-def rollup_convs(turns: Dataset, num_partitions: int | None = None) -> Dataset:
+def rollup_convs(
+    turns: Dataset, num_partitions: int | None = None, *, with_hash: bool = False
+) -> Dataset:
     """Turns → one row per conversation (SHUFFLE 1, key=conv_id).
 
     Hash-partitioning by conv_id moves each conversation's turns to one
@@ -95,6 +109,14 @@ def rollup_convs(turns: Dataset, num_partitions: int | None = None) -> Dataset:
     columns the rollup needs survive to the shuffle (column pruning before
     the wide op). ``num_partitions`` is the explicit shuffle width — size
     it so one partition's conversations fit a worker heap.
+
+    ``with_hash=True`` fuses the content-hash map (reference
+    utils/hashing.py:17-20) into the rollup pass, saving one full
+    materialization of the conv-doc corpus.
     """
+    import functools
+
     pruned = turns.select_columns(["conv_id", "turn_idx", "text"])
-    return map_key_blocks(pruned, ["conv_id"], _concat_block, num_partitions)
+    fn = functools.partial(_concat_block, with_hash=with_hash)
+    fn.__name__ = "_concat_block"
+    return map_key_blocks(pruned, ["conv_id"], fn, num_partitions)

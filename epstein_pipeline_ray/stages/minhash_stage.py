@@ -105,20 +105,25 @@ def signature_band_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
 
     pruned = docs.select_columns(["conv_id", "text", "n_chars"])
     if cfg.signature_concurrency:
-        concurrency = cfg.signature_concurrency
-    else:
-        # autoscale the pool up to the cluster CPU count; Ray requires an
-        # explicit pool size for callable-class stages
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu))
+        # explicit actor pool (the classic stateful-stage shape; useful when
+        # the per-actor state is expensive, e.g. a swapped-in embedding model)
+        return pruned.map_batches(
+            SignatureActor,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.minhash_batch_size,
+            concurrency=cfg.signature_concurrency,
+        )
+    # Default: stateless tasks on the shared worker pool. The only state —
+    # the permutation matrix — is lru_cached per worker process
+    # (functions.minhash.permutations), giving actor-style amortization
+    # without actor-pool ramp-up, which dominated this stage's wall time
+    # (autoscaling pools trickle actors in ~1s apiece).
+    stage = SignatureActor(cfg)
     return pruned.map_batches(
-        SignatureActor,
-        fn_constructor_args=(cfg,),
+        stage.__call__,
         batch_format="pyarrow",
         batch_size=cfg.minhash_batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -208,13 +213,21 @@ def _dedup_pairs_block(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).cast(PAIRS_SCHEMA)
 
 
+def minhash_raw_pairs(docs: Dataset, cfg: DedupConfig,
+                      num_partitions: int | None = None) -> Dataset:
+    """Signatures → LSH buckets → confirmed pairs, NOT yet deduped across
+    bands (a pair surfaces once per agreeing band). The pipeline merges
+    this raw stream with the exact pairs in ONE (id_a, id_b) shuffle."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    band_rows = signature_band_rows(docs, cfg)
+    return map_key_blocks(band_rows, ["bucket"], _make_bucket_block_fn(cfg), num_partitions)
+
+
 def minhash_pairs(docs: Dataset, cfg: DedupConfig,
                   num_partitions: int | None = None) -> Dataset:
     """Full MinHash/LSH pass: docs → confirmed, band-deduped pairs."""
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
-    band_rows = signature_band_rows(docs, cfg)
-    raw_pairs = map_key_blocks(
-        band_rows, ["bucket"], _make_bucket_block_fn(cfg), num_partitions
-    )
+    raw_pairs = minhash_raw_pairs(docs, cfg, num_partitions)
     return map_key_blocks(raw_pairs, ["id_a", "id_b"], _dedup_pairs_block, num_partitions)
