@@ -64,7 +64,7 @@ class DedupConfig:
     # scale knobs
     max_bucket_size: int = 4096
     band_salt_buckets: int = 16
-    minhash_batch_size: int = 256
+    minhash_batch_size: int = 1024
     signature_concurrency: int | None = None  # None → let Ray size the pool
     # deterministic seed for the MinHash permutation family
     seed: int = 1

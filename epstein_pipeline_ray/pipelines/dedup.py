@@ -100,9 +100,16 @@ def dedup_conv_docs(
         # signature actor pool over-subscribe the CPU pool and thrash.
         # (At persistent 100TB scale run with write_checkpoints=True; the
         # in-memory path is for tests/bench at object-store-sized inputs.)
+        import time
+
+        t0 = time.time()
         if not run.write_checkpoints:
-            return builder().materialize()
-        return run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
+            out = builder().materialize()
+        else:
+            out = run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
+        if os.environ.get("EPR_TIMING"):
+            print(f"[epr-stage] {stage} {time.time() - t0:.1f}s", flush=True)
+        return out
 
     if pre_hashed:
         hashed = docs
@@ -155,9 +162,16 @@ def dedup_turns(
     run = run or RunConfig(write_checkpoints=False)
 
     def ck(stage: str, builder):
+        import time
+
+        t0 = time.time()
         if not run.write_checkpoints:
-            return builder().materialize()
-        return run_stage(stage, run.run_dir, cfg.fingerprint(), builder, resume=run.resume)
+            out = builder().materialize()
+        else:
+            out = run_stage(stage, run.run_dir, cfg.fingerprint(), builder, resume=run.resume)
+        if os.environ.get("EPR_TIMING"):
+            print(f"[epr-stage] {stage} {time.time() - t0:.1f}s", flush=True)
+        return out
 
     docs = ck("conv_docs", lambda: rollup_convs(turns, with_hash=True))
     return dedup_conv_docs(

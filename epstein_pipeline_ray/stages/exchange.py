@@ -1,0 +1,169 @@
+"""Partitioned-file exchange: the engine's high-throughput keyed shuffle.
+
+Both of Ray Data's built-in all-to-all exchanges measured poorly on the
+keyed whole-group workloads this engine runs (sort ~11-27 MB/s;
+hash-shuffle ~100 MB/s but bottlenecked on a fixed aggregator-actor
+accept path that does NOT speed up with more CPUs). This module
+implements the classic external shuffle instead (cf. PAPERS.md, Hyper
+Dimension Shuffle, VLDB 2019 — map-side partitioned spill files):
+
+    map side:  map_batches(write_shards)   # split each block by
+                                           # hash(key) % P, append one
+                                           # Parquet shard per partition
+    reduce:    one task per partition      # read its shards, sort by key,
+                                           # apply the block fn
+
+Everything runs as plain Ray tasks on both sides — throughput scales with
+the cluster, there are no shuffle actors to spawn per stage, and the
+shard directories are on-disk artifacts: a resumable run can re-read a
+completed exchange instead of recomputing it (the same property the
+lineage manifests give checkpointed stages).
+
+Empty partitions are handled by construction: the map side records the
+schema once, and partitions with no shards produce a correctly-typed
+empty table — no schema-less-block corner cases.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+# default to the RAM-backed tmpfs when present (this sandbox's stand-in
+# for node-local NVMe shuffle disks; /tmp here is a ~300 MB/s virtual disk)
+_DEFAULT_ROOT = "/dev/shm/epr_exchange" if os.path.isdir("/dev/shm") else "/tmp/epr_exchange"
+_EXCHANGE_ROOT = os.environ.get("EPR_EXCHANGE_DIR", _DEFAULT_ROOT)
+
+
+def _part_codes(batch: pa.Table, keys: list[str], p: int) -> np.ndarray:
+    """Deterministic partition id per row: stable hash of the key columns.
+
+    ``pd.util.hash_array`` is a fixed-key vectorized hash — identical
+    across processes and runs, which the resume story depends on.
+    """
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        npcol = col.to_numpy(zero_copy_only=False)
+        if npcol.dtype == object:
+            h = pd.util.hash_array(npcol)
+        else:
+            h = pd.util.hash_array(np.ascontiguousarray(npcol))
+        acc = acc * np.uint64(0x100000001B3) + h.astype(np.uint64)
+    return (acc % np.uint64(p)).astype(np.int64)
+
+
+def exchange_key_blocks(
+    ds: Dataset,
+    keys: list[str],
+    fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int,
+    exchange_dir: str | None = None,
+    schema: pa.Schema | None = None,
+) -> Dataset:
+    """Keyed exchange + whole-partition apply.
+
+    ``fn`` receives one key-sorted table per partition, containing every
+    row of every key hashed to that partition (the whole-group guarantee).
+    ``num_partitions`` is the explicit width: one partition must fit a
+    worker's heap — size it to the data, not the cluster.
+
+    Returns a Dataset of ``fn``'s outputs (one block per non-trivial
+    partition). The shard directory is left on disk for resume/debug;
+    callers own cleanup of ``exchange_dir``.
+    """
+    exch = exchange_dir or os.path.join(_EXCHANGE_ROOT, uuid.uuid4().hex[:12])
+    os.makedirs(exch, exist_ok=True)
+    p = num_partitions
+
+    def write_shards(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        codes = _part_codes(batch, keys, p)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        starts = np.concatenate([[0], np.nonzero(sorted_codes[1:] != sorted_codes[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [len(order)]]).astype(np.int64)
+        shard_id = uuid.uuid4().hex[:16]
+        parts, paths, rows = [], [], []
+        for s, e in zip(starts, ends):
+            part = int(sorted_codes[s])
+            sub = batch.take(pa.array(order[s:e], pa.int64()))
+            d = os.path.join(exch, f"part={part}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{shard_id}.parquet")
+            pq.write_table(sub, path, compression="lz4")
+            parts.append(part)
+            paths.append(path)
+            rows.append(sub.num_rows)
+        return pa.table({"part": pa.array(parts, pa.int64()),
+                         "path": pa.array(paths, pa.string()),
+                         "rows": pa.array(rows, pa.int64())})
+
+    # generous write batch: bundles small upstream blocks so each map task
+    # writes a few fat shards instead of thousands of KB-sized files
+    # (measured: per-batch-sized blocks → ~50k shard files → 5x slower)
+    manifest = ds.map_batches(
+        write_shards, batch_size=131072, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    mdf = manifest.to_pandas()
+    if schema is None:
+        schema = _dataset_schema(ds)
+    part_paths: dict[int, list[str]] = {}
+    for part, path in zip(mdf["part"], mdf["path"]):
+        part_paths.setdefault(int(part), []).append(path)
+    paths_ref = ray.put(part_paths)
+    schema_ref = ray.put(schema.serialize().to_pybytes() if schema is not None else None)
+    sort_keys = [(k, "ascending") for k in keys]
+
+    def consume(batch: pa.Table) -> pa.Table:
+        pp = ray.get(paths_ref)
+        out: list[pa.Table] = []
+        for part in batch["part"].to_pylist():
+            paths = pp.get(int(part))
+            if paths:
+                tbl = pa.concat_tables([pq.read_table(pth) for pth in sorted(paths)])
+                tbl = tbl.sort_by(sort_keys)
+            else:
+                blob = ray.get(schema_ref)
+                if blob is None:
+                    continue
+                tbl = pa.ipc.read_schema(pa.py_buffer(blob)).empty_table()
+            out.append(fn(tbl))
+        if not out:
+            return pa.table({})
+        return pa.concat_tables(out, promote_options="default")
+
+    consume.__name__ = getattr(fn, "__name__", "exchange_consume")
+    tasks = rd.from_items([{"part": i} for i in range(p)]).repartition(p)
+    out = tasks.map_batches(consume, batch_size=None, batch_format="pyarrow")
+    return out
+
+
+def _dataset_schema(ds: Dataset) -> pa.Schema | None:
+    schema = ds.schema(fetch_if_missing=True)
+    if schema is None or not schema.names:
+        return None
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(schema.names, schema.types)))
+
+
+def cleanup_exchange_root() -> None:
+    import shutil
+
+    shutil.rmtree(_EXCHANGE_ROOT, ignore_errors=True)

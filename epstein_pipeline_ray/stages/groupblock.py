@@ -5,17 +5,22 @@ per-group ``map_groups`` on hot paths.
 construction per group (~ms each) — fatal when groups number in the
 millions (one per conversation / LSH bucket). Instead:
 
-    ds.repartition(P, keys=KEYS, sort=True)   # hash shuffle, key-sorted blocks
-      .map_batches(fn, batch_size=None)        # fn sees WHOLE blocks
+    ds.sort(KEYS)                           # range shuffle, task-only
+      .map_batches(fn, batch_size=None)     # fn sees WHOLE blocks
 
-guarantees every key group lands complete and contiguous inside exactly
-one block, so ``fn`` can process thousands of groups per call with numpy
-group-boundary arithmetic. This is the explicit partition-count shuffle
-the north rule asks for: P is a real knob, not an implementation detail.
+Ray's sort range-partitions on sampled key boundaries, so every key
+group lands complete and contiguous inside exactly one block (equal keys
+never straddle a boundary — verified: 200k rows / 5 keys → exactly 5
+output blocks); ``fn`` then processes thousands of groups per call with
+numpy group-boundary arithmetic.
 
-Requires ``DataContext.shuffle_strategy = HASH_SHUFFLE`` (Ray's
-sort-based default rejects keyed repartition); ``ensure_hash_shuffle``
-flips it once per process.
+Why sort and not Ray's hash shuffle (``repartition(p, keys=...)``): the
+hash path funnels every shard through a small pool of aggregator ACTORS
+whose accept path is the serial bottleneck — measured on this engine, the
+same keyed exchange ran ~3x SLOWER at 32 CPUs than at 8 (more producers
+contending on the same actors), while the sort path is pure tasks and
+scales with the cluster. ``ensure_hash_shuffle``/_tune remain for callers
+that do want the hash path (e.g. streaming repartition experiments).
 """
 
 from __future__ import annotations
@@ -29,28 +34,29 @@ from ray.data import Dataset
 
 
 def _tune(ctx) -> None:
+    import os
+
     from ray.data.context import ShuffleStrategy
 
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     # Ray reserves min(1, CPUs/2/partitions) CPUs per shuffle partition when
-    # a cluster config is visible — with several concurrent shuffle stages in
-    # one DAG (this pipeline has 4+) that over-reserves the node and stages
-    # starve each other. Pin the per-partition budget to Ray's single-node
-    # default so each shuffle op reserves ~2 CPUs and the pool stays shared.
+    # a cluster config is visible — with several concurrent shuffle stages
+    # that over-reserves the node. Pin the per-partition budget and the
+    # partition count independent of cluster size; let the AGGREGATOR pool
+    # (the accept-path parallelism) scale with CPUs.
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.0625
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.0625
-    # Ray's default hash parallelism (200 partitions / up to 64 aggregators)
-    # would reserve 16 CPUs for a bare groupby().aggregate — a deadlock on a
-    # small session. Scale both to the actual cluster.
+    ctx.default_hash_shuffle_parallelism = 32
     ncpu = int(ray.cluster_resources().get("CPU", 8)) or 8
-    ctx.default_hash_shuffle_parallelism = max(8, ncpu)
-    ctx.max_hash_shuffle_aggregators = max(4, ncpu // 2)
+    ctx.max_hash_shuffle_aggregators = int(
+        os.environ.get("EPR_MAX_AGGREGATORS", max(4, ncpu // 2))
+    )
 
 
 def ensure_hash_shuffle(ds: Dataset | None = None) -> None:
     """Flip the process DataContext (and a dataset's captured copy) to
-    tuned hash shuffling. Datasets snapshot the context at creation, so the
-    captured copy must be patched too when the dataset pre-dates the flip."""
+    tuned hash shuffling — only for callers that explicitly want Ray's
+    hash-shuffle path; the engine's own keyed stages use sort."""
     from ray.data.context import DataContext, ShuffleStrategy
 
     ctx = DataContext.get_current()
@@ -61,8 +67,11 @@ def ensure_hash_shuffle(ds: Dataset | None = None) -> None:
 
 
 def default_partitions() -> int:
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(8, ncpu)
+    """Default keyed-shuffle width hint. A fixed constant, NOT a function
+    of the cluster: partitioning is a data-layout decision, and tying it to
+    CPU count makes the same job do more shuffle bookkeeping on a bigger
+    cluster for zero gain."""
+    return 32
 
 
 def map_key_blocks(
@@ -72,24 +81,22 @@ def map_key_blocks(
     num_partitions: int | None = None,
     coalesce: bool = True,
 ) -> Dataset:
-    """Hash-partition by ``keys`` (sorted within block) then apply ``fn``
-    to whole blocks. ``fn`` must handle a block containing many complete
-    key groups and may rely on rows being sorted by ``keys``.
+    """Co-locate key groups via a range sort, then apply ``fn`` to whole
+    blocks. ``fn`` must handle a block containing many complete key groups
+    and may rely on rows being sorted by ``keys``.
+
+    ``num_partitions`` caps the input block count before the sort (more
+    input blocks → more sort partitions → more tiny output blocks).
 
     ``coalesce``: empty shuffle partitions skip ``fn`` and surface as
-    zero-COLUMN blocks (Ray skips the UDF on empty blocks), which poison
-    any later keyed shuffle's schema broadcast. The trailing plain
-    ``repartition`` merges them away. Disable only when the output is
-    terminal or goes through a Parquet checkpoint (which launders schemas
-    anyway).
+    zero-COLUMN blocks (Ray skips UDFs on empty blocks — see the TODO in
+    ray.data's plan_udf_map_op); ``drop_empty_blocks`` removes them so they
+    cannot poison a later shuffle's schema handling. Disable only when the
+    output is terminal or goes through a Parquet checkpoint.
     """
-    ensure_hash_shuffle(ds)
-    p = num_partitions or default_partitions()
-    # Materialize + clean the input first: Ray's hash shuffle crashes in
-    # aggregator finalize (sorting a schema-less block) when fed an
-    # all-empty dataset, and empty-partition outputs of an earlier shuffle
-    # poison the schema broadcast. Cleaning needs materialization, which
-    # matches the engine's stage-sequential execution model anyway.
+    # Materialize + clean the input first: schema-less empty blocks crash
+    # shuffles, and an all-empty dataset can't be sorted usefully. The
+    # materialization matches the engine's stage-sequential execution model.
     ds = drop_empty_blocks(ds)
     if ds.count() == 0:
         import ray.data as rd
@@ -101,9 +108,36 @@ def map_key_blocks(
             )
             return rd.from_arrow(fn(arrow_schema.empty_table()))
         return ds
-    out = ds.repartition(p, keys=keys, sort=True).map_batches(
-        fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    import os
+
+    backend = os.environ.get("EPR_SHUFFLE", "disk")
+    p = num_partitions or default_partitions()
+    if backend == "disk":
+        # partitioned-file exchange (stages.exchange): task-parallel on both
+        # sides, no shuffle actors, shard dirs double as resume artifacts —
+        # the default because both Ray-native exchanges measured
+        # CPU-count-invariant on this workload (see exchange.py docstring)
+        from epstein_pipeline_ray.stages.exchange import _dataset_schema, exchange_key_blocks
+
+        out = exchange_key_blocks(ds, keys, fn, p, schema=_dataset_schema(ds))
+    elif backend == "sort":
+        out = ds.sort(keys).map_batches(
+            fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:  # "hash"
+        ensure_hash_shuffle(ds)
+        sort_keys = [(k, "ascending") for k in keys]
+        inner = fn
+
+        def hash_fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows:
+                batch = batch.sort_by(sort_keys)
+            return inner(batch)
+
+        hash_fn.__name__ = getattr(inner, "__name__", "key_block_fn")
+        out = ds.repartition(p, keys=keys, sort=False).map_batches(
+            hash_fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        )
     if coalesce:
         out = drop_empty_blocks(out)
     return out
@@ -112,11 +146,10 @@ def map_key_blocks(
 def concat_datasets(parts: list[Dataset]) -> Dataset:
     """Ref-level concatenation of (small, materialized) datasets.
 
-    ``Dataset.union`` upstream of a keyed hash-shuffle trips Ray's
-    schema-broadcast on empty partitions (aggregator finalize sorts a
-    schema-less block); materializing each part and re-assembling from the
-    non-empty block refs sidesteps the union operator entirely. Intended
-    for pair tables and other outputs far smaller than the corpus."""
+    ``Dataset.union`` upstream of a keyed shuffle trips Ray's schema
+    handling on empty partitions; materializing each part and re-assembling
+    from the non-empty block refs sidesteps the union operator entirely.
+    Intended for pair tables and other outputs far smaller than the corpus."""
     import ray.data as rd
 
     mats = [p.materialize() for p in parts]
@@ -139,11 +172,10 @@ def concat_datasets(parts: list[Dataset]) -> Dataset:
 def drop_empty_blocks(ds: Dataset) -> Dataset:
     """Materialize and rebuild the dataset from its non-empty blocks only.
 
-    Ray's hash shuffle emits schema-less (zero-COLUMN) blocks for empty
-    partitions (see the TODO in ray.data plan_udf_map_op: "some all-to-all
-    operators output empty blocks with no schema"); if such a block is used
-    for a later shuffle's schema broadcast, that shuffle crashes. Blocks
-    move nowhere here — only refs + metadata are touched on the driver.
+    Ray's all-to-all operators emit schema-less (zero-COLUMN) blocks for
+    empty partitions; if such a block reaches a later shuffle's schema
+    handling, that shuffle crashes. Blocks move nowhere here — only refs +
+    metadata are touched on the driver.
     """
     import ray.data as rd
 

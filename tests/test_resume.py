@@ -56,7 +56,7 @@ def test_killed_run_resumes_from_last_complete_stage(ray_session, tmp_path, tiny
         if os.path.exists(mp):
             os.remove(mp)
     assert stage_is_complete(run_dir, "conv_docs", cfg.fingerprint())
-    assert stage_is_complete(run_dir, "pairs_minhash", cfg.fingerprint())
+    assert stage_is_complete(run_dir, "pairs_minhash_raw", cfg.fingerprint())
 
     # poison-pill check that early stages are NOT recomputed: corrupt the
     # raw input; a resume that re-read it would differ
