@@ -26,7 +26,8 @@ def simhash64(shingle_hashes32: np.ndarray) -> np.uint64:
     h = _mix64(shingle_hashes32 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1))
     # unpack to bit matrix (n, 64) without Python loops
     bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = bits.sum(axis=0) * 2 - h.shape[0]  # (+1/-1 vote sums)
+    # signed arithmetic: uint64 would wrap for negative vote sums
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(h.shape[0])
     out = np.uint64(0)
     for b in np.nonzero(votes > 0)[0]:
         out |= np.uint64(1) << np.uint64(b)

@@ -139,6 +139,11 @@ def dedup_conv_docs(
     all_pairs = parts[0] if len(parts) == 1 else concat_datasets(parts)
     pairs = ck("pairs", lambda: _merge_first_wins(all_pairs))
 
+    if cfg.verify_mode == "extended":
+        from epstein_pipeline_ray.stages.verify import extended_verify
+
+        pairs = ck("pairs_verified", lambda: extended_verify(pairs, hashed, cfg))
+
     clusters = ck("clusters", lambda: assign_clusters(hashed, pairs))
 
     if run.write_checkpoints:
