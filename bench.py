@@ -40,6 +40,15 @@ def _corpus_path() -> str:
     return f"/tmp/epr_bench/turns_{N_CONVS}_{SEED}"
 
 
+def _clean_exchange() -> None:
+    try:
+        from epstein_pipeline_ray.stages.exchange import cleanup_exchange_root
+
+        cleanup_exchange_root()
+    except Exception:
+        pass
+
+
 def _ensure_corpus() -> str:
     """Generate (once) the deterministic synthetic corpus; untimed."""
     path = _corpus_path()
@@ -74,6 +83,7 @@ def run_bench() -> dict:
     from epstein_pipeline_ray.config import DedupConfig
     from epstein_pipeline_ray.pipelines.dedup import dedup_turns
 
+    _clean_exchange()
     path = _ensure_corpus()
 
     # warm the page cache so we measure compute + shuffle, not cold disk
@@ -149,6 +159,19 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    # scaling needs a corpus where signature compute dominates the fixed
+    # per-stage orchestration cost; default to a bigger one than the plain
+    # bench (generated once, cached)
+    global N_CONVS
+    N_CONVS = int(os.environ.get("EPR_SCALING_CONVS", "600000"))
+    # pre-generate the corpus at full parallelism so neither timed
+    # subprocess pays generation cost
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    _ensure_corpus()
+    ray.shutdown()
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -188,6 +211,7 @@ if __name__ == "__main__":
             from epstein_pipeline_ray.config import DedupConfig
             from epstein_pipeline_ray.pipelines.dedup import dedup_turns
 
+            _clean_exchange()
             path = _ensure_corpus()
             turns = rd.read_parquet(path)
             n_turns = turns.count()

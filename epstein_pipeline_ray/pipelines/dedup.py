@@ -125,11 +125,11 @@ def dedup_conv_docs(
     if cfg.enable_minhash:
         from epstein_pipeline_ray.stages.minhash_stage import minhash_raw_pairs
 
-        mh_input = (
-            ck("minhash_reps", lambda: hash_representatives(hashed))
-            if minhash_on_reps
-            else hashed
-        )
+        # the representative filter chains lazily into the signature stage
+        # (both are maps after the tiny id/hash exchange inside
+        # hash_representatives) — an extra materialize barrier here would
+        # copy the full text corpus once more for nothing
+        mh_input = hash_representatives(hashed) if minhash_on_reps else hashed
         parts.append(ck("pairs_minhash_raw", lambda: minhash_raw_pairs(mh_input, cfg)))
 
     if not parts:

@@ -86,6 +86,11 @@ def exchange_key_blocks(
     exch = exchange_dir or os.path.join(_EXCHANGE_ROOT, uuid.uuid4().hex[:12])
     os.makedirs(exch, exist_ok=True)
     p = num_partitions
+    # Materialize the input: without this barrier Ray fuses the (possibly
+    # compute-heavy) upstream maps into the shard-writer's coarse write
+    # batches, collapsing upstream parallelism to a handful of fat tasks
+    # (measured 2x slower end-to-end at 32 CPUs).
+    ds = ds.materialize()
 
     def write_shards(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -116,15 +121,27 @@ def exchange_key_blocks(
     # generous write batch: bundles small upstream blocks so each map task
     # writes a few fat shards instead of thousands of KB-sized files
     # (measured: per-batch-sized blocks → ~50k shard files → 5x slower)
+    import time
+
+    t0 = time.time()
     manifest = ds.map_batches(
         write_shards, batch_size=131072, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    if os.environ.get("EPR_TIMING"):
+        print(f"[epr-exchange] write {time.time() - t0:.1f}s dir={exch}", flush=True)
     mdf = manifest.to_pandas()
-    if schema is None:
-        schema = _dataset_schema(ds)
+    if "part" not in mdf.columns:  # all input blocks empty → UDF skipped
+        mdf = pd.DataFrame({"part": [], "path": []})
     part_paths: dict[int, list[str]] = {}
     for part, path in zip(mdf["part"], mdf["path"]):
         part_paths.setdefault(int(part), []).append(path)
+    if schema is None:
+        if len(mdf):
+            # cheapest authoritative source: any shard file's footer
+            schema = pq.read_schema(mdf["path"].iloc[0])
+        else:
+            # input had no rows at all: infer from the (cheap) empty input
+            schema = _dataset_schema(ds)
     paths_ref = ray.put(part_paths)
     schema_ref = ray.put(schema.serialize().to_pybytes() if schema is not None else None)
     sort_keys = [(k, "ascending") for k in keys]

@@ -81,22 +81,37 @@ def map_key_blocks(
     num_partitions: int | None = None,
     coalesce: bool = True,
 ) -> Dataset:
-    """Co-locate key groups via a range sort, then apply ``fn`` to whole
-    blocks. ``fn`` must handle a block containing many complete key groups
-    and may rely on rows being sorted by ``keys``.
+    """Co-locate key groups, then apply ``fn`` to whole key-sorted blocks.
+    ``fn`` must handle a block containing many complete key groups and may
+    rely on rows being sorted by ``keys``.
 
-    ``num_partitions`` caps the input block count before the sort (more
-    input blocks → more sort partitions → more tiny output blocks).
+    ``num_partitions`` is the explicit exchange width (disk/hash backends);
+    size it so one partition fits a worker heap.
 
-    ``coalesce``: empty shuffle partitions skip ``fn`` and surface as
-    zero-COLUMN blocks (Ray skips UDFs on empty blocks — see the TODO in
-    ray.data's plan_udf_map_op); ``drop_empty_blocks`` removes them so they
-    cannot poison a later shuffle's schema handling. Disable only when the
-    output is terminal or goes through a Parquet checkpoint.
+    ``coalesce`` (Ray-native backends only): empty shuffle partitions skip
+    ``fn`` and surface as zero-COLUMN blocks (Ray skips UDFs on empty
+    blocks — see the TODO in ray.data's plan_udf_map_op);
+    ``drop_empty_blocks`` removes them so they cannot poison a later
+    shuffle's schema handling.
     """
-    # Materialize + clean the input first: schema-less empty blocks crash
-    # shuffles, and an all-empty dataset can't be sorted usefully. The
-    # materialization matches the engine's stage-sequential execution model.
+    import os
+
+    backend = os.environ.get("EPR_SHUFFLE", "disk")
+    p = num_partitions or default_partitions()
+    if backend == "disk":
+        # partitioned-file exchange (stages.exchange): task-parallel on both
+        # sides, no shuffle actors, shard dirs double as resume artifacts —
+        # the default because both Ray-native exchanges measured
+        # CPU-count-invariant on this workload (see exchange.py docstring).
+        # No input materialization and no empty-block laundering needed:
+        # the exchange derives schemas from its own shard files, so Ray's
+        # schema-less empty blocks can't poison anything.
+        from epstein_pipeline_ray.stages.exchange import exchange_key_blocks
+
+        return exchange_key_blocks(ds, keys, fn, p)
+    # Ray-native backends need the input materialized + cleaned: schema-less
+    # empty blocks crash their shuffles, and an all-empty dataset can't be
+    # sorted usefully.
     ds = drop_empty_blocks(ds)
     if ds.count() == 0:
         import ray.data as rd
@@ -108,19 +123,7 @@ def map_key_blocks(
             )
             return rd.from_arrow(fn(arrow_schema.empty_table()))
         return ds
-    import os
-
-    backend = os.environ.get("EPR_SHUFFLE", "disk")
-    p = num_partitions or default_partitions()
-    if backend == "disk":
-        # partitioned-file exchange (stages.exchange): task-parallel on both
-        # sides, no shuffle actors, shard dirs double as resume artifacts —
-        # the default because both Ray-native exchanges measured
-        # CPU-count-invariant on this workload (see exchange.py docstring)
-        from epstein_pipeline_ray.stages.exchange import _dataset_schema, exchange_key_blocks
-
-        out = exchange_key_blocks(ds, keys, fn, p, schema=_dataset_schema(ds))
-    elif backend == "sort":
+    if backend == "sort":
         out = ds.sort(keys).map_batches(
             fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
