@@ -237,6 +237,124 @@ def q_embed_neardup(sf_dir: str):
     return cosine_neardup_pairs(vecs, threshold=0.4)
 
 
+def q_minhash_docs(sf_dir: str):
+    """MinHash+LSH near-dup pairs over the documents table (shingle →
+    128-perm signature → band bucket groupby → estimated-Jaccard confirm).
+    Probabilistic (signature-estimated Jaccard) — rows-only check."""
+    import ray.data as rd
+
+    from epstein_pipeline_ray.config import DedupConfig
+    from epstein_pipeline_ray.stages.minhash_stage import minhash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["doc_id"].cast(pa.string()),
+                "text": batch["text"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    renamed = docs.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return minhash_pairs(renamed, DedupConfig())
+
+
+def q_title_fuzzy(sf_dir: str):
+    """Blocking-then-fuzzy pass (reference G2) on part names: block by
+    first word, normalized-indel ratio >= 0.9 within the block. Indel
+    distance is not SQL-expressible — rows-only check."""
+    from epstein_pipeline_ray.stages.dedup_extra import title_fuzzy_pairs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return title_fuzzy_pairs(parts, threshold=0.90, id_col="p_partkey", title_col="p_name")
+
+
+def q_bates_overlap(sf_dir: str):
+    """Range-overlap self-join (reference J3/M5/M6) on bates-style ranges
+    derived deterministically from the documents table."""
+    from epstein_pipeline_ray.stages.dedup_extra import bates_overlap_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = pc.multiply(batch["doc_id"], pa.scalar(17, pa.int64()))
+        lo = pc.subtract(lo, pc.multiply(pc.divide(lo, pa.scalar(20000, pa.int64())), pa.scalar(20000, pa.int64())))
+        span = pc.subtract(
+            batch["n_chars"],
+            pc.multiply(pc.divide(batch["n_chars"], pa.scalar(30, pa.int64())), pa.scalar(30, pa.int64())),
+        )
+        hi = pc.add(lo, span)
+        prefix = pc.utf8_upper(batch["lang"])
+        # "SRC3" + "123" + "-" + "SRC3" + "140"  →  "SRC3123-SRC3140"
+        bates = pc.binary_join_element_wise(
+            prefix,
+            pc.cast(lo, pa.string()),
+            "-",
+            prefix,
+            pc.cast(hi, pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "bates_range": bates})
+
+    derived = docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return bates_overlap_pairs(derived, id_col="doc_id").select_columns(["id_a", "id_b"])
+
+
+def q_term_cooccur(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import term_cooccur
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_cooccur(docs, _TERMS)
+
+
+def q_entities(sf_dir: str):
+    from epstein_pipeline_ray.stages.textops import extract_entities
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return extract_entities(docs, r"(?:spark|merge)\w*")
+
+
+def q_integrity(sf_dir: str):
+    from epstein_pipeline_ray.stages.validate import integrity_report
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return integrity_report(docs)
+
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event picks the latest order of the same customer
+    placed at-or-before the event time (tie on date → max orderkey)."""
+    from epstein_pipeline_ray.stages.relational import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    right = orders.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(
+        events,
+        right,
+        by="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decode — rows-only check)
 # ---------------------------------------------------------------------------
@@ -274,6 +392,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
+        "minhash_docs": q_minhash_docs,
+        "title_fuzzy": q_title_fuzzy,
+        "bates_overlap": q_bates_overlap,
+        "term_cooccur": q_term_cooccur,
+        "entities": q_entities,
+        "integrity": q_integrity,
+        "events_asof_orders": q_events_asof_orders,
     }
 
 
@@ -402,5 +527,53 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "bates_overlap": """
+            WITH b AS (
+                SELECT doc_id, upper(lang) AS prefix,
+                       (doc_id * 17) % 20000 AS lo,
+                       (doc_id * 17) % 20000 + n_chars % 30 AS hi
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, c.doc_id AS id_b
+            FROM b a JOIN b c ON a.prefix = c.prefix AND a.doc_id < c.doc_id
+            WHERE a.lo <= c.hi AND c.lo <= a.hi
+        """,
+        "term_cooccur": f"""
+            WITH l AS (
+                SELECT doc_id, term
+                FROM documents CROSS JOIN (VALUES {terms_values}) AS t(term)
+                WHERE contains(text, term)
+            )
+            SELECT a.term AS term_a, b.term AS term_b, count(*) AS weight
+            FROM l a JOIN l b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2
+        """,
+        "entities": """
+            SELECT doc_id, unnest(regexp_extract_all(text, '(?:spark|merge)\\w*')) AS entity
+            FROM documents
+        """,
+        "integrity": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   (SELECT count(*)
+                    FROM (SELECT doc_id FROM documents
+                          GROUP BY doc_id HAVING count(*) > 1))::BIGINT AS n_dup_ids,
+                   (SELECT count(*) FROM documents
+                    WHERE length(text) <> n_chars)::BIGINT AS n_len_mismatch,
+                   (SELECT count(*) FROM documents
+                    WHERE length(trim(text)) = 0)::BIGINT AS n_empty
+            FROM documents
+        """,
+        "events_asof_orders": """
+            WITH m AS (
+                SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+                FROM events e
+                JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+            FROM m WHERE rk = 1
         """,
     }

@@ -65,6 +65,10 @@ class DedupConfig:
     max_bucket_size: int = 4096
     band_salt_buckets: int = 16
     minhash_batch_size: int = 1024
+    # confirm-stage physical plan: signature corpora at or below this many
+    # rows broadcast via one ray.put (plasma-shared per node); above it the
+    # confirm runs as two hash-partitioned exchange joins (the 10^12 path)
+    broadcast_sig_rows_limit: int = 2_000_000
     signature_concurrency: int | None = None  # None → let Ray size the pool
     # deterministic seed for the MinHash permutation family
     seed: int = 1

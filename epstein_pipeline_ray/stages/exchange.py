@@ -85,6 +85,7 @@ def exchange_key_blocks(
     """
     exch = exchange_dir or os.path.join(_EXCHANGE_ROOT, uuid.uuid4().hex[:12])
     os.makedirs(exch, exist_ok=True)
+    _CREATED_DIRS.append(exch)
     p = num_partitions
     # Materialize the input: without this barrier Ray fuses the (possibly
     # compute-heavy) upstream maps into the shard-writer's coarse write
@@ -180,7 +181,23 @@ def _dataset_schema(ds: Dataset) -> pa.Schema | None:
     return pa.schema(list(zip(schema.names, schema.types)))
 
 
+_CREATED_DIRS: list[str] = []
+
+
+def gc_exchange_dirs() -> None:
+    """Remove shard dirs created so far by THIS process. Call only at a
+    stage barrier (after ``materialize()``): every exchange built before
+    the barrier has been fully consumed, and leaving shards on the
+    RAM-backed tmpfs measured a 2x whole-pipeline slowdown (tmpfs pages
+    evict the page cache)."""
+    import shutil
+
+    while _CREATED_DIRS:
+        shutil.rmtree(_CREATED_DIRS.pop(), ignore_errors=True)
+
+
 def cleanup_exchange_root() -> None:
     import shutil
 
+    _CREATED_DIRS.clear()
     shutil.rmtree(_EXCHANGE_ROOT, ignore_errors=True)

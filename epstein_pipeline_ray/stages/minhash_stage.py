@@ -6,28 +6,48 @@ src/epstein_pipeline/processors/dedup.py:332-398). Here the same candidate
 semantics — "two docs are candidates iff they agree on at least one LSH
 band" — become a shuffle:
 
-    docs → map_batches(SignatureActor)            # actor pool, perm matrix state
-         → 1 row per (doc, band): bucket key + signature
-         → groupby(bucket).map_groups(emit pairs)  # THE big shuffle
-         → groupby(id_a, id_b).first               # band-level pair dedup
+    docs → map_batches(SignatureActor)       # (conv_id, sig) — one row/doc
+         → band rows (conv_id, bucket)       # ids only on the default path
+         → exchange(bucket) → block-local candidates → INLINE confirm
+         → exchange(id pair) → globally distinct confirmed pairs
 
-Confirmation (signature-estimated Jaccard >= threshold, dedup.py:386-387)
-runs inside the bucket stage — the signatures are already co-located, so
-verification costs no extra shuffle.
+Two hard-won layout lessons (both measured on a 600k-conv corpus whose
+band buckets flood to 100–2200 members — 39M candidate pairs of which
+only ~350k confirm):
 
-Skew: bucket keys are 64-bit hashes, so oversized buckets only arise from
-genuinely identical band signatures (e.g. boilerplate/exact dup floods).
-Groups above ``max_bucket_size`` switch from all-pairs to a
-connectivity-preserving star+chain emission with per-bucket salted
-sub-splitting of the verification work, and the drop is accounted in the
-emitted ``pairs_capped`` metric column rather than silently ignored.
+1. **Confirm must run inside the bucket task.** Shipping raw candidates
+   to a separate confirm stage moved 38.5M rows through two exchanges
+   and gathered 40 GB of signature pairs — 220 s. Confirmed-only output
+   is ~2 orders of magnitude smaller.
+2. **Signatures must not ride the band rows** (on the default path): a
+   512 B signature replicated onto every (doc, band) row made the bucket
+   exchange ship ``bands×`` the signature corpus. Instead the sig table
+   is ``ray.put`` ONCE — plasma shares it zero-copy with every task on
+   the node (one copy per node on a real cluster). Above
+   ``broadcast_sig_rows_limit`` (the 10^12-turn path, where no node
+   holds the sig corpus) signatures DO ride the band rows as binary
+   blobs — the classic space-for-locality trade, partitioned so one
+   bucket-hash partition fits a worker heap.
+
+Confirm itself is a staged EXACT early-exit: agreement is counted 32
+components at a time and a pair is dropped the moment even perfect
+agreement on the remaining components could not reach the threshold —
+flood pairs (J≈0.1) die after one stage, so ~75% of the gather traffic
+disappears with bit-identical output.
+
+Skew: bucket keys are 64-bit hashes, so oversized buckets only arise
+from genuinely identical band signatures. Groups above
+``max_bucket_size`` switch from all-pairs to a connectivity-preserving
+star+chain emission, accounted in the metrics actor rather than
+silently dropped.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
 
 from epstein_pipeline_ray.config import DedupConfig
@@ -42,31 +62,49 @@ from epstein_pipeline_ray.functions.normalize import normalize_array
 _MIX_BAND = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _sig_schema(num_perm: int) -> pa.Schema:
+    return pa.schema(
+        [("conv_id", pa.string()), ("sig", pa.list_(pa.uint32(), num_perm))]
+    )
+
+
+def _bin_from_mat(mat: np.ndarray) -> pa.Array:
+    """(n, w) uint32 → binary array of fixed 4w-byte blobs (Parquet-safe)."""
+    n, w = mat.shape
+    offsets = np.arange(0, (n + 1) * w * 4, w * 4, dtype=np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
+def _mat_from_bin(col, num_perm: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    joined = b"".join(col.to_pylist())
+    return np.frombuffer(joined, dtype=np.uint32).reshape(-1, num_perm)
+
+
 class SignatureActor:
     """Stateful map_batches stage: holds the permutation family + LSH params.
 
-    Emits one row per (doc, band): ``(conv_id, n_chars, bucket:uint64,
-    sig:fixed_size_list<uint32, num_perm>)``. Carrying the signature on the
-    band row trades ~num_perm*4 bytes of shuffle volume per band for not
-    needing a second join to re-attach signatures at verification time.
+    Emits ONE row per eligible doc: ``(conv_id, sig:fixed_size_list<uint32,
+    num_perm>)``. Eligibility mirrors the reference: only texts strictly
+    longer than ``min_text_len`` enter the MinHash pass (dedup.py:346-350).
     """
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
-        self.bands, self.rows = optimal_lsh_params(cfg.jaccard_threshold, cfg.num_perm)
-        # warm the permutation cache once per actor
         from epstein_pipeline_ray.functions.minhash import permutations
 
-        permutations(cfg.num_perm, cfg.seed)
+        permutations(cfg.num_perm, cfg.seed)  # warm the cache once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        # eligibility lives INSIDE the actor (not a separate filter stage):
-        # a fully-filtered batch must still emit a band-schema empty table,
-        # or Ray's empty-block pass-through would leak the doc schema into
-        # the bucket shuffle (reference eligibility: dedup.py:346-350)
-        import pyarrow.compute as pc
-
+        # the filter lives INSIDE the stage: a fully-filtered batch must
+        # still emit a sig-schema empty table, or Ray's empty-block
+        # pass-through would leak the doc schema downstream
         mask = pc.greater(pc.utf8_length(batch["text"]), cfg.min_text_len)
         batch = batch.filter(mask)
         norm = normalize_array(batch["text"])
@@ -75,38 +113,24 @@ class SignatureActor:
         sigs = np.empty((n, cfg.num_perm), dtype=np.uint32)
         for i, t in enumerate(texts):
             sigs[i] = signature(shingle_hashes(t, cfg.shingle_size), cfg.num_perm, cfg.seed)
-        bk = band_keys(sigs, self.bands, self.rows)  # (n, bands)
-        # fold the band index into the key so band 0 and band 3 with equal
-        # contents land in different buckets
-        band_ids = np.arange(self.bands, dtype=np.uint64)
-        buckets = bk + band_ids[None, :] * _MIX_BAND  # uint64 wrap
-        b = self.bands
-        # doc-major replication: one output row per (doc, band)
-        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), b))
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
         return pa.table(
             {
-                "conv_id": batch["conv_id"].take(rep_idx),
-                "n_chars": batch["n_chars"].take(rep_idx),
-                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+                "conv_id": conv,
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(sigs, b, axis=0).reshape(-1), pa.uint32()),
-                    cfg.num_perm,
+                    pa.array(sigs.reshape(-1), pa.uint32()), cfg.num_perm
                 ),
-            }
+            },
+            schema=_sig_schema(cfg.num_perm),
         )
 
 
-def signature_band_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
-    """Docs (conv_id, text, n_chars) → band rows via the actor pool.
-
-    Eligibility mirrors the reference: only texts strictly longer than
-    ``min_text_len`` enter the MinHash pass (dedup.py:346-350).
-    """
-
-    pruned = docs.select_columns(["conv_id", "text", "n_chars"])
+def signature_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
+    """Docs (conv_id, text, ...) → one (conv_id, sig) row per eligible doc."""
+    pruned = docs.select_columns(["conv_id", "text"])
     if cfg.signature_concurrency:
-        # explicit actor pool (the classic stateful-stage shape; useful when
-        # the per-actor state is expensive, e.g. a swapped-in embedding model)
         return pruned.map_batches(
             SignatureActor,
             fn_constructor_args=(cfg,),
@@ -115,10 +139,9 @@ def signature_band_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
             concurrency=cfg.signature_concurrency,
         )
     # Default: stateless tasks on the shared worker pool. The only state —
-    # the permutation matrix — is lru_cached per worker process
-    # (functions.minhash.permutations), giving actor-style amortization
-    # without actor-pool ramp-up, which dominated this stage's wall time
-    # (autoscaling pools trickle actors in ~1s apiece).
+    # the permutation matrix — is lru_cached per worker process, giving
+    # actor-style amortization without actor-pool ramp-up (autoscaling
+    # pools trickle actors in ~1s apiece, which dominated this stage).
     stage = SignatureActor(cfg)
     return pruned.map_batches(
         stage.__call__,
@@ -127,85 +150,251 @@ def signature_band_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def _make_bucket_block_fn(cfg: DedupConfig):
+def _expand_bands(batch: pa.Table, cfg: DedupConfig, with_sig: bool) -> pa.Table:
+    bands, rows = optimal_lsh_params(cfg.jaccard_threshold, cfg.num_perm)
+    n = batch.num_rows
+    cols = {"conv_id": pa.array([], pa.string()), "bucket": pa.array([], pa.uint64())}
+    if with_sig:
+        cols["sig_bin"] = pa.array([], pa.binary())
+    if n == 0:
+        return pa.table(cols)
+    sig_col = batch["sig"]
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sigs = np.asarray(sig_col.flatten()).reshape(n, -1)
+    bk = band_keys(sigs, bands, rows)  # (n, bands)
+    # fold the band index into the key so band 0 and band 3 with equal
+    # contents land in different buckets
+    band_ids = np.arange(bands, dtype=np.uint64)
+    buckets = bk + band_ids[None, :] * _MIX_BAND  # uint64 wrap
+    rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    out = {
+        "conv_id": batch["conv_id"].take(rep_idx),
+        "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+    }
+    if with_sig:
+        out["sig_bin"] = _bin_from_mat(np.repeat(sigs, bands, axis=0))
+    return pa.table(out)
+
+
+def band_rows(sig_ds: Dataset, cfg: DedupConfig, with_sig: bool = False) -> Dataset:
+    """(conv_id, sig) → one band row per (doc, band).
+
+    ``with_sig=True`` is the beyond-broadcast scale path: the signature
+    rides each band row as a binary blob so confirm stays bucket-local
+    without any node holding the sig corpus.
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return _expand_bands(batch, cfg, with_sig)
+
+    return sig_ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# bucket block: candidates + inline staged confirm
+# ---------------------------------------------------------------------------
+
+
+def _emit_candidate_indices(buckets: np.ndarray, codes: np.ndarray, cap: int,
+                            n_codes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Bucket-sorted rows → block-distinct candidate index pairs (into the
+    block), canonicalized so code[i] < code[j]. Runs batched BY LENGTH —
+    no per-run Python work for the all-pairs case."""
+    n_rows = buckets.shape[0]
+    run_starts = np.concatenate([[0], np.nonzero(buckets[1:] != buckets[:-1])[0] + 1])
+    run_lens = np.diff(np.concatenate([run_starts, [n_rows]])).astype(np.int64)
+    multi = run_lens >= 2
+    if not multi.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts_m = run_starts[multi]
+    lens_m = run_lens[multi]
+    pair_i: list[np.ndarray] = []
+    pair_j: list[np.ndarray] = []
+    small = lens_m <= cap
+    for length in np.unique(lens_m[small]):
+        s_l = starts_m[lens_m == length]
+        iu, ju = np.triu_indices(int(length), k=1)
+        pair_i.append((s_l[:, None] + iu[None, :]).ravel())
+        pair_j.append((s_l[:, None] + ju[None, :]).ravel())
+    for s, n in zip(starts_m[~small], lens_m[~small]):
+        # star + chain: connectivity-preserving cap for flooded buckets
+        # (north rule skew handling); drop accounted in metrics
+        n = int(n)
+        star_i = np.full(n - 1, s, dtype=np.int64)
+        star_j = s + np.arange(1, n, dtype=np.int64)
+        chain_i = s + np.arange(1, n - 1, dtype=np.int64)
+        pair_i.append(np.concatenate([star_i, chain_i]))
+        pair_j.append(np.concatenate([star_j, chain_i + 1]))
+        from epstein_pipeline_ray.state import metrics
+
+        metrics.inc("lsh.buckets_capped")
+        metrics.inc("lsh.pairs_capped", n * (n - 1) // 2 - (2 * n - 3))
+    I = np.concatenate(pair_i)
+    J = np.concatenate(pair_j)
+    ci = codes[I]
+    cj = codes[J]
+    keep = ci != cj
+    I, J, ci, cj = I[keep], J[keep], ci[keep], cj[keep]
+    swap = ci > cj
+    I2 = np.where(swap, J, I)
+    J2 = np.where(swap, I, J)
+    # block-level dedup: a pair can agree on several bands in this
+    # partition — confirm it once
+    fused = codes[I2] * np.int64(n_codes) + codes[J2]
+    _, first = np.unique(fused, return_index=True)
+    return I2[first], J2[first]
+
+
+def _staged_agree(SA_rows: np.ndarray, SB_rows: np.ndarray, gather_a, gather_b,
+                  need: int, num_perm: int, stage: int = 32):
+    """Exact early-exit agreement count.
+
+    ``gather_a(alive, lo, hi)`` returns the component slice for the alive
+    pairs. A pair is dropped as soon as agree + remaining < need — no
+    approximation, flood pairs die after one stage."""
+    n = SA_rows.shape[0]
+    agree = np.zeros(n, dtype=np.int32)
+    alive = np.arange(n, dtype=np.int64)
+    for lo in range(0, num_perm, stage):
+        hi = min(lo + stage, num_perm)
+        agree[alive] += (gather_a(alive, lo, hi) == gather_b(alive, lo, hi)).sum(axis=1)
+        remaining = num_perm - hi
+        alive = alive[agree[alive] + remaining >= need]
+        if alive.size == 0:
+            break
+    keep = np.zeros(n, dtype=bool)
+    if alive.size:
+        keep[alive] = agree[alive] >= need
+    return keep, agree
+
+
+def _need(threshold: float, num_perm: int) -> int:
+    """Smallest agreement count c with c/num_perm >= threshold."""
+    return int(np.ceil(threshold * num_perm - 1e-12))
+
+
+def _pairs_table(a, b, eq: np.ndarray) -> pa.Table:
+    from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+    sc = np.round(eq, 4)
+    return pa.table(
+        {
+            "id_a": pa.array(list(a), pa.string()),
+            "id_b": pa.array(list(b), pa.string()),
+            "score": pa.array(sc, pa.float64()),
+            "method": pa.array(["minhash"] * len(sc), pa.string()),
+            "reason": pa.array(
+                [f"MinHash Jaccard similarity: {s:.2%}" for s in sc], pa.string()
+            ),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
+_BCAST_CACHE: dict[str, dict] = {}
+
+
+def _make_bucket_fn_broadcast(cfg: DedupConfig, ids_ref, sigs_ref):
+    """Bucket block fn, broadcast flavor: the block carries ids only; the
+    globally-sorted sig matrix arrives via plasma (zero-copy per node)."""
     threshold = cfg.jaccard_threshold
     cap = cfg.max_bucket_size
+    num_perm = cfg.num_perm
+    need = _need(threshold, num_perm)
+    key = ids_ref.hex()
 
-    def emit_block_pairs(batch: pa.Table) -> pa.Table:
-        """One call per key-sorted block: iterate bucket runs, vectorized
-        signature-Jaccard pair emission per run. Emits the reference's full
-        DuplicatePair shape (dedup.py:388-396) so every downstream block —
-        empty or not — shares one schema."""
+    def bucket_confirm(batch: pa.Table) -> pa.Table:
         from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
 
-        empty = PAIRS_SCHEMA.empty_table()
-        n_rows = batch.num_rows
-        if n_rows < 2:
-            return empty
+        if batch.num_rows < 2:
+            return PAIRS_SCHEMA.empty_table()
+        state = _BCAST_CACHE.get(key)
+        if state is None:
+            ids_l = ray.get(ids_ref)
+            state = {
+                "ids": ids_l,
+                "idx": {v: i for i, v in enumerate(ids_l)},
+                "sigs": ray.get(sigs_ref),
+            }
+            _BCAST_CACHE.clear()
+            _BCAST_CACHE[key] = state
+        idx = state["idx"]
+        S = state["sigs"]
+        ids_sorted = state["ids"]
         buckets = np.asarray(batch["bucket"].to_numpy(zero_copy_only=False))
-        sig_col = batch["sig"]
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
-        sigs_all = np.asarray(sig_col.flatten()).reshape(n_rows, -1)
-        ids_all = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-        starts = np.concatenate([[0], np.nonzero(buckets[1:] != buckets[:-1])[0] + 1])
-        ends = np.concatenate([starts[1:], [n_rows]]).astype(np.int64)
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_s: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            n = int(e - s)
-            if n < 2:
-                continue
-            ids = ids_all[s:e]
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            sigs = sigs_all[s:e][order]
-            if n <= cap:
-                iu, ju = np.triu_indices(n, k=1)
-            else:
-                # star + chain: connectivity-preserving cap for flooded
-                # buckets (north rule skew handling); drop is accounted
-                star_i = np.zeros(n - 1, dtype=np.int64)
-                star_j = np.arange(1, n, dtype=np.int64)
-                chain_i = np.arange(1, n - 1, dtype=np.int64)
-                iu = np.concatenate([star_i, chain_i])
-                ju = np.concatenate([star_j, chain_i + 1])
-                from epstein_pipeline_ray.state import metrics
-
-                metrics.inc("lsh.buckets_capped")
-                metrics.inc("lsh.pairs_capped", n * (n - 1) // 2 - iu.shape[0])
-            eq = (sigs[iu] == sigs[ju]).mean(axis=1)
-            keep = (eq >= threshold) & (ids[iu] != ids[ju])
-            if keep.any():
-                out_a.append(ids[iu[keep]])
-                out_b.append(ids[ju[keep]])
-                out_s.append(np.round(eq[keep], 4))
-        if not out_a:
-            return empty
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        sc = np.concatenate(out_s)
-        return pa.table(
-            {
-                "id_a": pa.array(a.tolist(), pa.string()),
-                "id_b": pa.array(b.tolist(), pa.string()),
-                "score": pa.array(sc, pa.float64()),
-                "method": pa.array(["minhash"] * a.shape[0], pa.string()),
-                "reason": pa.array(
-                    [f"MinHash Jaccard similarity: {s:.2%}" for s in sc], pa.string()
-                ),
-            },
-            schema=PAIRS_SCHEMA,
+        conv = batch["conv_id"].to_pylist()
+        # global index == global string rank (ids_ref is sorted)
+        codes = np.fromiter((idx[v] for v in conv), dtype=np.int64, count=len(conv))
+        I, J = _emit_candidate_indices(buckets, codes, cap, len(ids_sorted))
+        if I.shape[0] == 0:
+            return PAIRS_SCHEMA.empty_table()
+        gi = codes[I]
+        gj = codes[J]
+        keep, agree = _staged_agree(
+            gi, gj,
+            lambda alive, lo, hi: S[gi[alive], lo:hi],
+            lambda alive, lo, hi: S[gj[alive], lo:hi],
+            need, num_perm,
         )
+        if not keep.any():
+            return PAIRS_SCHEMA.empty_table()
+        eq = agree[keep] / float(num_perm)
+        a = [ids_sorted[g] for g in gi[keep]]
+        b = [ids_sorted[g] for g in gj[keep]]
+        return _pairs_table(a, b, eq)
 
-    return emit_block_pairs
+    return bucket_confirm
+
+
+def _make_bucket_fn_local(cfg: DedupConfig):
+    """Bucket block fn, scale flavor: signatures ride the band rows."""
+    threshold = cfg.jaccard_threshold
+    cap = cfg.max_bucket_size
+    num_perm = cfg.num_perm
+    need = _need(threshold, num_perm)
+
+    def bucket_confirm(batch: pa.Table) -> pa.Table:
+        from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+        if batch.num_rows < 2:
+            return PAIRS_SCHEMA.empty_table()
+        buckets = np.asarray(batch["bucket"].to_numpy(zero_copy_only=False))
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        dict_arr = conv.dictionary_encode()
+        codes_raw = np.asarray(dict_arr.indices)
+        uniq = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        order_u = np.argsort(uniq, kind="stable")
+        rank = np.empty(order_u.shape[0], dtype=np.int64)
+        rank[order_u] = np.arange(order_u.shape[0], dtype=np.int64)
+        codes = rank[codes_raw]
+        uniq_sorted = uniq[order_u]
+        S = _mat_from_bin(batch["sig_bin"], num_perm)
+        I, J = _emit_candidate_indices(buckets, codes, cap, uniq.shape[0])
+        if I.shape[0] == 0:
+            return PAIRS_SCHEMA.empty_table()
+        keep, agree = _staged_agree(
+            I, J,
+            lambda alive, lo, hi: S[I[alive], lo:hi],
+            lambda alive, lo, hi: S[J[alive], lo:hi],
+            need, num_perm,
+        )
+        if not keep.any():
+            return PAIRS_SCHEMA.empty_table()
+        eq = agree[keep] / float(num_perm)
+        a = uniq_sorted[codes[I[keep]]].tolist()
+        b = uniq_sorted[codes[J[keep]]].tolist()
+        return _pairs_table(a, b, eq)
+
+    return bucket_confirm
 
 
 def _dedup_pairs_block(batch: pa.Table) -> pa.Table:
-    """Band-level pair dedup: one row per (id_a, id_b). Scores for a given
-    pair are identical across bands (pure function of the two signatures),
-    so keeping any row is exact."""
+    """Globally distinct pairs: scores for a given pair are identical
+    across bands/blocks (pure function of the two signatures), so keeping
+    any row is exact."""
     from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
 
     df = batch.to_pandas()
@@ -215,19 +404,54 @@ def _dedup_pairs_block(batch: pa.Table) -> pa.Table:
 
 def minhash_raw_pairs(docs: Dataset, cfg: DedupConfig,
                       num_partitions: int | None = None) -> Dataset:
-    """Signatures → LSH buckets → confirmed pairs, NOT yet deduped across
-    bands (a pair surfaces once per agreeing band). The pipeline merges
-    this raw stream with the exact pairs in ONE (id_a, id_b) shuffle."""
+    """MinHash/LSH pass: docs → confirmed pairs, block-deduped but NOT yet
+    globally distinct (a pair that collides in two bands landing in
+    different partitions surfaces twice — the pipeline's merge exchange
+    removes it)."""
+    import os
+    import time
+
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
-    band_rows = signature_band_rows(docs, cfg)
-    return map_key_blocks(band_rows, ["bucket"], _make_bucket_block_fn(cfg), num_partitions)
+    detail = os.environ.get("EPR_TIMING")
+    t0 = time.time()
+    sig_ds = signature_rows(docs, cfg).materialize()  # consumed twice
+    n_sigs = sig_ds.count()
+    if detail:
+        print(f"[epr-minhash] signatures {time.time() - t0:.1f}s ({n_sigs} rows)",
+              flush=True)
+        t0 = time.time()
+    if n_sigs <= cfg.broadcast_sig_rows_limit:
+        tables = [t for t in ray.get(sig_ds.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+            import ray.data as rd
+
+            return rd.from_arrow(PAIRS_SCHEMA.empty_table())
+        tbl = pa.concat_tables(tables).combine_chunks()
+        ids = np.asarray(tbl["conv_id"].to_pylist(), dtype=object)
+        sigs = np.asarray(tbl["sig"].combine_chunks().flatten()).reshape(len(ids), -1)
+        order = np.argsort(ids, kind="stable")
+        ids_ref = ray.put(ids[order].tolist())
+        sigs_ref = ray.put(np.ascontiguousarray(sigs[order]))
+        bands_ds = band_rows(sig_ds, cfg, with_sig=False)
+        fn = _make_bucket_fn_broadcast(cfg, ids_ref, sigs_ref)
+    else:
+        bands_ds = band_rows(sig_ds, cfg, with_sig=True)
+        fn = _make_bucket_fn_local(cfg)
+    out = map_key_blocks(bands_ds, ["bucket"], fn, num_partitions)
+    if detail:
+        out = out.materialize()
+        print(f"[epr-minhash] bucket+confirm {time.time() - t0:.1f}s "
+              f"({out.count()} rows)", flush=True)
+    return out
 
 
 def minhash_pairs(docs: Dataset, cfg: DedupConfig,
                   num_partitions: int | None = None) -> Dataset:
-    """Full MinHash/LSH pass: docs → confirmed, band-deduped pairs."""
+    """Full MinHash/LSH pass: docs → confirmed, globally-distinct pairs."""
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
-    raw_pairs = minhash_raw_pairs(docs, cfg, num_partitions)
-    return map_key_blocks(raw_pairs, ["id_a", "id_b"], _dedup_pairs_block, num_partitions)
+    raw = minhash_raw_pairs(docs, cfg, num_partitions)
+    return map_key_blocks(raw, ["id_a", "id_b"], _dedup_pairs_block, num_partitions)

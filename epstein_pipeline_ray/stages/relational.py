@@ -154,3 +154,83 @@ def props_key_sum(events: Dataset) -> Dataset:
         extract, batch_format="pyarrow", zero_copy_batch=True
     )
     return grouped_stats(extracted, ["event_type"], sum_cols=["k"])
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+) -> Dataset:
+    """Inner as-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` <= ``left_ts`` within the same ``by`` key (ties
+    on right_ts broken by the greatest ``tie_col``). Left rows with no
+    match are dropped.
+
+    Ray Data has no asof join; this is the composition pattern: align both
+    sides to one schema (typed nulls for the other side's columns), ONE
+    keyed exchange on ``by`` co-locates each key's rows, then a vectorized
+    ``pandas.merge_asof`` per key-partition block. The partitioning
+    assumption: one ``by`` key's rows fit one block (same assumption every
+    keyed window here makes); keys are hash-spread across partitions."""
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_out = list(left_schema.names)
+    r_keep = [right_ts] + right_cols
+    rtypes = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    ltypes = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    unified = left_out + r_keep + ["__side"]
+
+    def nulls(n: int, typ) -> pa.Array:
+        return pa.nulls(n, typ)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_out}
+        for c in r_keep:
+            cols[c] = nulls(batch.num_rows, rtypes[c])
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_out:
+            cols[c] = batch[c] if c == by else nulls(batch.num_rows, ltypes[c])
+        for c in r_keep:
+            cols[c] = batch[c]
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns(sorted(set([by] + r_keep))).map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    unioned = lt.union(rt)
+    out_schema = pa.schema(
+        [(c, ltypes[c]) for c in left_out] + [(c, rtypes[c]) for c in right_cols]
+    )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        l = df[df["__side"] == 0][left_out].sort_values(left_ts, kind="mergesort")
+        r = df[df["__side"] == 1][[by] + r_keep]
+        sort_keys = [right_ts] + ([tie_col] if tie_col else [])
+        r = r.sort_values(sort_keys, kind="mergesort")
+        if not len(l) or not len(r):
+            return out_schema.empty_table()
+        merged = pd.merge_asof(
+            l, r, left_on=left_ts, right_on=right_ts, by=by,
+            direction="backward", allow_exact_matches=True,
+        )
+        merged = merged.dropna(subset=[right_cols[0]])[left_out + right_cols]
+        return pa.Table.from_pandas(
+            merged.reset_index(drop=True), preserve_index=False
+        ).cast(out_schema)
+
+    return map_key_blocks(unioned, [by], per_block)

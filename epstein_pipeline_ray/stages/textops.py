@@ -85,3 +85,76 @@ def term_links(docs: Dataset, terms: list[str], id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids, id_arr.type), "term": pa.array(out_terms, pa.string())})
 
     return docs.map_batches(link, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_entities(docs: Dataset, pattern: str, id_col: str = "doc_id",
+                     text_col: str = "text") -> Dataset:
+    """Regex entity extraction: one output row per (doc, match occurrence)
+    — the reference's pattern-extractor family (src/epstein_pipeline/
+    processors/entities.py:34-60 PHONE/EMAIL/BATES/... regexes). The
+    pattern must contain no capture groups (use (?:...)) so occurrence
+    multiplicity matches a plain scan."""
+    import re
+
+    compiled = re.compile(pattern)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids, ents = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for m in compiled.findall(t or ""):
+                ids.append(i)
+                ents.append(m)
+        return pa.table({id_col: pa.array(ids, batch[id_col].type),
+                         "entity": pa.array(ents, pa.string())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def term_cooccur(docs: Dataset, terms: list[str], id_col: str = "doc_id",
+                 text_col: str = "text") -> Dataset:
+    """Knowledge-graph edge aggregation: for every unordered pair of terms
+    co-occurring in one doc, weight = number of such docs (reference:
+    src/epstein_pipeline/processors/knowledge_graph.py:102-123 Counter
+    over (src,dst) pairs → here flat_map pair emission + groupby sum).
+    The per-batch partial is a dense boolean doc×term matrix (terms are a
+    small broadcast side), pair counts accumulated per batch so the final
+    shuffle carries at most |terms|^2/2 rows per batch."""
+    import itertools
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    term_list = sorted(terms)
+    terms_ref = ray.put(term_list)
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        tl = ray.get(terms_ref)
+        hits = np.column_stack(
+            [pc.match_substring(batch[text_col], t).to_numpy(zero_copy_only=False)
+             for t in tl]
+        )
+        out_a, out_b, out_w = [], [], []
+        for ia, ib in itertools.combinations(range(len(tl)), 2):
+            w = int(np.sum(hits[:, ia] & hits[:, ib]))
+            if w:
+                out_a.append(tl[ia])
+                out_b.append(tl[ib])
+                out_w.append(w)
+        return pa.table({"term_a": pa.array(out_a, pa.string()),
+                         "term_b": pa.array(out_b, pa.string()),
+                         "partial_w": pa.array(out_w, pa.int64())})
+
+    partials = docs.select_columns([id_col, text_col]).map_batches(
+        pairs_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = partials.groupby(["term_a", "term_b"]).aggregate(
+        Sum("partial_w", alias_name="weight")
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("weight")
+        return batch.set_column(i, "weight", pc.cast(batch["weight"], pa.int64()))
+
+    return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)

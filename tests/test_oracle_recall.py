@@ -75,3 +75,24 @@ def test_reps_mode_cluster_parity(ray_session, small_docs, oracle_result):
     eng_sets = {frozenset(g.conv_id) for _, g in clusters.groupby("cluster_id")}
     ora_sets = {frozenset(v) for v in ogroups.values()}
     assert eng_sets == ora_sets
+
+
+def test_scale_path_matches_broadcast(ray_session, small_docs):
+    """The beyond-broadcast scale plan (signatures riding the band rows,
+    forced via broadcast_sig_rows_limit=0) must emit exactly the pairs the
+    broadcast plan emits."""
+    from dataclasses import replace
+
+    from epstein_pipeline_ray.stages.minhash_stage import minhash_raw_pairs
+
+    ds = _docs_ds(small_docs)
+    base = DedupConfig()
+    joined = replace(base, broadcast_sig_rows_limit=0)
+
+    def pairset(res):
+        df = res.to_pandas()
+        return set(zip(df["id_a"], df["id_b"], df["score"]))
+
+    got_b = pairset(minhash_raw_pairs(_docs_ds(small_docs), base))
+    got_j = pairset(minhash_raw_pairs(ds, joined))
+    assert got_b == got_j and len(got_b) > 0
