@@ -148,19 +148,33 @@ def exchange_key_blocks(
     sort_keys = [(k, "ascending") for k in keys]
 
     def consume(batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        timing = os.environ.get("EPR_TIMING_CONSUME")
         pp = ray.get(paths_ref)
         out: list[pa.Table] = []
         for part in batch["part"].to_pylist():
             paths = pp.get(int(part))
             if paths:
+                t0 = _time.time()
                 tbl = pa.concat_tables([pq.read_table(pth) for pth in sorted(paths)])
+                t1 = _time.time()
                 tbl = tbl.sort_by(sort_keys)
+                t2 = _time.time()
             else:
                 blob = ray.get(schema_ref)
                 if blob is None:
                     continue
                 tbl = pa.ipc.read_schema(pa.py_buffer(blob)).empty_table()
+                t0 = t1 = t2 = _time.time()
             out.append(fn(tbl))
+            if timing:
+                t3 = _time.time()
+                print(
+                    f"[epr-consume] part={part} rows={tbl.num_rows} "
+                    f"read={t1 - t0:.2f} sort={t2 - t1:.2f} fn={t3 - t2:.2f}",
+                    flush=True,
+                )
         if not out:
             return pa.table({})
         return pa.concat_tables(out, promote_options="default")

@@ -196,77 +196,136 @@ def band_rows(sig_ds: Dataset, cfg: DedupConfig, with_sig: bool = False) -> Data
 # ---------------------------------------------------------------------------
 
 
-def _emit_candidate_indices(buckets: np.ndarray, codes: np.ndarray, cap: int,
-                            n_codes: int) -> tuple[np.ndarray, np.ndarray]:
-    """Bucket-sorted rows → block-distinct candidate index pairs (into the
-    block), canonicalized so code[i] < code[j]. Runs batched BY LENGTH —
-    no per-run Python work for the all-pairs case."""
+_LOCAL_RUN_MIN = 48  # runs at least this long confirm via a bucket-local matrix
+
+
+def _staged_confirm(G: np.ndarray, ia: np.ndarray, ja: np.ndarray,
+                    need: int, num_perm: int, stage: int = 32,
+                    chunk: int = 1 << 18) -> tuple[np.ndarray, np.ndarray]:
+    """Exact early-exit agreement count for row-index pairs into ``G``.
+
+    Pairs are processed in bounded chunks; within a chunk, agreement is
+    counted ``stage`` components at a time and a pair is dropped the
+    moment agree + remaining < need — no approximation, flood pairs
+    (J≈0.1) die after the first stage. Peak temp memory is
+    O(chunk × stage), independent of bucket size.
+
+    Returns (keep_mask over pairs, agree counts)."""
+    n = ia.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    agree_out = np.zeros(n, dtype=np.int32)
+    for base in range(0, n, chunk):
+        i_c = ia[base : base + chunk]
+        j_c = ja[base : base + chunk]
+        m = i_c.shape[0]
+        agree = np.zeros(m, dtype=np.int32)
+        alive = np.arange(m, dtype=np.int64)
+        for lo in range(0, num_perm, stage):
+            hi = min(lo + stage, num_perm)
+            agree[alive] += (
+                G[i_c[alive], lo:hi] == G[j_c[alive], lo:hi]
+            ).sum(axis=1)
+            alive = alive[agree[alive] + (num_perm - hi) >= need]
+            if alive.size == 0:
+                break
+        if alive.size:
+            ok = alive[agree[alive] >= need]
+            keep[base + ok] = True
+            agree_out[base + ok] = agree[ok]
+    return keep, agree_out
+
+
+def _confirm_block(buckets: np.ndarray, codes: np.ndarray, G_full: np.ndarray,
+                   row_map: np.ndarray, cap: int, need: int, num_perm: int):
+    """Bucket-sorted block → confirmed (block_i, block_j, agree) triples.
+
+    ``codes`` are order-preserving integer ids per block row (global rank
+    in the broadcast flavor, block rank in the local flavor);
+    ``row_map[block_position]`` is the row index into ``G_full``.
+
+    Two regimes, chosen per bucket run:
+
+    - short runs (< _LOCAL_RUN_MIN): pairs from all runs of one length are
+      confirmed in one batched pass — gather volume ≈ pair count × 2 rows.
+    - long runs (the flood case — C(n,2) pairs per bucket): the bucket's n
+      rows are gathered ONCE into a local matrix that stays cache-resident
+      (2000 rows × 512 B ≈ 1 MiB) and all pairs compare against it.
+      Per-pair gathers here measured 2x slower at 32-way concurrency than
+      at 8 (DRAM random-access collapse); the local matrix restores
+      near-linear scaling.
+    """
     n_rows = buckets.shape[0]
     run_starts = np.concatenate([[0], np.nonzero(buckets[1:] != buckets[:-1])[0] + 1])
     run_lens = np.diff(np.concatenate([run_starts, [n_rows]])).astype(np.int64)
     multi = run_lens >= 2
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    out_agree: list[np.ndarray] = []
     if not multi.any():
-        return np.empty(0, np.int64), np.empty(0, np.int64)
+        return out_i, out_j, out_agree
     starts_m = run_starts[multi]
     lens_m = run_lens[multi]
+
+    # --- regime 1: short runs, batched by length, per-pair gathers
+    short = lens_m < _LOCAL_RUN_MIN
     pair_i: list[np.ndarray] = []
     pair_j: list[np.ndarray] = []
-    small = lens_m <= cap
-    for length in np.unique(lens_m[small]):
+    for length in np.unique(lens_m[short]):
         s_l = starts_m[lens_m == length]
         iu, ju = np.triu_indices(int(length), k=1)
         pair_i.append((s_l[:, None] + iu[None, :]).ravel())
         pair_j.append((s_l[:, None] + ju[None, :]).ravel())
-    for s, n in zip(starts_m[~small], lens_m[~small]):
-        # star + chain: connectivity-preserving cap for flooded buckets
-        # (north rule skew handling); drop accounted in metrics
+    if pair_i:
+        I = np.concatenate(pair_i)
+        J = np.concatenate(pair_j)
+        ci = codes[I]
+        cj = codes[J]
+        keepm = ci != cj
+        I, J = I[keepm], J[keepm]
+        # dedup: a pair can agree on several bands in this partition
+        ci, cj = codes[I], codes[J]
+        lo_c = np.minimum(ci, cj)
+        hi_c = np.maximum(ci, cj)
+        fused = lo_c * np.int64(codes.max() + 2) + hi_c
+        _, first = np.unique(fused, return_index=True)
+        I, J = I[first], J[first]
+        keep, agree = _staged_confirm(G_full, row_map[I], row_map[J], need, num_perm)
+        if keep.any():
+            out_i.append(I[keep])
+            out_j.append(J[keep])
+            out_agree.append(agree[keep])
+
+    # --- regime 2: long runs, bucket-local matrix (star+chain above cap)
+    for s, n in zip(starts_m[~short], lens_m[~short]):
         n = int(n)
-        star_i = np.full(n - 1, s, dtype=np.int64)
-        star_j = s + np.arange(1, n, dtype=np.int64)
-        chain_i = s + np.arange(1, n - 1, dtype=np.int64)
-        pair_i.append(np.concatenate([star_i, chain_i]))
-        pair_j.append(np.concatenate([star_j, chain_i + 1]))
-        from epstein_pipeline_ray.state import metrics
+        pos = np.arange(s, s + n, dtype=np.int64)
+        G = np.ascontiguousarray(G_full[row_map[pos]])
+        if n <= cap:
+            iu, ju = np.triu_indices(n, k=1)
+        else:
+            # star + chain: connectivity-preserving cap for flooded buckets
+            # (north rule skew handling); drop accounted in metrics
+            star_i = np.zeros(n - 1, dtype=np.int64)
+            star_j = np.arange(1, n, dtype=np.int64)
+            chain_i = np.arange(1, n - 1, dtype=np.int64)
+            iu = np.concatenate([star_i, chain_i])
+            ju = np.concatenate([star_j, chain_i + 1])
+            from epstein_pipeline_ray.state import metrics
 
-        metrics.inc("lsh.buckets_capped")
-        metrics.inc("lsh.pairs_capped", n * (n - 1) // 2 - (2 * n - 3))
-    I = np.concatenate(pair_i)
-    J = np.concatenate(pair_j)
-    ci = codes[I]
-    cj = codes[J]
-    keep = ci != cj
-    I, J, ci, cj = I[keep], J[keep], ci[keep], cj[keep]
-    swap = ci > cj
-    I2 = np.where(swap, J, I)
-    J2 = np.where(swap, I, J)
-    # block-level dedup: a pair can agree on several bands in this
-    # partition — confirm it once
-    fused = codes[I2] * np.int64(n_codes) + codes[J2]
-    _, first = np.unique(fused, return_index=True)
-    return I2[first], J2[first]
-
-
-def _staged_agree(SA_rows: np.ndarray, SB_rows: np.ndarray, gather_a, gather_b,
-                  need: int, num_perm: int, stage: int = 32):
-    """Exact early-exit agreement count.
-
-    ``gather_a(alive, lo, hi)`` returns the component slice for the alive
-    pairs. A pair is dropped as soon as agree + remaining < need — no
-    approximation, flood pairs die after one stage."""
-    n = SA_rows.shape[0]
-    agree = np.zeros(n, dtype=np.int32)
-    alive = np.arange(n, dtype=np.int64)
-    for lo in range(0, num_perm, stage):
-        hi = min(lo + stage, num_perm)
-        agree[alive] += (gather_a(alive, lo, hi) == gather_b(alive, lo, hi)).sum(axis=1)
-        remaining = num_perm - hi
-        alive = alive[agree[alive] + remaining >= need]
-        if alive.size == 0:
-            break
-    keep = np.zeros(n, dtype=bool)
-    if alive.size:
-        keep[alive] = agree[alive] >= need
-    return keep, agree
+            metrics.inc("lsh.buckets_capped")
+            metrics.inc("lsh.pairs_capped", n * (n - 1) // 2 - (2 * n - 3))
+        keep, agree = _staged_confirm(G, iu, ju, need, num_perm)
+        if keep.any():
+            ki, kj = iu[keep], ju[keep]
+            same = codes[pos[ki]] == codes[pos[kj]]
+            if same.any():
+                ki, kj, ag = ki[~same], kj[~same], agree[keep][~same]
+            else:
+                ag = agree[keep]
+            out_i.append(pos[ki])
+            out_j.append(pos[kj])
+            out_agree.append(ag)
+    return out_i, out_j, out_agree
 
 
 def _need(threshold: float, num_perm: int) -> int:
@@ -326,22 +385,21 @@ def _make_bucket_fn_broadcast(cfg: DedupConfig, ids_ref, sigs_ref):
         conv = batch["conv_id"].to_pylist()
         # global index == global string rank (ids_ref is sorted)
         codes = np.fromiter((idx[v] for v in conv), dtype=np.int64, count=len(conv))
-        I, J = _emit_candidate_indices(buckets, codes, cap, len(ids_sorted))
-        if I.shape[0] == 0:
+        out_i, out_j, out_agree = _confirm_block(
+            buckets, codes, S, codes, cap, need, num_perm
+        )
+        if not out_i:
             return PAIRS_SCHEMA.empty_table()
+        I = np.concatenate(out_i)
+        J = np.concatenate(out_j)
+        agree = np.concatenate(out_agree)
         gi = codes[I]
         gj = codes[J]
-        keep, agree = _staged_agree(
-            gi, gj,
-            lambda alive, lo, hi: S[gi[alive], lo:hi],
-            lambda alive, lo, hi: S[gj[alive], lo:hi],
-            need, num_perm,
-        )
-        if not keep.any():
-            return PAIRS_SCHEMA.empty_table()
-        eq = agree[keep] / float(num_perm)
-        a = [ids_sorted[g] for g in gi[keep]]
-        b = [ids_sorted[g] for g in gj[keep]]
+        lo_g = np.minimum(gi, gj)
+        hi_g = np.maximum(gi, gj)
+        eq = agree / float(num_perm)
+        a = [ids_sorted[g] for g in lo_g]
+        b = [ids_sorted[g] for g in hi_g]
         return _pairs_table(a, b, eq)
 
     return bucket_confirm
@@ -372,20 +430,22 @@ def _make_bucket_fn_local(cfg: DedupConfig):
         codes = rank[codes_raw]
         uniq_sorted = uniq[order_u]
         S = _mat_from_bin(batch["sig_bin"], num_perm)
-        I, J = _emit_candidate_indices(buckets, codes, cap, uniq.shape[0])
-        if I.shape[0] == 0:
-            return PAIRS_SCHEMA.empty_table()
-        keep, agree = _staged_agree(
-            I, J,
-            lambda alive, lo, hi: S[I[alive], lo:hi],
-            lambda alive, lo, hi: S[J[alive], lo:hi],
-            need, num_perm,
+        row_map = np.arange(batch.num_rows, dtype=np.int64)
+        out_i, out_j, out_agree = _confirm_block(
+            buckets, codes, S, row_map, cap, need, num_perm
         )
-        if not keep.any():
+        if not out_i:
             return PAIRS_SCHEMA.empty_table()
-        eq = agree[keep] / float(num_perm)
-        a = uniq_sorted[codes[I[keep]]].tolist()
-        b = uniq_sorted[codes[J[keep]]].tolist()
+        I = np.concatenate(out_i)
+        J = np.concatenate(out_j)
+        agree = np.concatenate(out_agree)
+        ci = codes[I]
+        cj = codes[J]
+        lo_c = np.minimum(ci, cj)
+        hi_c = np.maximum(ci, cj)
+        eq = agree / float(num_perm)
+        a = uniq_sorted[lo_c].tolist()
+        b = uniq_sorted[hi_c].tolist()
         return _pairs_table(a, b, eq)
 
     return bucket_confirm
@@ -429,14 +489,22 @@ def minhash_raw_pairs(docs: Dataset, cfg: DedupConfig,
             import ray.data as rd
 
             return rd.from_arrow(PAIRS_SCHEMA.empty_table())
+        # Arrow-native sort: utf8 byte order == Python str order (UTF-8
+        # preserves codepoint order), so ranks stay consistent with every
+        # other stage's string-canonical pair ordering
         tbl = pa.concat_tables(tables).combine_chunks()
-        ids = np.asarray(tbl["conv_id"].to_pylist(), dtype=object)
-        sigs = np.asarray(tbl["sig"].combine_chunks().flatten()).reshape(len(ids), -1)
-        order = np.argsort(ids, kind="stable")
-        ids_ref = ray.put(ids[order].tolist())
-        sigs_ref = ray.put(np.ascontiguousarray(sigs[order]))
+        tbl = tbl.sort_by([("conv_id", "ascending")])
+        n_rows = tbl.num_rows
+        ids_ref = ray.put(tbl["conv_id"].to_pylist())
+        sigs_sorted = np.asarray(
+            tbl["sig"].combine_chunks().flatten()
+        ).reshape(n_rows, -1)
+        sigs_ref = ray.put(np.ascontiguousarray(sigs_sorted))
         bands_ds = band_rows(sig_ds, cfg, with_sig=False)
         fn = _make_bucket_fn_broadcast(cfg, ids_ref, sigs_ref)
+        if detail:
+            print(f"[epr-minhash] broadcast-prep {time.time() - t0:.1f}s", flush=True)
+            t0 = time.time()
     else:
         bands_ds = band_rows(sig_ds, cfg, with_sig=True)
         fn = _make_bucket_fn_local(cfg)
