@@ -1,7 +1,7 @@
 """Union-find clustering over verified duplicate pairs.
 
-Reference semantics (src/epstein_pipeline/processors/dedup.py:173-236):
-path-halving union-find over pairs; groups of >= 2 become clusters;
+Reference semantics (src/epstein_pipeline/processors/dedup.py:173-236,
+path-halving union-find at dedup.py:183-200): groups of >= 2 become clusters;
 representative = member with the longest text; avg_similarity = mean of
 pair scores whose BOTH endpoints are in the cluster.
 
@@ -39,58 +39,49 @@ CLUSTERS_SCHEMA = pa.schema(
 )
 
 
-class UnionFind:
-    """Path-halving union-find keyed by string ids (dedup.py:183-200)."""
-
-    def __init__(self) -> None:
-        self.parent: dict[str, str] = {}
-
-    def find(self, x: str) -> str:
-        parent = self.parent
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(self, a: str, b: str) -> None:
-        self.parent.setdefault(a, a)
-        self.parent.setdefault(b, b)
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[ra] = rb
-
-    def groups(self) -> dict[str, list[str]]:
-        out: dict[str, list[str]] = {}
-        for x in self.parent:
-            out.setdefault(self.find(x), []).append(x)
-        return {k: v for k, v in out.items() if len(v) >= 2}
-
-
 def union_find_pairs(pairs: Dataset) -> tuple[dict[str, str], dict[str, float]]:
     """Stream pairs → ({member: cluster_id}, {cluster_id: avg_similarity}).
 
     cluster_id = min member id. avg_similarity averages every pair score
     with both endpoints inside the cluster, matching dedup.py:222-231.
+
+    Connected components run as vectorized min-label propagation with
+    pointer jumping (O(E log D) numpy passes — the driver's Python-loop
+    DSU was a serial, CPU-count-independent cost that capped scaling
+    efficiency). Every node comes from an edge, so every component has
+    >= 2 members by construction.
     """
-    uf = UnionFind()
-    edge_scores: list[tuple[str, str, float]] = []
-    for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ia, ib = batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
-        sc = batch["score"].to_pylist()
-        for a, b, s in zip(ia, ib, sc):
-            uf.union(a, b)
-            edge_scores.append((a, b, s))
-    member_to_cluster: dict[str, str] = {}
-    cluster_scores: dict[str, list[float]] = {}
-    for _root, members in uf.groups().items():
-        cid = min(members)
-        for m in members:
-            member_to_cluster[m] = cid
-    for a, b, s in edge_scores:
-        ca, cb = member_to_cluster.get(a), member_to_cluster.get(b)
-        if ca is not None and ca == cb:
-            cluster_scores.setdefault(ca, []).append(s)
-    avg = {cid: float(np.mean(v)) for cid, v in cluster_scores.items()}
+    dfs = []
+    for batch in pairs.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        if batch.num_rows:
+            dfs.append(batch.select(["id_a", "id_b", "score"]).to_pandas())
+    if not dfs:
+        return {}, {}
+    df = pd.concat(dfs, ignore_index=True)
+    both = pd.concat([df["id_a"], df["id_b"]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    m = len(df)
+    a = codes[:m].astype(np.int64)
+    b = codes[m:].astype(np.int64)
+    n = len(uniques)
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, a, lab[b])
+        np.minimum.at(l2, b, lab[a])
+        l2 = l2[l2]
+        l2 = l2[l2]
+        if np.array_equal(l2, lab):
+            break
+        lab = l2
+    # cluster_id = lexicographic-min member STRING per component (the
+    # propagated label is the min CODE, which is appearance order)
+    u = pd.Series(uniques.astype(object))
+    cid = u.groupby(lab).transform("min")
+    member_to_cluster = dict(zip(u, cid))
+    edge_cid = cid.to_numpy()[a]
+    avg_s = pd.Series(df["score"].to_numpy()).groupby(edge_cid).mean()
+    avg = {k: float(v) for k, v in avg_s.items()}
     return member_to_cluster, avg
 
 
@@ -109,43 +100,38 @@ def assign_clusters(docs: Dataset, pairs: Dataset) -> Dataset:
     map_ref = ray.put(member_to_cluster)
 
     # pass 1: lengths of clustered members only (small: one row per member)
-    def member_lengths(batch: pa.Table) -> pa.Table:
+    def member_lengths(batch: pa.Table) -> pd.DataFrame:
         m = ray.get(map_ref)
-        ids = batch["conv_id"].to_pylist()
-        keep = [i for i, d in enumerate(ids) if d in m]
-        sub = batch.take(pa.array(keep, pa.int64()))
-        return sub.select(["conv_id", "n_chars"])
+        df = batch.select(["conv_id", "n_chars"]).to_pandas()
+        return df[df["conv_id"].isin(m)]
 
     lengths = docs.map_batches(member_lengths, batch_format="pyarrow").to_pandas()
     lengths_map = dict(zip(lengths["conv_id"], lengths["n_chars"]))
 
     # representative = longest text, ties → larger id (dedup.py:217-220;
-    # the oracle pins the same (length, id) tuple-max tie-break)
-    best: dict[str, str] = {}
-    for m, cid in member_to_cluster.items():
-        cur = best.get(cid)
-        if cur is None or (lengths_map.get(m, 0), m) > (lengths_map.get(cur, 0), cur):
-            best[cid] = m
-    sizes: dict[str, int] = {}
-    for cid in member_to_cluster.values():
-        sizes[cid] = sizes.get(cid, 0) + 1
+    # the oracle pins the same (length, id) tuple-max tie-break) —
+    # vectorized: sort by (cluster, length, id) and keep each cluster's last
+    mem = pd.DataFrame(
+        {"conv_id": list(member_to_cluster.keys()),
+         "cluster_id": list(member_to_cluster.values())}
+    )
+    mem["n_chars"] = mem["conv_id"].map(lengths_map).fillna(0)
+    mem = mem.sort_values(["cluster_id", "n_chars", "conv_id"], kind="mergesort")
+    best = dict(zip(mem.drop_duplicates("cluster_id", keep="last")["cluster_id"],
+                    mem.drop_duplicates("cluster_id", keep="last")["conv_id"]))
+    sizes = mem.groupby("cluster_id")["conv_id"].size().to_dict()
     reps_ref = ray.put((best, sizes, avg))
 
     def stamp(batch: pa.Table) -> pd.DataFrame:
         m = ray.get(map_ref)
         best_, sizes_, avg_ = ray.get(reps_ref)
-        rows = {"conv_id": [], "cluster_id": [], "representative": [],
-                "cluster_size": [], "avg_similarity": []}
-        for d in batch["conv_id"].to_pylist():
-            cid = m.get(d)
-            if cid is None:
-                continue
-            rows["conv_id"].append(d)
-            rows["cluster_id"].append(cid)
-            rows["representative"].append(best_[cid] == d)
-            rows["cluster_size"].append(np.int32(sizes_[cid]))
-            rows["avg_similarity"].append(avg_.get(cid, 1.0))
-        return pd.DataFrame(rows)
+        df = pd.DataFrame({"conv_id": batch["conv_id"].to_pylist()})
+        df["cluster_id"] = df["conv_id"].map(m)
+        df = df[df["cluster_id"].notna()]
+        df["representative"] = df["cluster_id"].map(best_) == df["conv_id"]
+        df["cluster_size"] = df["cluster_id"].map(sizes_).astype(np.int32)
+        df["avg_similarity"] = df["cluster_id"].map(avg_).fillna(1.0)
+        return df.reset_index(drop=True)
 
     out = docs.select_columns(["conv_id"]).map_batches(stamp, batch_format="pyarrow")
     return out
