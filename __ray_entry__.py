@@ -355,6 +355,55 @@ def q_events_asof_orders(sf_dir: str):
     )
 
 
+def q_events_dedup(sf_dir: str):
+    """One surviving event per (user, type, hour): max value, ties → min
+    event_id (reference G12's key-group overlap-dedup shape)."""
+    from epstein_pipeline_ray.stages.relational import events_dedup
+
+    return events_dedup(_read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]))
+
+
+def q_dates_norm(sf_dir: str):
+    """Messy-date normalization (reference M14): raw strings derived
+    deterministically from doc_id in four formats, normalized to
+    YYYY-MM-DD (unparseable → NULL)."""
+    import calendar
+
+    from epstein_pipeline_ray.functions.dates import normalize_date
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def derive_and_norm(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for i in ids:
+            y, m, d = 1990 + i % 30, 1 + i % 12, 1 + i % 28
+            f = i % 4
+            if f == 0:
+                raw = f"{y}-{m}-{d}"
+            elif f == 1:
+                raw = f"{m:02d}/{d:02d}/{y}"
+            elif f == 2:
+                raw = f"{calendar.month_name[m]} {d} {y}"
+            else:
+                raw = "not a date at all"
+            out.append(normalize_date(raw))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "date_norm": pa.array(out, pa.string())})
+
+    return docs.map_batches(derive_and_norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lsh_neardup(sf_dir: str):
+    """LSH-bucketed cosine near-dup (ANN scale path; exact confirm, recall
+    approximate — rows-only check; quality asserted vs brute force in
+    tests/test_embed_lsh.py)."""
+    from epstein_pipeline_ray.stages.embed import lsh_neardup_pairs
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_neardup_pairs(vecs, threshold=0.45, bits=4, tables=32)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (deterministic fake decode — rows-only check)
 # ---------------------------------------------------------------------------
@@ -399,6 +448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entities": q_entities,
         "integrity": q_integrity,
         "events_asof_orders": q_events_asof_orders,
+        "events_dedup": q_events_dedup,
+        "dates_norm": q_dates_norm,
+        "lsh_neardup": q_lsh_neardup,
     }
 
 
@@ -575,5 +627,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, ts, user_id, o_orderkey, o_totalprice
             FROM m WHERE rk = 1
+        """,
+        "events_dedup": """
+            WITH h AS (
+                SELECT event_id, user_id, event_type,
+                       date_trunc('hour', ts) AS hour, value
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type, hour
+                    ORDER BY value DESC, event_id ASC) AS rk
+                FROM h
+            )
+            SELECT user_id, event_type, hour, event_id, value
+            FROM r WHERE rk = 1
+        """,
+        "dates_norm": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE printf('%04d-%02d-%02d',
+                                    1990 + doc_id % 30,
+                                    1 + doc_id % 12,
+                                    1 + doc_id % 28)
+                   END AS date_norm
+            FROM documents
         """,
     }

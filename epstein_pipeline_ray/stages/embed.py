@@ -125,3 +125,119 @@ def cosine_neardup_pairs(
         )
 
     return vectors.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_neardup_pairs(
+    vectors: Dataset,
+    threshold: float = 0.9,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """LSH-bucketed cosine near-dup — the scale path for corpora whose
+    pairwise matrix is intractable (``cosine_neardup_pairs`` is the exact
+    baseline).
+
+    Random-hyperplane LSH (Charikar, STOC'02): per table, ``bits`` sign
+    bits of projections form the bucket key; vectors sharing a bucket in
+    ANY table become candidates (the same banding shape as the MinHash
+    pass). Candidates are confirmed exactly — emitted pairs all satisfy
+    cos >= threshold; the approximation is recall only:
+    P(candidate) = 1-(1-p^bits)^tables with p = 1 - angle/pi.
+
+    Partitioning assumption: one (table, bucket) group fits a block;
+    confirm reads the normalized matrix via one ``ray.put`` broadcast
+    (plasma-shared per node). Beyond broadcast size, carry the vector on
+    the band row — same trade as the MinHash sig path.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (parity with sibling ops)
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    mat_tbl = vectors.select_columns([id_col, emb_col]).to_pandas()
+    mat_tbl = mat_tbl.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    all_ids = np.asarray(mat_tbl[id_col].to_numpy())
+    all_emb = _normalize_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in mat_tbl[emb_col]])
+    )
+    dim = all_emb.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, tables * bits))
+    ref = ray.put((all_ids, all_emb, planes))
+    id_type = pa.array(all_ids[:1]).type if len(all_ids) else pa.int64()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids_g, _, H = ray.get(ref)
+        emb = _normalize_rows(_stack_embeddings(batch, emb_col))
+        signs = (emb @ H) > 0  # (n, tables*bits)
+        n = emb.shape[0]
+        weights = (1 << np.arange(bits, dtype=np.uint64))
+        keys = (
+            signs.reshape(n, tables, bits).astype(np.uint64) * weights[None, None, :]
+        ).sum(axis=2)  # (n, tables)
+        table_ids = np.arange(tables, dtype=np.uint64)
+        buckets = keys + (table_ids[None, :] + 1) * np.uint64(0x9E3779B97F4A7C15)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), tables))
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().take(rep)
+                if isinstance(batch[id_col], pa.ChunkedArray)
+                else batch[id_col].take(rep),
+                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
+            }
+        )
+
+    bands = vectors.select_columns([id_col, emb_col]).map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    out_schema = pa.schema([("id_a", id_type), ("id_b", id_type), ("cos", pa.float64())])
+
+    def bucket_confirm(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return out_schema.empty_table()
+        ids_g, emb_g, _ = ray.get(ref)
+        buckets = np.asarray(block["bucket"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(block[id_col].to_pylist())
+        pos = np.searchsorted(ids_g, ids)
+        starts = np.concatenate([[0], np.nonzero(buckets[1:] != buckets[:-1])[0] + 1])
+        lens = np.diff(np.concatenate([starts, [block.num_rows]]))
+        pair_i, pair_j = [], []
+        for length in np.unique(lens[lens >= 2]):
+            s_l = starts[lens == length]
+            iu, ju = np.triu_indices(int(length), k=1)
+            pair_i.append((s_l[:, None] + iu[None, :]).ravel())
+            pair_j.append((s_l[:, None] + ju[None, :]).ravel())
+        if not pair_i:
+            return out_schema.empty_table()
+        I = np.concatenate(pair_i)
+        J = np.concatenate(pair_j)
+        gi, gj = pos[I], pos[J]
+        keep = gi != gj
+        gi, gj = gi[keep], gj[keep]
+        lo = np.minimum(gi, gj)
+        hi = np.maximum(gi, gj)
+        fused = lo * np.int64(len(ids_g)) + hi
+        _, first = np.unique(fused, return_index=True)
+        lo, hi = lo[first], hi[first]
+        cos = (emb_g[lo] * emb_g[hi]).sum(axis=1)
+        m = cos >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids_g[lo[m]]),
+                "id_b": pa.array(ids_g[hi[m]]),
+                "cos": pa.array(np.round(cos[m], 6), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    raw = map_key_blocks(bands, ["bucket"], bucket_confirm, num_partitions)
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
+
+    return map_key_blocks(raw, ["id_a", "id_b"], distinct, num_partitions)

@@ -46,3 +46,58 @@ def write_partitioned_parquet(ds: Dataset, path: str, partition_cols: list[str])
     """K9: hive-partitioned Parquet — one directory per key value, so a
     failed run resumes by skipping complete partitions."""
     ds.write_parquet(path, partition_cols=partition_cols)
+
+
+def pack_f32(vecs) -> list[bytes]:
+    """K5: F32 blob packing — ``struct.pack(f'{n}f', *vec)`` equivalent
+    (reference processors/embeddings.py:445-450), vectorized per row."""
+    import numpy as np
+
+    return [np.asarray(v, dtype=np.float32).tobytes() for v in vecs]
+
+
+def write_sqlite(ds: Dataset, path: str, table: str, *,
+                 blob_cols: list[str] | None = None) -> int:
+    """K3/K5: stream a Dataset into one SQLite table (reference
+    exporters/sqlite_export.py:29-414 documents/forensics tables and the
+    F32-blob embedding sink, embeddings.py:328-364).
+
+    SQLite is single-writer, so blocks stream through the driver
+    connection — constant memory, one executemany per block. At cluster
+    scale the equivalent sink is one DB shard per partition (the
+    partitioned-Parquet layout above) or a writer actor serializing a
+    remote DB; this mirrors the reference's local-file deployment.
+    ``blob_cols`` are ``list<float>`` columns stored as packed F32 blobs.
+    Returns rows written."""
+    import sqlite3
+
+    import ray
+
+    blob_cols = blob_cols or []
+    conn = sqlite3.connect(path)
+    total = 0
+    try:
+        first = True
+        for ref in ds.to_arrow_refs():
+            tbl = ray.get(ref)
+            if tbl.num_rows == 0:
+                continue
+            cols = tbl.column_names
+            if first:
+                defs = ", ".join(
+                    f'"{c}" BLOB' if c in blob_cols else f'"{c}"' for c in cols
+                )
+                conn.execute(f'DROP TABLE IF EXISTS "{table}"')
+                conn.execute(f'CREATE TABLE "{table}" ({defs})')
+                first = False
+            data = {c: tbl[c].to_pylist() for c in cols}
+            for c in blob_cols:
+                data[c] = pack_f32(data[c])
+            rows = list(zip(*(data[c] for c in cols)))
+            ph = ", ".join("?" for _ in cols)
+            conn.executemany(f'INSERT INTO "{table}" VALUES ({ph})', rows)
+            total += len(rows)
+        conn.commit()
+    finally:
+        conn.close()
+    return total

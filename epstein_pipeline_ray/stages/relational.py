@@ -234,3 +234,40 @@ def asof_join(
         ).cast(out_schema)
 
     return map_key_blocks(unioned, [by], per_block)
+
+
+def events_dedup(events: Dataset, num_partitions: int | None = None) -> Dataset:
+    """Cross-partition event dedup (reference G12: temporal_extractor.py
+    :281-323 — key (date, event_type), keep the highest-confidence record).
+
+    Here: one surviving event per (user_id, event_type, hour) — the row
+    with max ``value`` (ties → min event_id, deterministic). One keyed
+    exchange, then a vectorized per-block groupby-idxmax."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return batch.append_column("hour", pc.floor_temporal(batch["ts"], unit="hour"))
+
+    keyed = events.select_columns(["event_id", "ts", "user_id", "event_type", "value"]).map_batches(
+        add_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.schema(
+                [("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("hour", pa.timestamp("us")), ("event_id", pa.int64()),
+                 ("value", pa.float64())]
+            ).empty_table()
+        df = df.sort_values(["user_id", "event_type", "hour", "value", "event_id"],
+                            ascending=[True, True, True, False, True], kind="mergesort")
+        out = df.drop_duplicates(["user_id", "event_type", "hour"], keep="first")
+        return pa.Table.from_pandas(
+            out[["user_id", "event_type", "hour", "event_id", "value"]].reset_index(drop=True),
+            preserve_index=False,
+        )
+
+    return map_key_blocks(keyed, ["user_id", "event_type"], per_block, num_partitions)

@@ -59,3 +59,30 @@ def test_write_partitioned_parquet(docs_ds, tmp_path):
     assert any("s1" in d for d in subdirs) and any("s2" in d for d in subdirs)
     back = rd.read_parquet(out).to_pandas()
     assert sorted(back["doc_id"]) == [1, 2, 3]
+
+
+def test_sqlite_sink_and_source_roundtrip(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.sources.sqlite_src import read_sqlite
+    from epstein_pipeline_ray.stages.exporters import write_sqlite
+
+    emb = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float64())),
+        }
+    )
+    db = str(tmp_path / "out.db")
+    n = write_sqlite(rd.from_arrow(t), db, "vectors", blob_cols=["embedding"])
+    assert n == 3
+
+    back = read_sqlite(db, "SELECT vec_id, embedding FROM vectors ORDER BY vec_id")
+    df = back.to_pandas()
+    assert df["vec_id"].tolist() == [1, 2, 3]
+    # F32 blob round-trip (reference embeddings.py:445-450 packing)
+    vecs = [np.frombuffer(b, dtype=np.float32).tolist() for b in df["embedding"]]
+    assert vecs == emb
