@@ -394,6 +394,16 @@ def q_dates_norm(sf_dir: str):
     return docs.map_batches(derive_and_norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_resolve_parts(sf_dir: str):
+    """Blocked entity resolution, exact tier (reference J5/J6 Splink-style
+    linkage → merge map): parts sharing a normalized name resolve to the
+    min partkey."""
+    from epstein_pipeline_ray.stages.entity_resolution import resolve_entities
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return resolve_entities(parts, "p_partkey", "p_name")
+
+
 def q_lsh_neardup(sf_dir: str):
     """LSH-bucketed cosine near-dup (ANN scale path; exact confirm, recall
     approximate — rows-only check; quality asserted vs brute force in
@@ -451,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup": q_events_dedup,
         "dates_norm": q_dates_norm,
         "lsh_neardup": q_lsh_neardup,
+        "resolve_parts": q_resolve_parts,
     }
 
 
@@ -651,5 +662,11 @@ def oracle_sql() -> dict[str, str]:
                                     1 + doc_id % 28)
                    END AS date_norm
             FROM documents
+        """,
+        "resolve_parts": """
+            SELECT p_partkey AS entity_id,
+                   min(p_partkey) OVER (
+                       PARTITION BY lower(trim(p_name))) AS canonical_id
+            FROM part
         """,
     }

@@ -1,0 +1,176 @@
+"""CLI — the engine's equivalent of the reference's Click command surface
+(reference: src/epstein_pipeline/cli.py — ``dedup``, ``stats``, ``chunk``,
+export commands, cli.py:37-63, 2252-2254).
+
+    python -m epstein_pipeline_ray.cli dedup  --input turns/ --output out/
+    python -m epstein_pipeline_ray.cli stats  --input turns/
+    python -m epstein_pipeline_ray.cli chunk  --input docs.parquet --output chunks/
+    python -m epstein_pipeline_ray.cli export --input t.parquet --format csv --output out/
+    python -m epstein_pipeline_ray.cli validate --input docs.parquet
+
+The CLI owns the Ray session (guarded init); the library never calls
+``ray.init``. ``dedup --checkpoint-dir`` enables per-stage Parquet
+checkpoints + lineage manifests so a killed run resumes with
+``--resume`` (reference's ProcessingState, state.py:34-128).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_dedup(args) -> int:
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.config import DedupConfig, RunConfig
+    from epstein_pipeline_ray.pipelines.dedup import dedup_turns
+
+    cfg = DedupConfig(
+        enable_exact="exact" in args.modes,
+        enable_minhash="minhash" in args.modes,
+        jaccard_threshold=args.threshold,
+        verify_mode="extended" if args.extended_verify else "parity",
+    )
+    run = (
+        RunConfig(write_checkpoints=True, run_dir=args.checkpoint_dir, resume=args.resume)
+        if args.checkpoint_dir
+        else RunConfig(write_checkpoints=False)
+    )
+    turns = rd.read_parquet(args.input)
+    res = dedup_turns(turns, cfg, run, minhash_on_reps=args.on_reps)
+    res.pairs.write_parquet(f"{args.output}/pairs")
+    res.clusters.write_parquet(f"{args.output}/clusters")
+    print(json.dumps({"pairs": res.pairs.count(), "clustered": res.clusters.count()}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    ds = rd.read_parquet(args.input)
+    key = args.by or ds.schema().names[0]
+    out = grouped_stats(ds, [key]).to_pandas().sort_values(key)
+    print(out.to_string(index=False))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.chunker import chunk_docs
+
+    docs = rd.read_parquet(args.input)
+    chunks = chunk_docs(docs, chunk_size=args.chunk_size, overlap=args.overlap)
+    chunks.write_parquet(args.output)
+    print(json.dumps({"chunks": chunks.count()}))
+    return 0
+
+
+def cmd_export(args) -> int:
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages import exporters
+
+    ds = rd.read_parquet(args.input)
+    if args.format == "json":
+        exporters.write_ndjson(ds, args.output)
+    elif args.format == "csv":
+        exporters.write_csv_projection(ds, args.output, ds.schema().names)
+    elif args.format == "sqlite":
+        exporters.write_sqlite(ds, args.output, args.table)
+    elif args.format == "parquet":
+        if args.partition_by:
+            exporters.write_partitioned_parquet(ds, args.output, [args.partition_by])
+        else:
+            ds.write_parquet(args.output)
+    print(json.dumps({"rows": ds.count(), "format": args.format}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.validate import integrity_report
+
+    report = integrity_report(
+        rd.read_parquet(args.input), id_col=args.id_col, text_col=args.text_col,
+        len_col=args.len_col,
+    )
+    print(json.dumps(report.to_pylist()[0]))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="epstein-pipeline-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="transcript near-dup detection + clustering")
+    d.add_argument("--input", required=True, help="turn-table Parquet path/dir")
+    d.add_argument("--output", required=True)
+    d.add_argument("--modes", default="exact,minhash",
+                   type=lambda s: s.split(","), help="comma list: exact,minhash")
+    d.add_argument("--threshold", type=float, default=0.80)
+    d.add_argument("--extended-verify", action="store_true")
+    d.add_argument("--on-reps", action="store_true",
+                   help="run MinHash on one representative per hash group (scale path)")
+    d.add_argument("--checkpoint-dir", default=None)
+    d.add_argument("--resume", action="store_true")
+    d.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("stats", help="grouped row counts")
+    s.add_argument("--input", required=True)
+    s.add_argument("--by", default=None)
+    s.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser("chunk", help="sliding-window document chunking")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--chunk-size", type=int, default=3200)
+    c.add_argument("--overlap", type=int, default=800)
+    c.set_defaults(fn=cmd_chunk)
+
+    e = sub.add_parser("export", help="export a Parquet table")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--format", choices=["json", "csv", "sqlite", "parquet"], required=True)
+    e.add_argument("--table", default="export", help="sqlite table name")
+    e.add_argument("--partition-by", default=None)
+    e.set_defaults(fn=cmd_export)
+
+    v = sub.add_parser("validate", help="corpus integrity report")
+    v.add_argument("--input", required=True)
+    v.add_argument("--id-col", default="doc_id")
+    v.add_argument("--text-col", default="text")
+    v.add_argument("--len-col", default="n_chars")
+    v.set_defaults(fn=cmd_validate)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

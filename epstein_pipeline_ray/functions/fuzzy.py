@@ -45,3 +45,45 @@ def ratio(a: str, b: str) -> float:
 def token_sort_ratio(a: str, b: str) -> float:
     """ratio() of the whitespace-token-sorted strings."""
     return ratio(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
+    """Jaro-Winkler similarity in [0,1] (the comparison Splink applies in
+    the reference's blocked linkage, reference:
+    src/epstein_pipeline/processors/entity_resolution.py:183-186)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = True
+                match_b[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    jaro = (matches / la + matches / lb + (matches - t // 2) / matches) / 3
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        prefix += 1
+    return jaro + prefix * prefix_scale * (1 - jaro)

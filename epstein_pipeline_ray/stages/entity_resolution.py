@@ -1,0 +1,117 @@
+"""Blocked entity resolution → merge map (reference J5/J6:
+src/epstein_pipeline/processors/entity_resolution.py — Splink blocked
+JaroWinkler linkage producing a ``merge_map: dict[old_id → canonical_id]``
+applied back over documents at entity_resolution.py:276-285).
+
+Ray shape: ONE keyed exchange on the blocking key (normalized first name
+token — the reference's ``block_on(name_lower)``), then a vectorized
+per-block pass: exact-name groups merge unconditionally (tier 1.0, the
+reference confidence ladder's top rung, confidence.py:30-119); an
+optional fuzzy tier adds JaroWinkler >= threshold pairs within the
+block. Pairs collapse to canonical ids by min-label propagation (same
+components machinery as the dedup clusters). The merge map is
+broadcast-applied (``ray.put`` once) — the reference's J6.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+MERGE_SCHEMA = pa.schema([("entity_id", pa.int64()), ("canonical_id", pa.int64())])
+
+
+def resolve_entities(
+    ds: Dataset,
+    id_col: str,
+    name_col: str,
+    fuzzy_threshold: float | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """→ (entity_id, canonical_id), one row per input entity.
+
+    canonical_id = min entity id of the resolved group. With
+    ``fuzzy_threshold=None`` only the exact tier runs (deterministic,
+    SQL-oracle-able); with a threshold, JaroWinkler pairs within the
+    block join the same union."""
+    from epstein_pipeline_ray.functions.fuzzy import jaro_winkler
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(batch[name_col]))
+        first = pc.list_element(pc.split_pattern_regex(norm, r"\s+"), 0)
+        return pa.table(
+            {"entity_id": batch[id_col].cast(pa.int64()), "name": norm, "block_key": first}
+        )
+
+    keyed = ds.select_columns([id_col, name_col]).map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return MERGE_SCHEMA.empty_table()
+        df = block.to_pandas()
+        # exact tier: same normalized name → same group (vectorized)
+        canon = df.groupby("name")["entity_id"].transform("min")
+        if fuzzy_threshold is not None:
+            # fuzzy tier within the block: one comparison per distinct-name
+            # pair (names, not rows — the reference compares records but
+            # identical names are already merged)
+            reps = df.loc[df.groupby("name")["entity_id"].idxmin()]
+            names = reps["name"].tolist()
+            ids = reps["entity_id"].tolist()
+            parent = dict(zip(df["entity_id"], canon))
+            extra = []
+            for (na, ia), (nb, ib) in itertools.combinations(zip(names, ids), 2):
+                if jaro_winkler(na, nb) >= fuzzy_threshold:
+                    extra.append((ia, ib))
+            if extra:
+                # tiny per-block union-find over group representatives
+                p: dict[int, int] = {}
+
+                def find(x: int) -> int:
+                    while p.get(x, x) != x:
+                        p[x] = p.get(p[x], p[x])
+                        x = p[x]
+                    return x
+
+                for a, b in extra:
+                    p.setdefault(a, a)
+                    p.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = sorted((ra, rb))
+                        p[hi] = lo
+                canon = canon.map(lambda c: find(c) if c in p else c)
+        return pa.table(
+            {
+                "entity_id": pa.array(df["entity_id"].to_numpy(), pa.int64()),
+                "canonical_id": pa.array(canon.to_numpy(), pa.int64()),
+            },
+            schema=MERGE_SCHEMA,
+        )
+
+    return map_key_blocks(keyed, ["block_key"], per_block, num_partitions)
+
+
+def apply_merge_map(ds: Dataset, merge_map: Dataset, col: str) -> Dataset:
+    """Broadcast merge-map application (reference J6,
+    entity_resolution.py:276-285): replace ``col`` values by their
+    canonical id; unmapped values pass through."""
+    mm = merge_map.to_pandas()
+    ref = ray.put(dict(zip(mm["entity_id"], mm["canonical_id"])))
+
+    def remap(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        batch[col] = batch[col].map(lambda v: m.get(v, v))
+        return batch
+
+    return ds.map_batches(remap, batch_format="pandas")

@@ -1,0 +1,73 @@
+"""CLI surface smoke tests (reference cli.py command shapes) — run in
+subprocesses: the CLI owns its own Ray session."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+ENV = dict(os.environ, RAY_ADDRESS="local")
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "epstein_pipeline_ray.cli", *args],
+        capture_output=True, text=True, env=ENV,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+@pytest.fixture(scope="module")
+def turns_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b", "b"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+            "role": ["user", "assistant"] * 2,
+            "text": ["alpha beta gamma delta " * 10] * 4,  # a == b → dup pair
+            "tool": [""] * 4,
+            "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+        }
+    )
+    path = str(d / "turns.parquet")
+    pq.write_table(t, path)
+    return path
+
+
+def test_cli_dedup(turns_file, tmp_path):
+    out = str(tmp_path / "out")
+    r = _run(["dedup", "--input", turns_file, "--output", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["pairs"] == 1 and res["clustered"] == 2
+    assert os.path.isdir(f"{out}/pairs") and os.path.isdir(f"{out}/clusters")
+
+
+def test_cli_validate_and_export(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2], pa.int64()),
+            "text": ["hello world", "x", ""],
+            "n_chars": pa.array([11, 1, 5], pa.int64()),  # one mismatch
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+
+    r = _run(["validate", "--input", src])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep == {"n_rows": 3, "n_dup_ids": 1, "n_len_mismatch": 1, "n_empty": 1}
+
+    db = str(tmp_path / "o.db")
+    r = _run(["export", "--input", src, "--format", "sqlite",
+              "--output", db, "--table", "docs"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import sqlite3
+
+    assert sqlite3.connect(db).execute("SELECT count(*) FROM docs").fetchone()[0] == 3
