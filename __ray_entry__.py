@@ -394,6 +394,17 @@ def q_dates_norm(sf_dir: str):
     return docs.map_batches(derive_and_norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_prep_corpus(sf_dir: str):
+    """Training-data prep composition: quality gate → language filter →
+    near-dup removal (representatives only) → chunk → token counts.
+    Multi-stage with a MinHash pass — rows-only check."""
+    from epstein_pipeline_ray.pipelines.prep import prep_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return prep_corpus(docs, min_quality=0.2, keep_langs=("en", "und"),
+                       chunk_size=300, overlap=50)
+
+
 def q_resolve_parts(sf_dir: str):
     """Blocked entity resolution, exact tier (reference J5/J6 Splink-style
     linkage → merge map): parts sharing a normalized name resolve to the
@@ -462,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dates_norm": q_dates_norm,
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
+        "prep_corpus": q_prep_corpus,
     }
 
 

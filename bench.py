@@ -29,7 +29,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # corpus size scales with the sf tables: sf0.1 → 30k convs (~220k turns)
-_SF_CONVS = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 30000}
+_SF_CONVS = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 120000}
 N_CONVS = int(
     os.environ.get("EPR_BENCH_CONVS", _SF_CONVS.get(os.path.basename(SF_DIR.rstrip("/")), 30000))
 )

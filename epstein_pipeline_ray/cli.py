@@ -123,8 +123,17 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("dedup", help="transcript near-dup detection + clustering")
     d.add_argument("--input", required=True, help="turn-table Parquet path/dir")
     d.add_argument("--output", required=True)
-    d.add_argument("--modes", default="exact,minhash",
-                   type=lambda s: s.split(","), help="comma list: exact,minhash")
+    def _modes(s: str) -> list[str]:
+        vals = [v for v in s.split(",") if v]
+        bad = set(vals) - {"exact", "minhash"}
+        if bad or not vals:
+            raise argparse.ArgumentTypeError(
+                f"--modes takes a comma list of exact,minhash (got {s!r})"
+            )
+        return vals
+
+    d.add_argument("--modes", default=["exact", "minhash"], type=_modes,
+                   help="comma list: exact,minhash")
     d.add_argument("--threshold", type=float, default=0.80)
     d.add_argument("--extended-verify", action="store_true")
     d.add_argument("--on-reps", action="store_true",

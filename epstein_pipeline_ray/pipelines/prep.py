@@ -1,0 +1,106 @@
+"""Training-data prep pipeline: the composition a large-scale corpus
+pipeline runs before tokenization — quality gate → language filter →
+near-dup removal (keep one representative per cluster) → chunk →
+token-count metadata → partitioned Parquet.
+
+Every stage is one of the engine's operators; this module only wires
+them. The whole flow is lazy Dataset→Dataset except the dedup pass
+(which owns its own exchanges); output is hive-partitioned so a rerun
+skips finished partitions.
+
+    docs(doc_id, text, lang, source, n_chars)
+     → quality filter (unique-token ratio >= min_quality)
+     → language filter (lang_guess ∈ keep_langs, n-gram heuristic)
+     → exact + MinHash/LSH dedup → drop non-representatives
+     → sliding-window chunks (1 row → N)
+     → token counts per chunk
+     → write_partitioned_parquet(by source)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from epstein_pipeline_ray.config import DedupConfig
+
+
+def prep_corpus(
+    docs: Dataset,
+    *,
+    min_quality: float = 0.3,
+    keep_langs: tuple[str, ...] = ("en",),
+    dedup_cfg: DedupConfig | None = None,
+    chunk_size: int = 512,
+    overlap: int = 64,
+    out_dir: str | None = None,
+) -> Dataset:
+    """→ chunk table (doc_id, chunk_index, chunk_text, char_offset,
+    n_tokens); writes partitioned Parquet when ``out_dir`` is given."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.pipelines.dedup import dedup_conv_docs
+    from epstein_pipeline_ray.stages.chunker import chunk_docs
+    from epstein_pipeline_ray.stages.textops import (
+        with_lang_guess,
+        with_quality,
+        with_token_counts,
+    )
+
+    cfg = dedup_cfg or DedupConfig()
+
+    scored = with_quality(docs)
+    langed = with_lang_guess(scored)
+    keep_set = set(keep_langs)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = pc.greater_equal(batch["uniq_ratio"], pa.scalar(min_quality))
+        lg = pa.array([v in keep_set for v in batch["lang_guess"].to_pylist()])
+        return batch.filter(pc.and_(q, lg))
+
+    kept = langed.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    # dedup over the doc table: rename into the conv-doc shape the
+    # flagship expects, run both passes, drop cluster non-representatives
+    def to_conv(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": pc.cast(batch["doc_id"], pa.string()),
+                "text": pc.cast(batch["text"], pa.large_string()),
+                "n_turns": pa.array([1] * batch.num_rows, pa.int32()),
+                "n_chars": pc.utf8_length(batch["text"]).cast(pa.int64()),
+            }
+        )
+
+    conv = kept.map_batches(to_conv, batch_format="pyarrow", zero_copy_batch=True)
+    res = dedup_conv_docs(conv, cfg, minhash_on_reps=True)
+    clusters = res.clusters.to_pandas()
+    drop = (
+        set(clusters.loc[~clusters["representative"], "conv_id"].astype(str))
+        if len(clusters)
+        else set()
+    )
+    import ray
+
+    drop_ref = ray.put(drop)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = [str(v) for v in batch["doc_id"].to_pylist()]
+        mask = pa.array([i not in d for i in ids])
+        return batch.filter(mask)
+
+    unique_docs = kept.map_batches(keep_reps, batch_format="pyarrow", zero_copy_batch=True)
+    chunks = chunk_docs(unique_docs, chunk_size=chunk_size, overlap=overlap,
+                        id_col="doc_id", text_col="text")
+    counted = with_token_counts(chunks, text_col="chunk_text")
+    if out_dir:
+        docs_small = docs.select_columns(["doc_id", "source"]).to_pandas()
+        from epstein_pipeline_ray.stages.relational import broadcast_join
+
+        joined = broadcast_join(counted, docs_small, on="doc_id")
+        from epstein_pipeline_ray.stages.exporters import write_partitioned_parquet
+
+        write_partitioned_parquet(joined, out_dir, ["source"])
+        return joined
+    return counted

@@ -1,0 +1,65 @@
+"""prep pipeline composition + graph export round-trips."""
+
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def prep_docs(ray_session):
+    import ray.data as rd
+
+    words = ("the quick brown fox jumps over a lazy dog and we keep running far "
+             "away with many other quite different tokens every single time more "
+             "than before because variety matters here so ratios stay high enough")
+    stop = {"the", "a", "and", "we", "with", "so", "than", "more", "over",
+            "because", "here", "every", "other"}
+    good = " ".join(
+        w if w in stop else f"{w}{i}" for i, w in enumerate(words.split() * 4)
+    )
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            good,                     # exact dup of 2 → dropped (rep tie-break = max id)
+            good,                     # kept, representative
+            "a a a a a a a a a a " * 40,   # low quality → dropped
+            "el perro y el gato y la casa y el sol y la luna " * 12,  # es → dropped
+        ],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_prep_corpus_filters_and_chunks(prep_docs):
+    from epstein_pipeline_ray.pipelines.prep import prep_corpus
+
+    out = prep_corpus(prep_docs, min_quality=0.25, keep_langs=("en",),
+                      chunk_size=120, overlap=20).to_pandas()
+    assert set(out["doc_id"]) == {2}
+    assert (out["chunk_index"].sort_values().to_numpy()
+            == range(len(out))).all()
+    assert (out["n_tokens"] > 0).all()
+
+
+def test_graph_exports(tmp_path):
+    from epstein_pipeline_ray.stages.graph_export import write_gexf, write_graph_json
+
+    edges = pd.DataFrame(
+        {"term_a": ["spark", "spark"], "term_b": ["stream", "window"],
+         "weight": [3, 1]}
+    )
+    gexf = tmp_path / "g.gexf"
+    write_gexf(edges, str(gexf))
+    root = ET.parse(gexf).getroot()
+    ns = {"g": "http://www.gexf.net/1.2draft"}
+    assert len(root.findall(".//g:node", ns)) == 3
+    assert len(root.findall(".//g:edge", ns)) == 2
+
+    import json
+
+    jpath = tmp_path / "g.json"
+    write_graph_json(edges, str(jpath))
+    payload = json.loads(jpath.read_text())
+    assert [n["id"] for n in payload["nodes"]] == ["spark", "stream", "window"]
+    assert payload["links"][0]["weight"] == 3
