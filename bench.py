@@ -119,6 +119,11 @@ def run_bench() -> dict:
         else:
             len(out)
         queries[name] = round(time.time() - t0, 3)
+        # free this query's exchange shards: tmpfs leftovers evict page
+        # cache and poison every later measurement
+        from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+
+        gc_exchange_dirs()
 
     result = {
         "metric": "transcript dedup wall time (synthetic corpus, exact+minhash+cluster)",

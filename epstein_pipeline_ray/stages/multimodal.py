@@ -108,3 +108,92 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         "duration_ms": [int(rng.integers(0, 600_000)) for _ in range(n)],
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage (image path). The real kernel would be
+    ``PIL.Image.open(io.BytesIO(b)).resize(...)`` built in ``__init__``;
+    the deterministic fake re-digests the payload and emits the target
+    dimensions so the schema/metadata plumbing is fully exercised."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, resize_fn=None):
+        self.target_w = target_w
+        self.target_h = target_h
+        # "codec load" happens here, once per actor; None → deterministic fake
+        self.resize = resize_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        out_payloads = []
+        for p in payloads:
+            p = p or b""
+            if self.resize is None:
+                # deterministic fake: digest-stretched bytes sized to the
+                # target raster (3 bytes/px, capped so tests stay light)
+                size = min(self.target_w * self.target_h * 3, 4096)
+                seed = hashlib.blake2b(p, digest_size=32).digest()
+                reps = size // len(seed) + 1
+                out_payloads.append((seed * reps)[:size])
+            else:
+                out_payloads.append(self.resize(p))
+        t = batch.drop_columns(["payload", "width", "height"])
+        return (
+            t.append_column("payload", pa.array(out_payloads, pa.large_binary()))
+            .append_column("width", pa.array([self.target_w] * batch.num_rows, pa.int32()))
+            .append_column("height", pa.array([self.target_h] * batch.num_rows, pa.int32()))
+        )
+
+
+def media_resize(media: Dataset, target_w: int = 224, target_h: int = 224,
+                 concurrency=None, batch_size: int = 16) -> Dataset:
+    """Resize images to a fixed raster via an actor pool (schema-preserving)."""
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, ncpu // 2))
+    return media.map_batches(
+        MediaResizeActor,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(media: Dataset, every_ms: int = 1000, max_frames: int = 16,
+                 batch_size: int = 8) -> Dataset:
+    """Video frame sampling: 1 video row → N frame rows (flat_map shape).
+
+    Frame timestamps are real (derived from duration_ms); the frame
+    payload is the deterministic fake (a real deployment decodes with
+    ffmpeg inside an actor's ``__init__``). Small batch_size: output
+    bytes ≈ batch_size × max_frames × frame size.
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids, kinds, ts_ms, frames = [], [], [], []
+        for mid, kind, payload, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            n = min(max_frames, max(1, (dur or 0) // every_ms + 1))
+            digest = hashlib.blake2b(payload or b"", digest_size=32).digest()
+            for f in range(n):
+                ids.append(mid)
+                kinds.append(kind)
+                ts_ms.append(f * every_ms)
+                frames.append(hashlib.blake2b(digest + f.to_bytes(4, "little"),
+                                              digest_size=32).digest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_ts_ms": pa.array(ts_ms, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+    return media.map_batches(expand, batch_format="pyarrow", batch_size=batch_size,
+                             zero_copy_batch=True)

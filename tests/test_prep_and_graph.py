@@ -63,3 +63,25 @@ def test_graph_exports(tmp_path):
     payload = json.loads(jpath.read_text())
     assert [n["id"] for n in payload["nodes"]] == ["spark", "stream", "window"]
     assert payload["links"][0]["weight"] == 3
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.multimodal import (
+        frame_sample,
+        media_resize,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(30))
+    resized = media_resize(media, target_w=32, target_h=32).to_pandas()
+    assert (resized["width"] == 32).all() and (resized["height"] == 32).all()
+    assert resized["payload"].map(len).max() <= 4096
+
+    frames = frame_sample(media, every_ms=60_000, max_frames=4).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_ts_ms", "frame"}
+    assert len(frames) > 0
+    per_video = frames.groupby("media_id").size()
+    assert (per_video <= 4).all()
+    assert frames["frame"].map(len).eq(32).all()
