@@ -512,8 +512,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
             ), s AS (
                 SELECT user_id, ts, value,
-                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
-                                        ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                       (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                                         ROWS UNBOUNDED PRECEDING))::BIGINT - 1
+                           AS session_idx
                 FROM gaps
             )
             SELECT user_id, session_idx, count(*) AS n_events,

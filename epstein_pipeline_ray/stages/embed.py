@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from epstein_pipeline_ray.functions.rounding import sql_round
+
 
 def _stack_embeddings(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col].combine_chunks()
@@ -120,7 +122,7 @@ def cosine_neardup_pairs(
             {
                 "id_a": pa.array(a[keep]),
                 "id_b": pa.array(b[keep]),
-                "cos": pa.array(np.round(sims[ii, jj][keep], 6), pa.float64()),
+                "cos": pa.array(sql_round(sims[ii, jj][keep], 6), pa.float64()),
             }
         )
 
@@ -229,7 +231,7 @@ def lsh_neardup_pairs(
             {
                 "id_a": pa.array(ids_g[lo[m]]),
                 "id_b": pa.array(ids_g[hi[m]]),
-                "cos": pa.array(np.round(cos[m], 6), pa.float64()),
+                "cos": pa.array(sql_round(cos[m], 6), pa.float64()),
             },
             schema=out_schema,
         )

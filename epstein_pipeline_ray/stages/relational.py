@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+from epstein_pipeline_ray.functions.rounding import sql_round
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
@@ -55,10 +57,10 @@ def grouped_stats(
         n = np.asarray(t[count_alias].to_numpy(zero_copy_only=False), dtype=np.float64)
         for c in sum_cols:
             total = np.asarray(t[f"__total_{c}"].to_numpy(zero_copy_only=False), dtype=np.float64)
-            t = t.append_column(f"sum_{c}", pa.array(np.round(total, 4), pa.float64()))
+            t = t.append_column(f"sum_{c}", pa.array(sql_round(total, 4), pa.float64()))
         for c in mean_cols:
             total = np.asarray(t[f"__total_{c}"].to_numpy(zero_copy_only=False), dtype=np.float64)
-            t = t.append_column(f"avg_{c}", pa.array(np.round(total / n, 4), pa.float64()))
+            t = t.append_column(f"avg_{c}", pa.array(sql_round(total / n, 4), pa.float64()))
         drop = [f"__total_{c}" for c in value_cols]
         return t.drop_columns(drop)
 
@@ -132,8 +134,8 @@ def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
         )
         out["user_id"] = g["user_id"].iloc[0]
         out["session_idx"] = out.pop("sid").astype("int64")
-        out["sum_value"] = out["sum_value"].round(4)
-        out["duration_sec"] = ((out["end_us"] - out["start_us"]) / 1e6).round(4)
+        out["sum_value"] = sql_round(out["sum_value"].to_numpy(), 4)
+        out["duration_sec"] = sql_round(((out["end_us"] - out["start_us"]) / 1e6).to_numpy(), 4)
         return out[["user_id", "session_idx", "n_events", "sum_value", "duration_sec"]]
 
     pruned = events.select_columns(["user_id", "ts", "value"])

@@ -13,6 +13,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from epstein_pipeline_ray.functions.rounding import sql_round
+
 from epstein_pipeline_ray.functions.normalize import normalize_array
 from epstein_pipeline_ray.functions.textstats import (
     detect_lang,
@@ -36,7 +38,7 @@ def with_quality(docs: Dataset, text_col: str = "text") -> Dataset:
     def add(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         batch = batch.append_column(
-            "uniq_ratio", pa.array(np.round(unique_token_ratio(texts), 6), pa.float64())
+            "uniq_ratio", pa.array(sql_round(unique_token_ratio(texts), 6), pa.float64())
         )
         return batch.append_column("quality", pa.array(quality_scores(texts), pa.float64()))
 
