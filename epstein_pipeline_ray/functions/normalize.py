@@ -65,3 +65,41 @@ def content_hash_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
         for s in arr.to_pylist()
     ]
     return pa.array(out, type=pa.string())
+
+
+def normalize_array_native(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Normalize via pure Arrow C kernels: lower → split on whitespace
+    runs → join with single spaces → trim. Byte-equal to
+    ``normalize_array`` (property-tested) but allocates NO Python strings
+    — under 32-way task concurrency the Python-loop variant's small-object
+    churn measured a 60x collapse (allocator/THP stalls); this one is
+    immune."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, (pa.LargeStringArray,)):
+        arr = arr.cast(pa.large_string())
+    lowered = pc.utf8_lower(arr)
+    parts = pc.utf8_split_whitespace(lowered)
+    joined = pc.binary_join(parts, pa.scalar(" ", pa.large_string()))
+    # split keeps boundary empties → join leaves at most one leading and
+    # one trailing space; inner runs are already collapsed
+    return pc.utf8_trim_whitespace(joined)
+
+
+def content_hash_buffers(norm: pa.Array) -> pa.Array:
+    """SHA-256 hex per element, reading the Arrow data buffer through
+    memoryview slices — no per-row Python string materialization."""
+    import numpy as np
+
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    if not isinstance(norm, pa.LargeStringArray):
+        norm = norm.cast(pa.large_string())
+    n = len(norm)
+    bufs = norm.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                            offset=norm.offset * 8)
+    mv = memoryview(bufs[2])
+    sha256 = hashlib.sha256
+    out = [sha256(mv[offsets[i]:offsets[i + 1]]).hexdigest() for i in range(n)]
+    return pa.array(out, type=pa.string())

@@ -70,6 +70,9 @@ def _concat_block(batch: pa.Table, with_hash: bool = False) -> pa.Table:
     offsets = np.concatenate([starts, [len(order)]]).astype(np.int64)
     text_col = batch["text"]
     if isinstance(text_col, pa.ChunkedArray):
+        # combine BEFORE the permutation take: a random-order take across a
+        # many-chunk (one per shard file) large_string column resolves the
+        # chunk per element — measured 17x slower than contiguous
         text_col = text_col.combine_chunks()
     text_sorted = text_col.take(pa.array(order, pa.int64()))
     if not isinstance(text_sorted, pa.LargeStringArray):
@@ -87,15 +90,15 @@ def _concat_block(batch: pa.Table, with_hash: bool = False) -> pa.Table:
         "n_chars": pc.utf8_length(joined).cast(pa.int64()),
     }
     if with_hash:
-        import hashlib
-
-        cols["content_hash"] = pa.array(
-            [
-                hashlib.sha256(" ".join(t.lower().split()).encode("utf-8")).hexdigest()
-                for t in joined.to_pylist()
-            ],
-            pa.string(),
+        from epstein_pipeline_ray.functions.normalize import (
+            content_hash_buffers,
+            normalize_array_native,
         )
+
+        # pure-C normalize + buffer-sliced hashing: the Python-string
+        # variant's per-doc small-object churn collapsed 60x under 32-way
+        # task concurrency at 17M-turn scale (allocator/THP stalls)
+        cols["content_hash"] = content_hash_buffers(normalize_array_native(joined))
     return pa.table(cols, schema=schema)
 
 
@@ -119,4 +122,10 @@ def rollup_convs(
     pruned = turns.select_columns(["conv_id", "turn_idx", "text"])
     fn = functools.partial(_concat_block, with_hash=with_hash)
     fn.__name__ = "_concat_block"
-    return map_key_blocks(pruned, ["conv_id"], fn, num_partitions)
+    # the input is a bare columnar read — no upstream compute to protect
+    # with a materialize barrier, and the corpus is the pipeline's biggest
+    # table (the barrier measured +60s at 17M turns). The block fn lexsorts
+    # internally, so the exchange's key sort is skipped too (it measured
+    # 2199 CPU-s at 17M turns — a take through the fat text column).
+    return map_key_blocks(pruned, ["conv_id"], fn, num_partitions,
+                          materialize_input=False, sort_blocks=False)

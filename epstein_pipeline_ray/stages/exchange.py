@@ -71,6 +71,8 @@ def exchange_key_blocks(
     num_partitions: int,
     exchange_dir: str | None = None,
     schema: pa.Schema | None = None,
+    materialize_input: bool = True,
+    sort_blocks: bool = True,
 ) -> Dataset:
     """Keyed exchange + whole-partition apply.
 
@@ -90,8 +92,12 @@ def exchange_key_blocks(
     # Materialize the input: without this barrier Ray fuses the (possibly
     # compute-heavy) upstream maps into the shard-writer's coarse write
     # batches, collapsing upstream parallelism to a handful of fat tasks
-    # (measured 2x slower end-to-end at 32 CPUs).
-    ds = ds.materialize()
+    # (measured 2x slower end-to-end at 32 CPUs). Callers whose input is a
+    # bare read (no upstream compute to protect) pass
+    # ``materialize_input=False`` — the barrier would only double memory
+    # traffic through the object store.
+    if materialize_input:
+        ds = ds.materialize()
 
     def write_shards(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -159,7 +165,11 @@ def exchange_key_blocks(
                 t0 = _time.time()
                 tbl = pa.concat_tables([pq.read_table(pth) for pth in sorted(paths)])
                 t1 = _time.time()
-                tbl = tbl.sort_by(sort_keys)
+                # combine first: sort_by's take on a many-chunk (one per
+                # shard) large_string column measured ~70s/partition at
+                # 17M-turn scale vs ~2s contiguous
+                if sort_blocks:
+                    tbl = tbl.combine_chunks().sort_by(sort_keys)
                 t2 = _time.time()
             else:
                 blob = ray.get(schema_ref)

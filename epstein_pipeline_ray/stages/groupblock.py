@@ -80,6 +80,8 @@ def map_key_blocks(
     fn: Callable[[pa.Table], pa.Table],
     num_partitions: int | None = None,
     coalesce: bool = True,
+    materialize_input: bool = True,
+    sort_blocks: bool = True,
 ) -> Dataset:
     """Co-locate key groups, then apply ``fn`` to whole key-sorted blocks.
     ``fn`` must handle a block containing many complete key groups and may
@@ -108,7 +110,9 @@ def map_key_blocks(
         # schema-less empty blocks can't poison anything.
         from epstein_pipeline_ray.stages.exchange import exchange_key_blocks
 
-        return exchange_key_blocks(ds, keys, fn, p)
+        return exchange_key_blocks(ds, keys, fn, p,
+                                   materialize_input=materialize_input,
+                                   sort_blocks=sort_blocks)
     # Ray-native backends need the input materialized + cleaned: schema-less
     # empty blocks crash their shuffles, and an all-empty dataset can't be
     # sorted usefully.

@@ -80,3 +80,21 @@ def test_token_counts_match_split(batch):
     got = token_count_array(pa.array(batch, pa.string())).to_pylist()
     want = [len(s.split()) for s in batch]
     assert got == want
+
+
+@given(st.lists(st.text(max_size=200), max_size=16))
+@settings(max_examples=80, deadline=None)
+def test_native_normalize_matches_python(batch):
+    import hashlib
+
+    from epstein_pipeline_ray.functions.normalize import (
+        content_hash_buffers,
+        normalize_array_native,
+    )
+
+    arr = pa.array(batch, pa.large_string())
+    got = normalize_array_native(arr).to_pylist()
+    want = [" ".join(s.lower().split()) for s in batch]
+    assert got == want
+    hashes = content_hash_buffers(normalize_array_native(arr)).to_pylist()
+    assert hashes == [hashlib.sha256(w.encode()).hexdigest() for w in want]
