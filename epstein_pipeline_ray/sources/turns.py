@@ -122,10 +122,23 @@ def rollup_convs(
     pruned = turns.select_columns(["conv_id", "turn_idx", "text"])
     fn = functools.partial(_concat_block, with_hash=with_hash)
     fn.__name__ = "_concat_block"
-    # the input is a bare columnar read — no upstream compute to protect
-    # with a materialize barrier, and the corpus is the pipeline's biggest
-    # table (the barrier measured +60s at 17M turns). The block fn lexsorts
-    # internally, so the exchange's key sort is skipped too (it measured
-    # 2199 CPU-s at 17M turns — a take through the fat text column).
+    # The exchange's materialize barrier flips sign with corpus size
+    # (measured: 2.1 GB corpus 13s with vs 20s without; 8.6 GB corpus 345s
+    # with vs 158s without — a big input pinned in plasma next to its own
+    # shards and output causes store pressure). Decide from parquet file
+    # metadata: materialize only when the estimated in-memory input is a
+    # small fraction of the object store.
+    materialize = True
+    try:
+        import os as _os
+
+        import ray as _ray
+
+        comp_bytes = sum(_os.path.getsize(f) for f in turns.input_files())
+        store = float(_ray.cluster_resources().get("object_store_memory", 0)) or None
+        if store:
+            materialize = comp_bytes * 3 < 0.15 * store  # ~3x decompression
+    except Exception:
+        pass
     return map_key_blocks(pruned, ["conv_id"], fn, num_partitions,
-                          materialize_input=False, sort_blocks=False)
+                          materialize_input=materialize)
