@@ -394,6 +394,25 @@ def q_dates_norm(sf_dir: str):
     return docs.map_batches(derive_and_norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_sample_per_user(sf_dir: str):
+    """Deterministic per-group sample (reference O6): first 3 events per
+    user by (ts, event_id)."""
+    from epstein_pipeline_ray.stages.relational import sample_per_group
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return sample_per_group(events, key="user_id", order_col="event_id", k=3)
+
+
+def q_winnow_fps(sf_dir: str):
+    """Winnowing (MOSS) document fingerprints — rolling k-gram hashes →
+    window minima. Hash values are engine-internal — rows-only check;
+    the substring guarantee is asserted in tests/test_properties.py."""
+    from epstein_pipeline_ray.stages.textops import with_winnow_fingerprints
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_winnow_fingerprints(docs)
+
+
 def q_prep_corpus(sf_dir: str):
     """Training-data prep composition: quality gate → language filter →
     near-dup removal (representatives only) → chunk → token counts.
@@ -474,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
         "prep_corpus": q_prep_corpus,
+        "sample_per_user": q_sample_per_user,
+        "winnow_fps": q_winnow_fps,
     }
 
 
@@ -681,5 +702,13 @@ def oracle_sql() -> dict[str, str]:
                    min(p_partkey) OVER (
                        PARTITION BY lower(trim(p_name))) AS canonical_id
             FROM part
+        """,
+        "sample_per_user": """
+            SELECT event_id, ts, user_id FROM (
+                SELECT event_id, ts, user_id,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id) AS rk
+                FROM events
+            ) WHERE rk <= 3
         """,
     }

@@ -113,3 +113,40 @@ def rolling_fingerprints(text: str, window: int = 32, stride: int = 16) -> list[
 
 def hash_bytes64(b: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+
+
+def winnow_fingerprints(normalized: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): rolling k-gram hashes → per-window
+    minima (rightmost on ties), deduped in order of first selection.
+    Guarantees any shared substring of length >= k + window - 1 between
+    two documents yields at least one shared fingerprint."""
+    import numpy as np
+
+    from epstein_pipeline_ray.functions.minhash import shingle_hashes
+
+    # shingle_hashes returns the UNIQUE set; winnowing needs the sequence —
+    # recompute positional hashes with the same rolling polynomial
+    from epstein_pipeline_ray.functions.minhash import _MAX_HASH32, _POLY_BASE, _mix64
+
+    cps = np.frombuffer(normalized.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = cps.shape[0]
+    if n < k:
+        return [int(h) for h in shingle_hashes(normalized, k)]
+    m = n - k + 1
+    h = cps[0:m].copy()
+    for j in range(1, k):
+        h = h * _POLY_BASE + cps[j : j + m]
+    seq = (_mix64(h) & _MAX_HASH32).astype(np.int64)
+    if m <= window:
+        return [int(seq.min())]
+    # per-window minima, rightmost on ties: sliding argmin via stride trick
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(seq, window)  # (m-window+1, window)
+    rev = wins[:, ::-1]
+    arg = window - 1 - rev.argmin(axis=1)  # rightmost minimum
+    pos = np.arange(wins.shape[0]) + arg
+    vals = seq[pos]
+    keep = np.concatenate([[True], pos[1:] != pos[:-1]])  # new selection only
+    return [int(v) for v in vals[keep]]

@@ -273,3 +273,26 @@ def events_dedup(events: Dataset, num_partitions: int | None = None) -> Dataset:
         )
 
     return map_key_blocks(keyed, ["user_id", "event_type"], per_block, num_partitions)
+
+
+def sample_per_group(ds: Dataset, key: str, order_col: str, k: int,
+                     num_partitions: int | None = None) -> Dataset:
+    """Deterministic per-group sample: the first ``k`` rows of each group
+    by ``order_col`` (reference O6's bounded per-entity sampling,
+    config.py:203 auditor_max_doc_chunks). One keyed exchange + a
+    vectorized block pass — SQL twin: row_number() OVER (PARTITION BY key
+    ORDER BY order_col) <= k."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = ds.schema().names
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return block
+        df = df.sort_values([key, order_col], kind="mergesort")
+        out = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(out[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    return map_key_blocks(ds, [key], per_block, num_partitions)

@@ -160,3 +160,24 @@ def term_cooccur(docs: Dataset, terms: list[str], id_col: str = "doc_id",
         return batch.set_column(i, "weight", pc.cast(batch["weight"], pa.int64()))
 
     return out.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_winnow_fingerprints(docs: Dataset, k: int = 8, window: int = 4,
+                             id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Winnowing fingerprints per doc (list<int64>) — the compact sketch
+    used for substring-level duplicate detection at collection scale."""
+    from epstein_pipeline_ray.functions.textstats import winnow_fingerprints
+
+    def add(batch: pa.Table) -> pa.Table:
+        norm = normalize_array(batch[text_col])
+        fps = [winnow_fingerprints(t, k, window) for t in norm.to_pylist()]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        add, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -98,3 +98,24 @@ def test_native_normalize_matches_python(batch):
     assert got == want
     hashes = content_hash_buffers(normalize_array_native(arr)).to_pylist()
     assert hashes == [hashlib.sha256(w.encode()).hexdigest() for w in want]
+
+
+@given(st.text(alphabet="abcdefgh ", min_size=0, max_size=150),
+       st.text(alphabet="abcdefgh ", min_size=20, max_size=60),
+       st.text(alphabet="abcdefgh ", min_size=0, max_size=150))
+@settings(max_examples=40, deadline=None)
+def test_winnowing_shared_substring_guarantee(prefix, shared, suffix):
+    """Two docs sharing a substring of length >= k + window - 1 must share
+    at least one fingerprint (SIGMOD'03 winnowing guarantee)."""
+    from epstein_pipeline_ray.functions.textstats import winnow_fingerprints
+
+    k, w = 8, 4
+    a = " ".join((prefix + shared).split())
+    b = " ".join((shared + suffix).split())
+    # the normalized shared run must still be long enough
+    s = " ".join(shared.split())
+    if len(s) < k + w - 1 or s not in a or s not in b:
+        return
+    fa = set(winnow_fingerprints(a, k, w))
+    fb = set(winnow_fingerprints(b, k, w))
+    assert fa & fb
