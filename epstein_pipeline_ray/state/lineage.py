@@ -33,6 +33,57 @@ def _manifest_path(run_dir: str, stage: str) -> str:
     return os.path.join(run_dir, f"{stage}._manifest.json")
 
 
+def input_fingerprint(ds: Dataset) -> str:
+    """Cheap input-identity digest for checkpoint invalidation.
+
+    File-backed datasets: sorted (path, size, mtime_ns) of every input
+    file — a rewritten/added file invalidates downstream checkpoints.
+    In-memory datasets (``from_arrow``/``from_items``): row count + schema
+    as a proxy (already materialized, so both are metadata-cheap). We never
+    call ``count()`` on a file-backed lazy dataset — that could execute the
+    pipeline just to fingerprint it.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    try:
+        files = list(ds.input_files() or [])
+    except Exception:
+        files = []
+    if files:
+        for f in sorted(files):
+            try:
+                st = os.stat(f)
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+            except OSError:
+                h.update(f"{f}:?;".encode())
+    else:
+        try:
+            h.update(str(ds.schema()).encode())
+            h.update(str(ds.count()).encode())
+        except Exception:
+            h.update(b"opaque-input")
+    return h.hexdigest()[:16]
+
+
+class FingerprintChain:
+    """Per-stage fingerprints chained in execution order: each stage's
+    fingerprint folds in every upstream stage's, so invalidating any stage
+    (config, input, or mode change) invalidates everything after it."""
+
+    def __init__(self, base: str):
+        import hashlib
+
+        self._hashlib = hashlib
+        self.cur = base
+
+    def next(self, stage: str) -> str:
+        self.cur = self._hashlib.sha256(
+            f"{self.cur}|{stage}".encode()
+        ).hexdigest()[:16]
+        return self.cur
+
+
 def stage_is_complete(run_dir: str, stage: str, fingerprint: str) -> bool:
     mp = _manifest_path(run_dir, stage)
     if not os.path.exists(mp):
@@ -67,7 +118,7 @@ def run_stage(
     os.makedirs(run_dir, exist_ok=True)
     stage_dir = os.path.join(run_dir, stage)
     if resume and stage_is_complete(run_dir, stage, fingerprint):
-        return rd.read_parquet(stage_dir)
+        return _read_stage(stage_dir)
 
     tmp_dir = stage_dir + ".tmp"
     for d in (tmp_dir, stage_dir):
@@ -79,7 +130,23 @@ def run_stage(
 
     t0 = time.time()
     ds = builder()
+    # pre-create: an empty Dataset writes no files and would otherwise
+    # leave no directory to rename
+    os.makedirs(tmp_dir, exist_ok=True)
     ds.write_parquet(tmp_dir)
+    if not any(n.endswith(".parquet") for n in os.listdir(tmp_dir)):
+        # empty stage output: persist an explicit empty file so the
+        # checkpoint round-trips with its schema intact
+        import pyarrow as pa
+
+        sch = ds.schema()
+        if sch is not None:
+            pa_schema = getattr(sch, "base_schema", None)
+            if not isinstance(pa_schema, pa.Schema):
+                pa_schema = pa.schema(list(zip(sch.names, sch.types)))
+            pq.write_table(pa_schema.empty_table(), os.path.join(tmp_dir, "empty.parquet"))
+        # schema-less empty output (e.g. every exchange block dropped):
+        # leave the directory empty; resume returns an empty dataset
     os.rename(tmp_dir, stage_dir)
 
     partitions = []
@@ -103,7 +170,13 @@ def run_stage(
     with open(mp + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(mp + ".tmp", mp)
-    return rd.read_parquet(stage_dir)
+    return _read_stage(stage_dir)
+
+
+def _read_stage(stage_dir: str) -> Dataset:
+    if any(n.endswith(".parquet") for n in os.listdir(stage_dir)):
+        return rd.read_parquet(stage_dir)
+    return rd.from_items([])
 
 
 def read_manifest(run_dir: str, stage: str) -> dict | None:

@@ -77,6 +77,25 @@ def test_reps_mode_cluster_parity(ray_session, small_docs, oracle_result):
     assert eng_sets == ora_sets
 
 
+def test_blank_docs_never_pair(ray_session):
+    """Blank/whitespace-only docs all share the hash of '' — the reference
+    skips them (dedup.py:250) so the engine must too (ADVICE r1): two blank
+    docs must NOT become an 'exact' pair, and a blank-heavy corpus must not
+    emit a C(n,2) clique."""
+    docs = [
+        ("b1", "   "),
+        ("b2", ""),
+        ("b3", "\t\n "),
+        ("r1", "real text that is identical"),
+        ("r2", "real text that is identical"),
+    ]
+    opairs, ogroups, _ = oracle_clusters(docs, DedupConfig())
+    res = dedup_conv_docs(_docs_ds(docs), DedupConfig())
+    pairs = res.pairs.to_pandas()
+    eng_pairs = set(zip(pairs.id_a, pairs.id_b))
+    assert eng_pairs == {(p.id_a, p.id_b) for p in opairs} == {("r1", "r2")}
+
+
 def test_scale_path_matches_broadcast(ray_session, small_docs):
     """The beyond-broadcast scale plan (signatures riding the band rows,
     forced via broadcast_sig_rows_limit=0) must emit exactly the pairs the

@@ -100,6 +100,33 @@ def test_native_normalize_matches_python(batch):
     assert hashes == [hashlib.sha256(w.encode()).hexdigest() for w in want]
 
 
+def test_native_normalize_full_casemap_regressions():
+    """Explicit cases where Arrow's simple case mapping diverges from
+    Python's full mapping (ADVICE r1): U+0130 'İ', Greek final sigma,
+    plus mixed ASCII/non-ASCII batches exercising the per-element merge."""
+    from epstein_pipeline_ray.functions.normalize import (
+        normalize_array,
+        normalize_array_native,
+    )
+
+    batch = [
+        "İstanbul  Meeting",
+        "ΣΟΦΟΣ",
+        "plain ascii  text",
+        None,
+        "ΣΟΦΟΣ ΣΟΦΟΣ tail",
+        "",
+        "ẞharp",
+    ]
+    want = [None if s is None else " ".join(s.lower().split()) for s in batch]
+    arr = pa.array(batch, pa.large_string())
+    assert normalize_array_native(arr).to_pylist() == want
+    assert normalize_array(arr).to_pylist() == want
+    # sliced array → nonzero offset path in the byte scan
+    sliced = arr.slice(1, 5)
+    assert normalize_array_native(sliced).to_pylist() == want[1:6]
+
+
 @given(st.text(alphabet="abcdefgh ", min_size=0, max_size=150),
        st.text(alphabet="abcdefgh ", min_size=20, max_size=60),
        st.text(alphabet="abcdefgh ", min_size=0, max_size=150))
