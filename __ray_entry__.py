@@ -142,17 +142,20 @@ def q_region_suppliers(sf_dir: str):
 
 
 def q_exact_dedup_docs(sf_dir: str):
-    import pandas as pd
-
     from epstein_pipeline_ray.stages.exact import with_content_hash
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = with_content_hash(docs)
+    hashed = with_content_hash(docs).select_columns(["doc_id", "content_hash"])
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [g["doc_id"].min()]})
+    def min_per_hash(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("doc_id", pa.int64())]).empty_table()
+        df = block.to_pandas()
+        out = df.groupby("content_hash", sort=False)["doc_id"].min()
+        return pa.table({"doc_id": pa.array(out.to_numpy(), pa.int64())})
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return map_key_blocks(hashed, ["content_hash"], min_per_hash)
 
 
 def q_fingerprints(sf_dir: str):
@@ -563,10 +566,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
         """,
         "wordset_jaccard": """
+            -- blank/whitespace-only docs tokenize to the empty set in the
+            -- engine and never pair; filter them here too (regexp_split on
+            -- '' would otherwise yield [''] and pair blanks at jaccard 1.0)
             WITH t AS (
                 SELECT doc_id, lang,
                        list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
                 FROM documents
+                WHERE length(trim(text)) > 0
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.toks, b.toks))::DOUBLE

@@ -1,0 +1,130 @@
+"""Pair-for-pair parity of the exchange-based dedup_extra operators
+against brute-force Python twins (reference semantics). The twins share
+only the leaf functions (simhash64, ratio, tokenization) — agreement
+validates the exchange/candidate machinery, not just the leaves."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text", "lang"]).to_pandas()
+
+
+def _ds(df):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_simhash_pairs_match_bruteforce(ray_session, docs_df):
+    from epstein_pipeline_ray.functions.minhash import shingle_hashes
+    from epstein_pipeline_ray.functions.normalize import normalize_text
+    from epstein_pipeline_ray.functions.simhash import hamming64, simhash64
+    from epstein_pipeline_ray.stages.dedup_extra import simhash_pairs
+
+    df = docs_df[["doc_id", "text"]]
+    got = simhash_pairs(_ds(df), max_hamming=3).to_pandas()
+    got_pairs = {(a, b): h for a, b, h in zip(got.id_a, got.id_b, got.hamming)}
+
+    sh = {
+        i: np.uint64(simhash64(shingle_hashes(normalize_text(t), 5)))
+        for i, t in zip(df.doc_id, df.text)
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(sorted(sh.items()), 2):
+        d = int(hamming64(np.array([ha]), np.array([hb]))[0])
+        if d <= 3:
+            want[(ia, ib)] = d
+    assert got_pairs == want and len(want) > 0
+
+
+def test_title_fuzzy_pairs_match_bruteforce(ray_session):
+    from epstein_pipeline_ray.functions.fuzzy import ratio
+    from epstein_pipeline_ray.stages.dedup_extra import title_fuzzy_pairs
+
+    parts = pq.read_table(f"{SF_DIR}/part.parquet",
+                          columns=["p_partkey", "p_name"]).to_pandas()
+    got = title_fuzzy_pairs(_ds(parts), threshold=0.90,
+                            id_col="p_partkey", title_col="p_name").to_pandas()
+    got_pairs = {(a, b): s for a, b, s in zip(got.id_a, got.id_b, got.score)}
+
+    blocks: dict[str, list[tuple[int, str]]] = {}
+    for i, t in zip(parts.p_partkey, parts.p_name):
+        first = t.lower().split()[0] if t.split() else ""
+        blocks.setdefault(first, []).append((i, t.lower()))
+    want = {}
+    for members in blocks.values():
+        for (ia, ta), (ib, tb) in itertools.combinations(sorted(members), 2):
+            r = ratio(ta, tb)
+            if r >= 0.90:
+                want[(min(ia, ib), max(ia, ib))] = round(r, 4)
+    assert got_pairs == want and len(want) > 0
+
+
+def test_wordset_prefix_filter_matches_bruteforce(ray_session, docs_df):
+    """The prefix-filter join must have NO false negatives vs the O(n^2)
+    scan at the same threshold (the WWW'08 prefix guarantee)."""
+    from epstein_pipeline_ray.stages.dedup_extra import wordset_jaccard_pairs
+
+    got = wordset_jaccard_pairs(_ds(docs_df), threshold=0.7).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+
+    toks = {i: set(str(t).lower().split())
+            for i, t in zip(docs_df.doc_id, docs_df.text)}
+    langs = dict(zip(docs_df.doc_id, docs_df.lang))
+    want = {}
+    for ia, ib in itertools.combinations(sorted(toks), 2):
+        if langs[ia] != langs[ib]:
+            continue
+        sa, sb = toks[ia], toks[ib]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j >= 0.7:
+            want[(ia, ib)] = round(j, 6)
+    assert got_pairs == want and len(want) > 0
+
+
+def test_wordset_blank_docs_never_pair(ray_session):
+    from epstein_pipeline_ray.stages.dedup_extra import wordset_jaccard_pairs
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["", "   ", "same words here", "same words here"],
+         "lang": ["en"] * 4}
+    )
+    got = wordset_jaccard_pairs(_ds(df), threshold=0.5).to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == {(3, 4)}
+
+
+def test_bates_multi_dash_and_single_forms(ray_session):
+    """Parse parity with the reference's split('-') / parts[0], parts[-1]
+    semantics: multi-dash takes first and LAST endpoints; dash-less is a
+    degenerate single-page range; prefix mismatch is unparseable."""
+    from epstein_pipeline_ray.stages.dedup_extra import bates_overlap_pairs
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "bates_range": [
+                "AB100-AB110",        # plain range
+                "AB105-XY1-AB200",    # multi-dash: endpoints AB105, AB200
+                "AB205",              # single page — overlaps nothing here
+                "AB090-CD100",        # prefix mismatch → unparseable
+                "AB108",              # single page inside both ranges
+            ],
+        }
+    )
+    got = bates_overlap_pairs(_ds(df), id_col="id").to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == {(1, 2), (1, 5), (2, 5)}

@@ -45,3 +45,17 @@ def test_lsh_matches_bruteforce_on_neardups(planted):
 
     # every emitted cosine really is above threshold
     assert (got_df["cos"] >= 0.95).all()
+
+
+def test_lsh_scale_plan_matches_broadcast(planted):
+    """The beyond-broadcast plan (vector rides the band row, forced via
+    broadcast_rows_limit=0) must emit exactly the broadcast plan's pairs
+    with identical scores (VERDICT r1 item 2)."""
+    from epstein_pipeline_ray.stages.embed import lsh_neardup_pairs
+
+    kw = dict(threshold=0.95, bits=8, tables=12, seed=3)
+    b = lsh_neardup_pairs(planted, **kw).to_pandas()
+    s = lsh_neardup_pairs(planted, broadcast_rows_limit=0, **kw).to_pandas()
+    pb = set(zip(b.id_a, b.id_b, b.cos))
+    ps = set(zip(s.id_a, s.id_b, s.cos))
+    assert pb == ps and len(pb) > 0
