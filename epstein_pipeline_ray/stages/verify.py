@@ -17,19 +17,21 @@ i.e. SimHash is the cheap accept; the suffix-automaton LCS rescues
 containment-style duplicates (one transcript embedded in another) that
 bit-fingerprints miss.
 
-Physical shape: the pair set is orders of magnitude smaller than the
-corpus, so the texts of paired ids are gathered once (filter by broadcast
-id-set → driver map → ``ray.put``) and verification is a stateless
-``map_batches`` over pairs. At corpus sizes where even the paired texts
-outgrow the object store, replace the gather with the same
-partitioned-file exchange join used by the MinHash stage.
+Physical shape (VERDICT r1 item 4 — no driver-side text gather): the
+paired-id text table is built with a ``key_membership_join`` semi-join
+(docs filtered to ids that appear in any minhash pair), then both texts
+ride to each pair row via two ``attach_column`` joins — each of which
+internally switches between a plasma broadcast and the partitioned-file
+exchange on the small side's size, so no driver structure is ever
+proportional to the corpus. Verification itself is a stateless
+``map_batches`` over pair rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from epstein_pipeline_ray.config import DedupConfig
@@ -39,66 +41,80 @@ from epstein_pipeline_ray.functions.simhash import hamming64, simhash64
 from epstein_pipeline_ray.functions.substring import substring_overlap_ratio
 
 
-def extended_verify(pairs: Dataset, docs: Dataset, cfg: DedupConfig) -> Dataset:
+def extended_verify(pairs: Dataset, docs: Dataset, cfg: DedupConfig,
+                    broadcast_rows_limit: int | None = None) -> Dataset:
     """Filter minhash pairs through the SimHash + substring tier.
 
     Exact-pass pairs (identical normalized text) skip the tier — they are
     duplicates by construction.
     """
-    pair_df = pairs.to_pandas()
-    if pair_df.empty:
-        return pairs
-    mh = pair_df[pair_df["method"] == "minhash"]
-    ids = set(mh["id_a"]) | set(mh["id_b"])
-    if not ids:
-        return pairs
-    ids_ref = ray.put(ids)
+    from epstein_pipeline_ray.stages.joins import attach_column, key_membership_join
 
-    def gather(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(ids_ref)
-        mask = pa.array([i in wanted for i in batch["conv_id"].to_pylist()], pa.bool_())
-        return batch.filter(mask).select(["conv_id", "text"])
+    limit = (broadcast_rows_limit if broadcast_rows_limit is not None
+             else cfg.broadcast_sig_rows_limit)
+    pairs = pairs.materialize()  # consumed for ids + joined + returned
 
-    texts_df = docs.map_batches(gather, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    text_map = dict(zip(texts_df["conv_id"], texts_df["text"]))
-    texts_ref = ray.put(text_map)
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        mh = batch.filter(pc.equal(batch["method"], "minhash"))
+        ids = pa.concat_arrays(
+            [mh["id_a"].combine_chunks() if isinstance(mh["id_a"], pa.ChunkedArray) else mh["id_a"],
+             mh["id_b"].combine_chunks() if isinstance(mh["id_b"], pa.ChunkedArray) else mh["id_b"]]
+        )
+        return pa.table({"conv_id": ids})
+
+    ids_ds = pairs.map_batches(pair_ids, batch_format="pyarrow", zero_copy_batch=True)
+    if ids_ds.count() == 0:
+        return pairs
+    texts_needed = key_membership_join(
+        docs.select_columns(["conv_id", "text"]), ids_ds, "conv_id",
+        mode="semi", broadcast_rows_limit=limit,
+    ).materialize()  # consumed by both attach joins
+    with_a = attach_column(pairs, texts_needed, "id_a", "conv_id", "text",
+                           "__text_a", broadcast_rows_limit=limit)
+    with_ab = attach_column(with_a, texts_needed, "id_b", "conv_id", "text",
+                            "__text_b", broadcast_rows_limit=limit)
+
     k = cfg.shingle_size
     max_ham = cfg.simhash_max_hamming
     min_overlap = cfg.substring_min_overlap
 
     def verify(batch: pa.Table) -> pa.Table:
-        tm = ray.get(texts_ref)
         keep = np.ones(batch.num_rows, dtype=bool)
         methods = batch["method"].to_pylist()
-        ids_a = batch["id_a"].to_pylist()
-        ids_b = batch["id_b"].to_pylist()
+        texts_a = batch["__text_a"].to_pylist()
+        texts_b = batch["__text_b"].to_pylist()
         sim_cache: dict[str, np.uint64] = {}
 
-        def sh(doc_id: str) -> np.uint64 | None:
-            if doc_id not in sim_cache:
-                t = tm.get(doc_id)
-                sim_cache[doc_id] = (
-                    None if t is None else simhash64(shingle_hashes(normalize_text(t), k))
-                )
-            return sim_cache[doc_id]
+        def sh(text: str | None) -> np.uint64 | None:
+            if text is None:
+                return None
+            h = sim_cache.get(text)
+            if h is None:
+                h = simhash64(shingle_hashes(normalize_text(text), k))
+                sim_cache[text] = h
+            return h
 
-        for i, (m, a, b) in enumerate(zip(methods, ids_a, ids_b)):
+        n_checked = 0
+        for i, (m, ta, tb) in enumerate(zip(methods, texts_a, texts_b)):
             if m != "minhash":
                 continue
-            ha, hb = sh(a), sh(b)
+            n_checked += 1
+            ha, hb = sh(ta), sh(tb)
             if ha is None or hb is None:
                 keep[i] = False
                 continue
             if int(hamming64(np.array([ha]), np.array([hb]))[0]) <= max_ham:
                 continue
-            na, nb = normalize_text(tm[a]), normalize_text(tm[b])
+            na, nb = normalize_text(ta), normalize_text(tb)
             if substring_overlap_ratio(na, nb) >= min_overlap:
                 continue
             keep[i] = False
         from epstein_pipeline_ray.state import metrics
 
-        metrics.inc("verify.pairs_checked", int((np.asarray(methods) == "minhash").sum()))
+        metrics.inc("verify.pairs_checked", n_checked)
         metrics.inc("verify.pairs_rejected", int((~keep).sum()))
-        return batch.filter(pa.array(keep, pa.bool_()))
+        return batch.filter(pa.array(keep, pa.bool_())).drop_columns(
+            ["__text_a", "__text_b"]
+        )
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return with_ab.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
