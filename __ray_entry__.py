@@ -229,6 +229,20 @@ def q_doc_chunks(sf_dir: str):
     return chunk_docs(docs, chunk_size=200, overlap=50)
 
 
+def q_doc_chunks_semantic(sf_dir: str):
+    """Semantic-mode chunker (reference M11: paragraph split → greedy
+    token-target merge → sentence-split oversized, min/max bounds) over
+    the documents table. The synthetic docs are single-paragraph, so each
+    eligible doc takes the deterministic single-chunk path — fully
+    SQL-oracle-able; the merge/split branches are pinned by
+    tests/test_chunker_semantic.py."""
+    from epstein_pipeline_ray.stages.chunker import semantic_chunk_docs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return semantic_chunk_docs(docs, target_tokens=25, min_tokens=5,
+                               max_tokens=50, min_chunk_size=50)
+
+
 # ---------------------------------------------------------------------------
 # embedding operators (SQL-verifiable via list_cosine_similarity)
 # ---------------------------------------------------------------------------
@@ -447,6 +461,48 @@ def q_resolve_parts(sf_dir: str):
     return resolve_entities(parts, "p_partkey", "p_name")
 
 
+def q_confidence_match(sf_dir: str):
+    """Tiered confidence matching (reference confidence.py:30-119 ladder:
+    exact 1.0 / alias 0.95 / fuzzy 0.85+0.75 / substring 0.60) of derived
+    mentions against a part-name registry. The fuzzy tier is disabled here
+    so every tier is SQL-expressible (the fuzzy rungs are parity-tested in
+    tests/test_confidence.py); substring tie-break = first registry entry,
+    names before aliases."""
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.confidence import match_mentions
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    reg_df = parts.to_pandas().sort_values("p_partkey")
+    reg_df = reg_df[reg_df.p_partkey % 10 == 0]
+    registry = pd.DataFrame(
+        {
+            "person_id": reg_df.p_partkey.to_numpy(),
+            "name": reg_df.p_name.to_numpy(),
+            "aliases": [["alt " + n] for n in reg_df.p_name],
+        }
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pk = batch["p_partkey"]
+        name = batch["p_name"]
+        mod = pc.subtract(pk, pc.multiply(pc.divide(pk, pa.scalar(4, pa.int64())),
+                                          pa.scalar(4, pa.int64())))
+        alias_m = pc.binary_join_element_wise(pa.scalar("alt "), name, "")
+        sub_m = pc.binary_join_element_wise(name, pa.scalar(" zz"), "")
+        mention = pc.if_else(
+            pc.equal(mod, 0), name,
+            pc.if_else(pc.equal(mod, 1), alias_m,
+                       pc.if_else(pc.equal(mod, 2), sub_m, pa.scalar("zzz q"))))
+        return pa.table({"mention_id": pk, "mention": mention})
+
+    mentions = parts.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return match_mentions(mentions, registry, enable_fuzzy=False,
+                          enable_substring=True)
+
+
 def q_lsh_neardup(sf_dir: str):
     """LSH-bucketed cosine near-dup (ANN scale path; exact confirm, recall
     approximate — rows-only check; quality asserted vs brute force in
@@ -491,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "term_links": q_term_links,
         "doc_chunks": q_doc_chunks,
+        "doc_chunks_semantic": q_doc_chunks_semantic,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
@@ -503,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "events_dedup": q_events_dedup,
         "dates_norm": q_dates_norm,
+        "confidence_match": q_confidence_match,
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
         "prep_corpus": q_prep_corpus,
@@ -623,6 +681,15 @@ def oracle_sql() -> dict[str, str]:
                           THEN ceil((n_chars - 200) / 150.0)::BIGINT
                           ELSE 0 END)) AS u(g)
         """,
+        "doc_chunks_semantic": """
+            SELECT doc_id,
+                   0::INT AS chunk_index,
+                   0::BIGINT AS char_offset,
+                   trim(text) AS chunk_text,
+                   (length(trim(text)) // 4)::BIGINT AS token_count_est
+            FROM documents
+            WHERE length(trim(text)) >= 50
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                        FROM embeddings WHERE vec_id < 5),
@@ -713,6 +780,50 @@ def oracle_sql() -> dict[str, str]:
                                     1 + doc_id % 28)
                    END AS date_norm
             FROM documents
+        """,
+        "confidence_match": """
+            WITH reg AS (
+                SELECT p_partkey AS pid, p_name AS name,
+                       'alt ' || p_name AS alias
+                FROM part WHERE p_partkey % 10 = 0
+            ), m AS (
+                SELECT p_partkey AS mention_id,
+                       CASE p_partkey % 4
+                            WHEN 0 THEN p_name
+                            WHEN 1 THEN 'alt ' || p_name
+                            WHEN 2 THEN p_name || ' zz'
+                            ELSE 'zzz q' END AS mention
+                FROM part
+            ), ex AS (
+                SELECT name, max(pid) AS pid FROM reg GROUP BY name
+            ), al AS (
+                SELECT alias, max(pid) AS pid FROM reg GROUP BY alias
+            ), subc AS (
+                SELECT m.mention_id, r.pid, r.name AS nm, r.pid * 2 AS ord
+                FROM m JOIN reg r ON contains(m.mention, r.name)
+                UNION ALL
+                SELECT m.mention_id, r.pid, r.alias AS nm, r.pid * 2 + 1 AS ord
+                FROM m JOIN reg r ON contains(m.mention, r.alias)
+            ), sb AS (
+                SELECT mention_id, arg_min(pid, ord) AS pid,
+                       arg_min(nm, ord) AS nm
+                FROM subc GROUP BY mention_id
+            )
+            SELECT m.mention_id, m.mention,
+                   COALESCE(ex.pid, al.pid, sb.pid) AS person_id,
+                   CASE WHEN ex.pid IS NOT NULL THEN 1.0
+                        WHEN al.pid IS NOT NULL THEN 0.95
+                        WHEN sb.pid IS NOT NULL THEN 0.60 END AS confidence,
+                   CASE WHEN ex.pid IS NOT NULL THEN 'exact'
+                        WHEN al.pid IS NOT NULL THEN 'alias'
+                        WHEN sb.pid IS NOT NULL THEN 'substring' END AS match_type,
+                   CASE WHEN ex.pid IS NOT NULL THEN m.mention
+                        WHEN al.pid IS NOT NULL THEN m.mention
+                        ELSE sb.nm END AS matched_name
+            FROM m
+            LEFT JOIN ex ON m.mention = ex.name
+            LEFT JOIN al ON m.mention = al.alias
+            LEFT JOIN sb ON m.mention_id = sb.mention_id
         """,
         "resolve_parts": """
             SELECT p_partkey AS entity_id,

@@ -54,9 +54,16 @@ class DedupConfig:
     min_text_len: int = 100
     title_threshold: float = 0.90
     semantic_threshold: float = 0.95
-    # passes
+    # passes. The reference's exact pass is three sub-passes in first-wins
+    # order — content hash, Bates overlap, title fuzzy (dedup.py:242-326);
+    # bates/title only fire on corpora that carry those columns, so they
+    # default off for the transcript flagship.
     enable_exact: bool = True
+    enable_bates: bool = False
+    enable_title: bool = False
     enable_minhash: bool = True
+    # reference output ordering: pairs sorted by score desc (dedup.py:170)
+    sort_pairs_by_score: bool = True
     # extension knobs
     verify_mode: str = "parity"  # 'parity' | 'extended'
     simhash_max_hamming: int = 8

@@ -53,16 +53,24 @@ def rollup_turns_pandas(turns: pd.DataFrame) -> pd.DataFrame:
     return docs
 
 
-def oracle_pairs(docs: list[tuple[str, str]], cfg: DedupConfig | None = None) -> list[OraclePair]:
-    """Exact + MinHash passes with first-wins merge, sorted by score desc.
+def oracle_pairs(
+    docs: list[tuple[str, str]],
+    cfg: DedupConfig | None = None,
+    titles: dict[str, str] | None = None,
+    bates: dict[str, str] | None = None,
+) -> list[OraclePair]:
+    """Exact (content hash → Bates overlap → title fuzzy, dedup.py:242-326)
+    + MinHash passes with first-wins merge, sorted by score desc.
 
-    ``docs`` = [(doc_id, raw_text)].
+    ``docs`` = [(doc_id, raw_text)]; ``titles`` / ``bates`` are optional
+    per-doc side columns for the sub-passes the reference folds into its
+    exact pass.
     """
     cfg = cfg or DedupConfig()
     pairs: list[OraclePair] = []
     seen: set[tuple[str, str]] = set()
 
-    # ---- pass 1: exact (content-hash groups, score 1.0) — dedup.py:247-273
+    # ---- pass 1a: exact (content-hash groups, score 1.0) — dedup.py:247-273
     if cfg.enable_exact:
         hash_groups: dict[str, list[str]] = {}
         for doc_id, text in docs:
@@ -77,6 +85,43 @@ def oracle_pairs(docs: list[tuple[str, str]], cfg: DedupConfig | None = None) ->
                     if key not in seen:
                         seen.add(key)
                         pairs.append(OraclePair(key[0], key[1], 1.0, "exact"))
+
+    # ---- pass 1b: Bates range overlap, score 0.95 — dedup.py:276-294
+    if cfg.enable_bates and bates:
+        from epstein_pipeline_ray.functions.bates import bates_overlap
+
+        bd = [(d, bates[d]) for d, _ in docs if bates.get(d)]
+        for i in range(len(bd)):
+            for j in range(i + 1, len(bd)):
+                (ia, ba), (ib, bb) = bd[i], bd[j]
+                key = (min(ia, ib), max(ia, ib))
+                if key in seen:
+                    continue
+                if bates_overlap(ba, bb):
+                    seen.add(key)
+                    pairs.append(OraclePair(key[0], key[1], 0.95, "exact"))
+
+    # ---- pass 1c: title first-word blocking + indel ratio — dedup.py:296-324
+    if cfg.enable_title and titles:
+        from epstein_pipeline_ray.functions.fuzzy import ratio
+
+        groups: dict[str, list[str]] = {}
+        for d, _ in docs:
+            t = titles.get(d)
+            if t:
+                first = t.lower().split()[0] if t.split() else ""
+                groups.setdefault(first, []).append(d)
+        for members in groups.values():
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    ia, ib = members[i], members[j]
+                    key = (min(ia, ib), max(ia, ib))
+                    if key in seen:
+                        continue
+                    r = ratio(titles[ia].lower(), titles[ib].lower())
+                    if r >= cfg.title_threshold:
+                        seen.add(key)
+                        pairs.append(OraclePair(key[0], key[1], round(r, 4), "exact"))
 
     # ---- pass 2: MinHash/LSH — dedup.py:332-398
     if cfg.enable_minhash:
@@ -116,7 +161,10 @@ def oracle_pairs(docs: list[tuple[str, str]], cfg: DedupConfig | None = None) ->
 
 
 def oracle_clusters(
-    docs: list[tuple[str, str]], cfg: DedupConfig | None = None
+    docs: list[tuple[str, str]],
+    cfg: DedupConfig | None = None,
+    titles: dict[str, str] | None = None,
+    bates: dict[str, str] | None = None,
 ) -> tuple[list[OraclePair], dict[str, set[str]], dict[str, str]]:
     """Union-find over oracle pairs → (pairs, {root: members}, {member: representative}).
 
@@ -124,7 +172,7 @@ def oracle_clusters(
     ties broken by doc id for determinism (the reference's ``max`` keeps the
     first maximum, which depends on input order — we pin it).
     """
-    pairs = oracle_pairs(docs, cfg)
+    pairs = oracle_pairs(docs, cfg, titles=titles, bates=bates)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:

@@ -45,21 +45,100 @@ class DedupResult:
     clusters: Dataset  # (conv_id, cluster_id, representative, cluster_size, avg_similarity)
 
 
+def _bates_pass(docs: Dataset) -> Dataset:
+    """Bates-overlap pairs in the flagship pair schema (reference
+    dedup.py:276-294: score 0.95, method 'exact')."""
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.dedup_extra import bates_overlap_pairs
+
+    raw = bates_overlap_pairs(docs, id_col="conv_id")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+        n = batch.num_rows
+        return pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.string()),
+                "id_b": batch["id_b"].cast(pa.string()),
+                "score": batch["score"],
+                "method": pa.array(["exact"] * n, pa.string()),
+                "reason": pa.array(["Bates range overlap"] * n, pa.string()),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    return raw.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _title_pass(docs: Dataset, threshold: float) -> Dataset:
+    """Title-fuzzy pairs in the flagship pair schema (reference
+    dedup.py:296-324: score = round(ratio, 4), method 'exact')."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.dedup_extra import title_fuzzy_pairs
+
+    titled = docs.map_batches(
+        lambda b: b.filter(
+            pc.and_kleene(pc.is_valid(b["title"]),
+                          pc.greater(pc.utf8_length(b["title"]), 0))
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    raw = title_fuzzy_pairs(titled, threshold=threshold,
+                            id_col="conv_id", title_col="title")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+        n = batch.num_rows
+        scores = batch["score"].to_pylist()
+        return pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.string()),
+                "id_b": batch["id_b"].cast(pa.string()),
+                "score": batch["score"],
+                "method": pa.array(["exact"] * n, pa.string()),
+                "reason": pa.array(
+                    [f"title similarity: {s:.2%}" for s in scores], pa.string()
+                ),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    return raw.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _with_rank(ds: Dataset, rank: int) -> Dataset:
+    """Tag a pass's pair stream with its first-wins priority (the
+    reference's pass ORDER, dedup.py:242-326: content hash < bates <
+    title < minhash — lower wins)."""
+    import pyarrow as pa
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__rank", pa.array([rank] * batch.num_rows, pa.int8())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _merge_first_wins(all_pairs: Dataset) -> Dataset:
-    """Pair-key dedup preferring exact > minhash > semantic — the
-    reference's earlier-pass-wins merge (dedup.py:143-168), as one
-    vectorized pass per key-sorted block."""
+    """Pair-key dedup preferring the earliest pass — the reference's
+    first-wins merge (dedup.py:143-168) generalized to the four-pass
+    stream (content hash, bates, title, minhash), as one vectorized pass
+    per key-sorted block. Input rows carry a ``__rank`` priority column
+    (dropped on output)."""
     import pyarrow as pa
 
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
-
-    rank = {"exact": 0, "minhash": 1, "semantic": 2}
 
     def pick_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
         df = batch.to_pandas()
-        df["__rank"] = df["method"].map(rank)
         df = (
             df.sort_values(["id_a", "id_b", "__rank"], kind="mergesort")
             .drop_duplicates(["id_a", "id_b"], keep="first")
@@ -129,12 +208,19 @@ def dedup_conv_docs(
     else:
         hashed = ck("docs_hashed", lambda: with_content_hash(docs))
 
-    # raw pair streams: exact pairs + UN-deduped minhash bucket pairs; the
-    # single merge shuffle below handles both the cross-band pair dedup and
-    # the first-wins pass preference in one exchange
+    # raw pair streams: exact + bates + title + UN-deduped minhash bucket
+    # pairs, each tagged with its pass priority; the single merge shuffle
+    # below handles both the cross-band pair dedup and the first-wins pass
+    # preference in one exchange (reference dedup.py:143-168, 242-326)
+    doc_cols = set(hashed.schema().names)
     parts = []
     if cfg.enable_exact:
-        parts.append(ck("pairs_exact", lambda: exact_pairs(hashed)))
+        parts.append(_with_rank(ck("pairs_exact", lambda: exact_pairs(hashed)), 0))
+    if cfg.enable_bates and "bates_range" in doc_cols:
+        parts.append(_with_rank(ck("pairs_bates", lambda: _bates_pass(hashed)), 1))
+    if cfg.enable_title and "title" in doc_cols:
+        parts.append(_with_rank(
+            ck("pairs_title", lambda: _title_pass(hashed, cfg.title_threshold)), 2))
     if cfg.enable_minhash:
         from epstein_pipeline_ray.stages.minhash_stage import minhash_raw_pairs
 
@@ -143,7 +229,8 @@ def dedup_conv_docs(
         # hash_representatives) — an extra materialize barrier here would
         # copy the full text corpus once more for nothing
         mh_input = hash_representatives(hashed) if minhash_on_reps else hashed
-        parts.append(ck("pairs_minhash_raw", lambda: minhash_raw_pairs(mh_input, cfg)))
+        parts.append(_with_rank(
+            ck("pairs_minhash_raw", lambda: minhash_raw_pairs(mh_input, cfg)), 3))
 
     if not parts:
         raise ValueError("at least one dedup pass must be enabled")
@@ -151,6 +238,10 @@ def dedup_conv_docs(
 
     all_pairs = parts[0] if len(parts) == 1 else concat_datasets(parts)
     pairs = ck("pairs", lambda: _merge_first_wins(all_pairs))
+    if cfg.sort_pairs_by_score:
+        # reference output ordering (dedup.py:170-171); a range shuffle of
+        # the pair table only — output-sized, not corpus-sized
+        pairs = ck("pairs_sorted", lambda: pairs.sort("score", descending=True))
 
     if cfg.verify_mode == "extended":
         from epstein_pipeline_ray.stages.verify import extended_verify

@@ -115,3 +115,50 @@ def test_scale_path_matches_broadcast(ray_session, small_docs):
     got_b = pairset(minhash_raw_pairs(_docs_ds(small_docs), base))
     got_j = pairset(minhash_raw_pairs(ds, joined))
     assert got_b == got_j and len(got_b) > 0
+
+
+def test_four_pass_parity(ray_session, small_docs):
+    """Flagship with bates + title passes enabled must be pair-for-pair
+    equal (ids, method, score) to the 4-pass reference-semantics oracle —
+    VERDICT r1 item 6: bates/title fold into the same first-wins stream."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    docs = list(small_docs[:300])
+    titles = {}
+    bates = {}
+    title_pool = ["annual report 2005", "annual, report 2005", "annual report 2006",
+                  "deposition records", "deposition record", "misc file"]
+    for i, (d, _) in enumerate(docs):
+        if i % 3 != 2:
+            titles[d] = title_pool[int(rng.integers(len(title_pool)))]
+        if i % 4 != 3:
+            lo = int(rng.integers(0, 400))
+            bates[d] = f"EFTA{lo:05d}-EFTA{lo + int(rng.integers(0, 30)):05d}"
+
+    cfg = DedupConfig(enable_bates=True, enable_title=True)
+    opairs, ogroups, _ = oracle_clusters(docs, cfg, titles=titles, bates=bates)
+
+    t = pa.table(
+        {
+            "conv_id": [d for d, _ in docs],
+            "text": pa.array([t for _, t in docs], pa.large_string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            "title": pa.array([titles.get(d) for d, _ in docs], pa.string()),
+            "bates_range": pa.array([bates.get(d) for d, _ in docs], pa.string()),
+        }
+    )
+    res = dedup_conv_docs(rd.from_arrow(t), cfg)
+    got = res.pairs.to_pandas()
+    eng = {(a, b): (m, s) for a, b, m, s in
+           zip(got.id_a, got.id_b, got.method, got.score)}
+    ora = {(p.id_a, p.id_b): (p.method, p.score) for p in opairs}
+    assert set(eng) == set(ora)
+    for k in ora:
+        assert eng[k][0] == ora[k][0], (k, eng[k], ora[k])
+        assert abs(eng[k][1] - ora[k][1]) < 1e-9, (k, eng[k], ora[k])
+    # bates and title pairs actually participated
+    methods_scores = {(m, round(s, 2)) for (m, s) in ora.values()}
+    assert ("exact", 0.95) in methods_scores
