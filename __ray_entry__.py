@@ -22,6 +22,14 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TERMS = ["spark", "window", "stream", "vector", "merge"]
 
 
+def _sw_sql(lang: str) -> str:
+    """Stopword profile as a SQL list literal — shared source of truth
+    with the engine's detect_lang (functions/textstats._LANG_STOPWORDS)."""
+    from epstein_pipeline_ray.functions.textstats import _LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang])) + "]"
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
@@ -348,8 +356,56 @@ def q_entities(sf_dir: str):
 def q_integrity(sf_dir: str):
     from epstein_pipeline_ray.stages.validate import integrity_report
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    return integrity_report(docs)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return integrity_report(docs, allowed_langs=("en", "es", "fr", "de"),
+                            len_lo=60, len_hi=500)
+
+
+def q_violations(sf_dir: str):
+    """Row-level violation report (reference validators/schema.py:29-50
+    per-row error list + integrity.py:20-70 referential / date-range /
+    format checks): documents length-range + source-format + blank-text +
+    recorded-length rules, an orders date-window rule, and an events →
+    registered-customer referential rule (size-switched anti-join).
+    One output row per (row_id, rule) violation."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.validate import (
+        Rule,
+        referential_violations,
+        validate_rows,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+    doc_v = validate_rows(docs, "doc_id", [
+        Rule("doc_empty_text", "non_empty", "text"),
+        Rule("doc_len_mismatch", "len_match", "text", col2="n_chars"),
+        Rule("doc_len_range", "range", "n_chars", lo=60, hi=500),
+        Rule("doc_source_format", "regex", "source", pattern=r"^src[0-9]$"),
+    ])
+
+    from datetime import datetime
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    order_v = validate_rows(orders, "o_orderkey", [
+        Rule("order_date_range", "range", "o_orderdate",
+             lo=datetime(1995, 1, 1), hi=datetime(1999, 12, 31)),
+    ])
+
+    events = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def every_third(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"]
+        mod = pc.subtract(k, pc.multiply(pc.divide(k, pa.scalar(3, pa.int64())),
+                                         pa.scalar(3, pa.int64())))
+        return batch.filter(pc.equal(mod, 0))
+
+    registry = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        every_third, batch_format="pyarrow", zero_copy_batch=True)
+    event_v = referential_violations(events, "user_id", registry, "c_custkey",
+                                     "event_user_ref", id_col="event_id")
+
+    return doc_v.union(order_v).union(event_v)
 
 
 def q_events_asof_orders(sf_dir: str):
@@ -557,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccur": q_term_cooccur,
         "entities": q_entities,
         "integrity": q_integrity,
+        "violations": q_violations,
         "events_asof_orders": q_events_asof_orders,
         "events_dedup": q_events_dedup,
         "dates_norm": q_dates_norm,
@@ -665,6 +722,39 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio
             FROM t
         """,
+        # SQL twin of functions/textstats.detect_lang: distinct lowered
+        # whitespace tokens ∩ per-language stopword profile, argmax with
+        # first-language-wins ties (dict order en,es,fr,de), CJK-ratio
+        # shortcut for zh, 'und' when no profile hits.
+        "langid": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE list_distinct(regexp_split_to_array(
+                                     trim(lower(text)), '\\s+')) END AS words,
+                       length(regexp_replace(substr(text, 1, 200),
+                                             '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                           AS cjk,
+                       length(substr(text, 1, 200)) AS head_len
+                FROM documents
+            ), h AS (
+                SELECT doc_id, words, cjk, head_len,
+                       len(list_intersect(words, {_sw_sql('en')})) AS en,
+                       len(list_intersect(words, {_sw_sql('es')})) AS es,
+                       len(list_intersect(words, {_sw_sql('fr')})) AS fr,
+                       len(list_intersect(words, {_sw_sql('de')})) AS de
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN len(words) = 0 THEN 'und'
+                        WHEN cjk > head_len * 0.2 THEN 'zh'
+                        WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es > en AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr > en AND fr > es AND fr >= de THEN 'fr'
+                        WHEN de > 0 AND de > en AND de > es AND de > fr THEN 'de'
+                        ELSE 'und' END AS lang_guess
+            FROM h
+        """,
         "term_links": f"""
             SELECT doc_id, term
             FROM documents CROSS JOIN (VALUES {terms_values}) AS t(term)
@@ -742,8 +832,33 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM documents
                     WHERE length(text) <> n_chars)::BIGINT AS n_len_mismatch,
                    (SELECT count(*) FROM documents
-                    WHERE length(trim(text)) = 0)::BIGINT AS n_empty
+                    WHERE length(trim(text)) = 0)::BIGINT AS n_empty,
+                   (SELECT count(*) FROM documents
+                    WHERE lang NOT IN ('en','es','fr','de'))::BIGINT AS n_bad_lang,
+                   (SELECT count(*) FROM documents
+                    WHERE n_chars < 60 OR n_chars > 500)::BIGINT AS n_len_out_of_range
             FROM documents
+        """,
+        "violations": """
+            SELECT doc_id AS row_id, 'doc_empty_text' AS rule FROM documents
+            WHERE length(trim(text)) = 0
+            UNION ALL
+            SELECT doc_id, 'doc_len_mismatch' FROM documents
+            WHERE length(text) <> n_chars
+            UNION ALL
+            SELECT doc_id, 'doc_len_range' FROM documents
+            WHERE n_chars < 60 OR n_chars > 500
+            UNION ALL
+            SELECT doc_id, 'doc_source_format' FROM documents
+            WHERE NOT regexp_matches(source, '^src[0-9]$')
+            UNION ALL
+            SELECT o_orderkey, 'order_date_range' FROM orders
+            WHERE o_orderdate < TIMESTAMP '1995-01-01'
+               OR o_orderdate > TIMESTAMP '1999-12-31'
+            UNION ALL
+            SELECT event_id, 'event_user_ref' FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_custkey % 3 = 0)
         """,
         "events_asof_orders": """
             WITH m AS (

@@ -10,6 +10,8 @@ exchange on the id column.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pyarrow as pa
 from ray.data import Dataset
 
@@ -19,10 +21,22 @@ def integrity_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     len_col: str = "n_chars",
+    allowed_langs: tuple[str, ...] | None = None,
+    lang_col: str = "lang",
+    len_lo: int | None = None,
+    len_hi: int | None = None,
 ) -> pa.Table:
     """One-row summary: total rows, duplicated ids, rows whose recorded
-    length disagrees with ``len(text)``, and empty-text rows."""
+    length disagrees with ``len(text)``, empty-text rows, and (when the
+    bounds are given) out-of-vocabulary language and out-of-range length
+    counts (reference validators/integrity.py:20-70 adds referential /
+    date-range / format checks on top of duplicate-id detection; the
+    row-level detail lives in :func:`validate_rows`)."""
     import pyarrow.compute as pc
+
+    check_lang = allowed_langs is not None
+    check_len = len_lo is not None or len_hi is not None
+    lang_set = pa.array(sorted(allowed_langs)) if check_lang else None
 
     def partial(batch: pa.Table) -> pa.Table:
         text = batch[text_col]
@@ -31,13 +45,24 @@ def integrity_report(
         empty = pc.sum(
             pc.cast(pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0), pa.int64())
         ).as_py() or 0
-        return pa.table(
-            {
-                "n_rows": pa.array([batch.num_rows], pa.int64()),
-                "n_len_mismatch": pa.array([mismatch], pa.int64()),
-                "n_empty": pa.array([empty], pa.int64()),
-            }
-        )
+        cols = {
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "n_len_mismatch": pa.array([mismatch], pa.int64()),
+            "n_empty": pa.array([empty], pa.int64()),
+        }
+        if check_lang:
+            bad = pc.invert(pc.fill_null(pc.is_in(batch[lang_col], value_set=lang_set), False))
+            cols["n_bad_lang"] = pa.array([pc.sum(pc.cast(bad, pa.int64())).as_py() or 0], pa.int64())
+        if check_len:
+            rec = batch[len_col]
+            out = pa.array([False] * batch.num_rows)
+            if len_lo is not None:
+                out = pc.or_(out, pc.fill_null(pc.less(rec, len_lo), False))
+            if len_hi is not None:
+                out = pc.or_(out, pc.fill_null(pc.greater(rec, len_hi), False))
+            cols["n_len_out_of_range"] = pa.array(
+                [pc.sum(pc.cast(out, pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(cols)
 
     parts = docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
 
@@ -57,11 +82,119 @@ def integrity_report(
         .sum()
     )
 
-    return pa.table(
-        {
-            "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
-            "n_dup_ids": pa.array([int(n_dup_ids)], pa.int64()),
-            "n_len_mismatch": pa.array([int(parts["n_len_mismatch"].sum())], pa.int64()),
-            "n_empty": pa.array([int(parts["n_empty"].sum())], pa.int64()),
-        }
-    )
+    out = {
+        "n_rows": pa.array([int(parts["n_rows"].sum())], pa.int64()),
+        "n_dup_ids": pa.array([int(n_dup_ids)], pa.int64()),
+        "n_len_mismatch": pa.array([int(parts["n_len_mismatch"].sum())], pa.int64()),
+        "n_empty": pa.array([int(parts["n_empty"].sum())], pa.int64()),
+    }
+    if check_lang:
+        out["n_bad_lang"] = pa.array([int(parts["n_bad_lang"].sum())], pa.int64())
+    if check_len:
+        out["n_len_out_of_range"] = pa.array([int(parts["n_len_out_of_range"].sum())], pa.int64())
+    return pa.table(out)
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One row-level validation rule (reference validators/schema.py:29-50
+    builds a per-document error list the same way: each failed check
+    contributes one named error for that row).
+
+    kind:
+      not_null   — flag rows where ``col`` is NULL
+      non_empty  — flag rows where ``col`` is NULL or whitespace-only
+      len_match  — flag rows where ``len(col) != col2`` (recorded length)
+      range      — flag rows where ``col`` < lo or > hi (NULLs not flagged)
+      regex      — flag rows where ``col`` does NOT match ``pattern``
+                   (anchor the pattern yourself; reference Bates-format
+                   check integrity.py:52-58 is the model)
+    """
+
+    name: str
+    kind: str
+    col: str
+    col2: str | None = None
+    lo: object = None
+    hi: object = None
+    pattern: str | None = None
+
+
+def validate_rows(ds: Dataset, id_col: str, rules: list[Rule]) -> Dataset:
+    """Row-level violation report: one output row ``(row_id, rule)`` per
+    rule a row fails. All rules are evaluated vectorized in ONE pass over
+    each batch (k boolean masks per batch, no per-row Python). The output
+    is violation-proportional, not corpus-proportional — at 100 TB a
+    healthy corpus streams through and emits almost nothing."""
+    import pyarrow.compute as pc
+
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    out_schema = pa.schema([("row_id", id_type), ("rule", pa.string())])
+
+    def check(batch: pa.Table) -> pa.Table:
+        ids, names = [], []
+        for r in rules:
+            col = batch[r.col]
+            if r.kind == "not_null":
+                mask = pc.is_null(col)
+            elif r.kind == "non_empty":
+                blank = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(col)), 0)
+                mask = pc.fill_null(blank, True)
+            elif r.kind == "len_match":
+                mask = pc.fill_null(
+                    pc.not_equal(pc.utf8_length(col), batch[r.col2]), False)
+            elif r.kind == "range":
+                mask = pa.array([False] * batch.num_rows)
+                if r.lo is not None:
+                    mask = pc.or_(mask, pc.fill_null(pc.less(col, r.lo), False))
+                if r.hi is not None:
+                    mask = pc.or_(mask, pc.fill_null(pc.greater(col, r.hi), False))
+            elif r.kind == "regex":
+                ok = pc.fill_null(pc.match_substring_regex(col, r.pattern), False)
+                mask = pc.invert(ok)
+            else:  # pragma: no cover - construction error
+                raise ValueError(f"unknown rule kind {r.kind!r}")
+            bad = batch[id_col].filter(mask)
+            if len(bad):
+                ids.append(bad.combine_chunks() if isinstance(bad, pa.ChunkedArray) else bad)
+                names.append(pa.array([r.name] * len(bad), pa.string()))
+        if not ids:
+            return out_schema.empty_table()
+        return pa.table({
+            "row_id": pa.concat_arrays([a if isinstance(a, pa.Array) else a.combine_chunks()
+                                        for a in ids]),
+            "rule": pa.concat_arrays(names),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def referential_violations(
+    left: Dataset,
+    left_key: str,
+    right_keys: Dataset,
+    right_key: str,
+    rule_name: str,
+    id_col: str | None = None,
+    broadcast_rows_limit: int = 5_000_000,
+) -> Dataset:
+    """Rows of ``left`` whose ``left_key`` has no match in ``right_keys``
+    (reference integrity.py referential personIds check), reported in the
+    same ``(row_id, rule)`` shape as :func:`validate_rows`. Runs on the
+    size-switched anti-join: broadcast ``pc.is_in`` below the limit, the
+    partitioned-file exchange above it."""
+    from epstein_pipeline_ray.stages.joins import key_membership_join
+
+    id_col = id_col or left_key
+    bad = key_membership_join(
+        left.select_columns(sorted({left_key, id_col})), right_keys,
+        left_key, right_key, mode="anti",
+        broadcast_rows_limit=broadcast_rows_limit)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "row_id": batch[id_col],
+            "rule": pa.array([rule_name] * batch.num_rows, pa.string()),
+        })
+
+    return bad.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
