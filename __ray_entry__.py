@@ -30,6 +30,43 @@ def _sw_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang])) + "]"
 
 
+def _langid_select() -> str:
+    """SQL twin of functions/textstats.detect_lang: distinct lowered
+    whitespace tokens ∩ per-language stopword profile, argmax with
+    first-language-wins ties (dict order en,es,fr,de), CJK-ratio shortcut
+    for zh, 'und' when no profile hits. Used by the langid oracle and as
+    a CTE inside the prep_corpus_exact oracle."""
+    return f"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE list_distinct(regexp_split_to_array(
+                                     trim(lower(text)), '\\s+')) END AS words,
+                       length(regexp_replace(substr(text, 1, 200),
+                                             '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+                           AS cjk,
+                       length(substr(text, 1, 200)) AS head_len
+                FROM documents
+            ), h AS (
+                SELECT doc_id, words, cjk, head_len,
+                       len(list_intersect(words, {_sw_sql('en')})) AS en,
+                       len(list_intersect(words, {_sw_sql('es')})) AS es,
+                       len(list_intersect(words, {_sw_sql('fr')})) AS fr,
+                       len(list_intersect(words, {_sw_sql('de')})) AS de
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN len(words) = 0 THEN 'und'
+                        WHEN cjk > head_len * 0.2 THEN 'zh'
+                        WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+                        WHEN es > 0 AND es > en AND es >= fr AND es >= de THEN 'es'
+                        WHEN fr > 0 AND fr > en AND fr > es AND fr >= de THEN 'fr'
+                        WHEN de > 0 AND de > en AND de > es AND de > fr THEN 'de'
+                        ELSE 'und' END AS lang_guess
+            FROM h
+    """
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
@@ -507,6 +544,32 @@ def q_prep_corpus(sf_dir: str):
                        chunk_size=300, overlap=50)
 
 
+def q_winnow_pairs(sf_dir: str):
+    """Winnowing fingerprint-join pairs (consumer of winnow_fps): docs
+    sharing >= 2 MOSS fingerprints. Hash values are engine-internal —
+    rows-only check; the shared-substring pairing guarantee is asserted
+    in tests/test_dedup_extra.py."""
+    from epstein_pipeline_ray.stages.dedup_extra import winnow_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_pairs(docs, min_shared=2)
+
+
+def q_prep_corpus_exact(sf_dir: str):
+    """Exact-pass-only prep composition (VERDICT r1 item 9): quality gate →
+    language filter → exact dedup (drop cluster non-representatives;
+    rep = longest text, ties → larger string id) → sliding chunks → token
+    counts. Every stage is deterministic and SQL-expressible, so this twin
+    of ``prep_corpus`` gets a full DuckDB oracle."""
+    from epstein_pipeline_ray.config import DedupConfig
+    from epstein_pipeline_ray.pipelines.prep import prep_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return prep_corpus(docs, min_quality=0.2, keep_langs=("en", "und"),
+                       dedup_cfg=DedupConfig(enable_minhash=False),
+                       chunk_size=300, overlap=50)
+
+
 def q_resolve_parts(sf_dir: str):
     """Blocked entity resolution, exact tier (reference J5/J6 Splink-style
     linkage → merge map): parts sharing a normalized name resolve to the
@@ -621,8 +684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
         "prep_corpus": q_prep_corpus,
+        "prep_corpus_exact": q_prep_corpus_exact,
         "sample_per_user": q_sample_per_user,
         "winnow_fps": q_winnow_fps,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -722,38 +787,53 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio
             FROM t
         """,
-        # SQL twin of functions/textstats.detect_lang: distinct lowered
-        # whitespace tokens ∩ per-language stopword profile, argmax with
-        # first-language-wins ties (dict order en,es,fr,de), CJK-ratio
-        # shortcut for zh, 'und' when no profile hits.
-        "langid": f"""
-            WITH w AS (
-                SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                            ELSE list_distinct(regexp_split_to_array(
-                                     trim(lower(text)), '\\s+')) END AS words,
-                       length(regexp_replace(substr(text, 1, 200),
-                                             '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
-                           AS cjk,
-                       length(substr(text, 1, 200)) AS head_len
-                FROM documents
-            ), h AS (
-                SELECT doc_id, words, cjk, head_len,
-                       len(list_intersect(words, {_sw_sql('en')})) AS en,
-                       len(list_intersect(words, {_sw_sql('es')})) AS es,
-                       len(list_intersect(words, {_sw_sql('fr')})) AS fr,
-                       len(list_intersect(words, {_sw_sql('de')})) AS de
-                FROM w
+        "langid": _langid_select(),
+        # exact-pass-only prep composition: langid CTE → quality+lang gate →
+        # one representative per normalized-text group (longest text, ties →
+        # larger string id — stages/cluster.py rep semantics) → 300/50
+        # sliding chunks → whitespace token counts. Blank-normalized docs
+        # never pair in the engine's exact pass (ADVICE r1), so they get a
+        # per-doc singleton partition key here.
+        "prep_corpus_exact": f"""
+            WITH lang AS ({_langid_select()}),
+            q AS (
+                SELECT d.doc_id, d.text, l.lang_guess,
+                       round(len(list_distinct(regexp_split_to_array(
+                                 trim(d.text), '\\s+')))::DOUBLE
+                             / len(regexp_split_to_array(trim(d.text), '\\s+')), 6)
+                           AS uniq_ratio
+                FROM documents d JOIN lang l USING (doc_id)
+                WHERE length(trim(d.text)) > 0
+            ),
+            kept AS (
+                SELECT doc_id, text FROM q
+                WHERE uniq_ratio >= 0.2 AND lang_guess IN ('en', 'und')
+            ),
+            grp AS (
+                SELECT doc_id, text,
+                       row_number() OVER (
+                           PARTITION BY
+                               CASE WHEN {_NORM_SQL} = ''
+                                    THEN 'b' || doc_id::VARCHAR
+                                    ELSE 'n' || {_NORM_SQL} END
+                           ORDER BY length(text) DESC, doc_id::VARCHAR DESC
+                       ) AS rk
+                FROM kept
+            ),
+            uniq AS (
+                SELECT doc_id, text, length(text) AS n FROM grp WHERE rk = 1
             )
-            SELECT doc_id,
-                   CASE WHEN len(words) = 0 THEN 'und'
-                        WHEN cjk > head_len * 0.2 THEN 'zh'
-                        WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
-                        WHEN es > 0 AND es > en AND es >= fr AND es >= de THEN 'es'
-                        WHEN fr > 0 AND fr > en AND fr > es AND fr >= de THEN 'fr'
-                        WHEN de > 0 AND de > en AND de > es AND de > fr THEN 'de'
-                        ELSE 'und' END AS lang_guess
-            FROM h
+            SELECT doc_id, g::INT AS chunk_index, (g * 250)::BIGINT AS char_offset,
+                   substr(text, (g * 250 + 1)::INT, 300) AS chunk_text,
+                   CASE WHEN length(trim(substr(text, (g * 250 + 1)::INT, 300))) = 0
+                        THEN 0
+                        ELSE len(regexp_split_to_array(
+                                 trim(substr(text, (g * 250 + 1)::INT, 300)), '\\s+'))
+                        END::BIGINT AS n_tokens
+            FROM uniq,
+                 LATERAL unnest(generate_series(0,
+                     CASE WHEN n > 300 THEN ceil((n - 300) / 250.0)::BIGINT
+                          ELSE 0 END)) AS u(g)
         """,
         "term_links": f"""
             SELECT doc_id, term

@@ -56,8 +56,37 @@ def pack_f32(vecs) -> list[bytes]:
     return [np.asarray(v, dtype=np.float32).tobytes() for v in vecs]
 
 
+def explode_document_persons(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    persons_col: str = "person_ids",
+) -> Dataset:
+    """J7: many-to-many join-table explode (reference
+    exporters/sqlite_export.py:58-63, 221 ``document_persons``): one
+    (document_id, person_id) row per list element, built entirely from
+    Arrow list offsets (``list_parent_indices`` + ``list_flatten``) — no
+    per-row Python. Null/empty lists contribute no rows."""
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lst = batch[persons_col]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        parents = pc.list_parent_indices(lst)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "document_id": ids.take(parents),
+            "person_id": pc.list_flatten(lst),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def write_sqlite(ds: Dataset, path: str, table: str, *,
-                 blob_cols: list[str] | None = None) -> int:
+                 blob_cols: list[str] | None = None,
+                 fts_cols: list[str] | None = None) -> int:
     """K3/K5: stream a Dataset into one SQLite table (reference
     exporters/sqlite_export.py:29-414 documents/forensics tables and the
     F32-blob embedding sink, embeddings.py:328-364).
@@ -68,6 +97,9 @@ def write_sqlite(ds: Dataset, path: str, table: str, *,
     partitioned-Parquet layout above) or a writer actor serializing a
     remote DB; this mirrors the reference's local-file deployment.
     ``blob_cols`` are ``list<float>`` columns stored as packed F32 blobs.
+    ``fts_cols`` builds an external-content FTS5 full-text index over
+    those columns (reference sqlite_export.py:136-160 documents_fts:
+    virtual table + rowid-linked insert + 'optimize').
     Returns rows written."""
     import sqlite3
 
@@ -97,6 +129,17 @@ def write_sqlite(ds: Dataset, path: str, table: str, *,
             ph = ", ".join("?" for _ in cols)
             conn.executemany(f'INSERT INTO "{table}" VALUES ({ph})', rows)
             total += len(rows)
+        if fts_cols and total:
+            fts = f"{table}_fts"
+            col_list = ", ".join(f'"{c}"' for c in fts_cols)
+            conn.execute(f'DROP TABLE IF EXISTS "{fts}"')
+            conn.execute(
+                f'CREATE VIRTUAL TABLE "{fts}" USING fts5('
+                f'{col_list}, content="{table}", content_rowid="rowid")')
+            conn.execute(
+                f'INSERT INTO "{fts}"(rowid, {col_list}) '
+                f'SELECT rowid, {col_list} FROM "{table}"')
+            conn.execute(f'INSERT INTO "{fts}"("{fts}") VALUES (\'optimize\')')
         conn.commit()
     finally:
         conn.close()

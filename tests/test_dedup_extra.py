@@ -128,3 +128,44 @@ def test_bates_multi_dash_and_single_forms(ray_session):
     )
     got = bates_overlap_pairs(_ds(df), id_col="id").to_pandas()
     assert set(zip(got.id_a, got.id_b)) == {(1, 2), (1, 5), (2, 5)}
+
+
+def test_winnow_pairs_shared_substring(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.dedup_extra import winnow_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "intro words " + shared + " closing remarks",
+            "different opening " + shared + " and a different end",
+            "completely unrelated content about sqlite indexes",
+            "another unrelated row mentioning parquet footers",
+        ]),
+    })
+    df = winnow_pairs(rd.from_arrow(t), min_shared=2).to_pandas()
+    pairs = set(zip(df.id_a, df.id_b))
+    assert (1, 2) in pairs                      # long shared substring
+    assert all(3 not in p and 4 not in p for p in pairs)
+    assert (df.n_shared >= 2).all()
+
+
+def test_winnow_pairs_min_shared_filters(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.dedup_extra import winnow_pairs
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta words here",
+                          "alpha beta gamma delta words here"]),
+    })
+    loose = winnow_pairs(rd.from_arrow(t), min_shared=1).to_pandas()
+    assert len(loose) == 1
+    n = int(loose.n_shared.iloc[0])
+    strict = winnow_pairs(rd.from_arrow(t), min_shared=n + 1).to_pandas()
+    assert len(strict) == 0

@@ -45,3 +45,32 @@ def test_rollup_matches_pandas_twin_regardless_of_row_order(ray_session, tiny_tu
     # n_chars/n_turns consistency
     assert (got["n_chars"] == got["text"].str.len()).all()
     assert (got["n_turns"] == got["text"].str.count(ROLLUP_SEP) + 1).all()
+
+
+def test_nested_roundtrip_preserves_turns(ray_session):
+    """North-rule invariant through the nested representation: nest →
+    explode reproduces every turn byte-identically under stable
+    (conv_id, turn_idx) ordering."""
+    from epstein_pipeline_ray.sources.derive import turns_from_documents
+    from epstein_pipeline_ray.sources.turns import explode_turns, nest_turns
+
+    turns = turns_from_documents("/root/testdata/sf0.001")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    want = (turns.select_columns(cols).to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+    nested = nest_turns(turns)
+    ndf = nested.to_pandas()
+    assert (ndf.n_turns == ndf.segments.map(len)).all()
+    # list elements arrive in stable turn order inside each conversation
+    assert all(
+        [s["turn_idx"] for s in row] == sorted(s["turn_idx"] for s in row)
+        for row in ndf.segments
+    )
+
+    got = (explode_turns(nested).to_pandas()[cols]
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    got["ts"] = got["ts"].astype("datetime64[us]")
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
