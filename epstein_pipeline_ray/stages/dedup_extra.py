@@ -236,7 +236,7 @@ def wordset_jaccard_pairs(
     t = float(threshold)
 
     prefix_schema = pa.schema(
-        [("__id", pa.int64()), ("key", pa.int64()),
+        [("__id", pa.int64()), ("key", pa.int64()), ("tok", pa.int64()),
          ("toks", pa.binary()), ("n_toks", pa.int32()),
          ("blk", pa.string())]
     )
@@ -250,6 +250,7 @@ def wordset_jaccard_pairs(
         out_toks: list[bytes] = []
         out_n: list[int] = []
         out_blk: list[str] = []
+        out_tok: list[int] = []
         for i, s, blk in zip(ids, texts, blks):
             toks = {_token_hash64(w) for w in str(s).lower().split()}
             n = len(toks)
@@ -266,6 +267,8 @@ def wordset_jaccard_pairs(
                 # fold the block value into the join key so cross-block
                 # docs never meet
                 out_key.append(int((int(w) ^ bh) & 0x7FFFFFFFFFFFFFFF))
+                wi = int(w)
+                out_tok.append(wi if wi < (1 << 63) else wi - (1 << 64))  # int64 two's-complement view
                 out_toks.append(blob)
                 out_n.append(n)
                 out_blk.append(bstr)
@@ -273,6 +276,7 @@ def wordset_jaccard_pairs(
             {
                 "__id": pa.array(out_id, pa.int64()),
                 "key": pa.array(out_key, pa.int64()),
+                "tok": pa.array(out_tok, pa.int64()),
                 "toks": pa.array(out_toks, pa.binary()),
                 "n_toks": pa.array(out_n, pa.int32()),
                 "blk": pa.array(out_blk, pa.string()),
@@ -287,21 +291,27 @@ def wordset_jaccard_pairs(
         if batch.num_rows < 2:
             return _WORDSET_SCHEMA.empty_table()
         keys = np.asarray(batch["key"].to_numpy(zero_copy_only=False))
-        I, J = run_candidate_pairs(keys, max_bucket_size, "wordset")
+        nt = np.asarray(batch["n_toks"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # sort each bucket by set size so candidate enumeration can bound
+        # the partner window (J >= t forces t <= |A|/|B| <= 1/t) — flood
+        # buckets emit only size-compatible pairs instead of C(n,2)
+        order = np.lexsort((nt, keys))
+        keys, nt = keys[order], nt[order]
+        I, J = _size_window_pairs(keys, nt, t, max_bucket_size)
         if I.size == 0:
             return _WORDSET_SCHEMA.empty_table()
-        ids = np.asarray(batch["__id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        I, J = order[I], order[J]
         nt = np.asarray(batch["n_toks"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        # size prefilter: J >= t forces t <= |A|/|B| <= 1/t
-        na, nb = nt[I], nt[J]
-        keep = (ids[I] != ids[J]) & (np.minimum(na, nb) >= t * np.maximum(na, nb))
+        ids = np.asarray(batch["__id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = ids[I] != ids[J]
         I, J = I[keep], J[keep]
         if I.size == 0:
             return _WORDSET_SCHEMA.empty_table()
         ia = np.minimum(ids[I], ids[J])
         ib = np.maximum(ids[I], ids[J])
-        first = _distinct_pair_rows(ia, ib)
-        I, J, ia, ib = I[first], J[first], ia[first], ib[first]
+        # (no pair-distinct here: the ownership filter below keeps exactly
+        # one copy of each pair globally, making every distinct pass —
+        # in-block and the old second exchange — redundant)
         # folded-key collisions across blocks: require equal block values
         blk_codes = np.asarray(
             batch["blk"].combine_chunks().dictionary_encode().indices
@@ -316,37 +326,47 @@ def wordset_jaccard_pairs(
         if isinstance(toks_col, pa.ChunkedArray):
             toks_col = toks_col.combine_chunks()
         nt_all = nt
-        W = int(nt_all.max())
-        if W <= 64:
-            # vectorized verify: pad sorted hash sets into one (rows, W)
-            # matrix, intersection per pair = equality-broadcast count
-            # (W^2 byte-ops per pair, all in C)
-            blobs = toks_col.to_pylist()
-            P = np.zeros((batch.num_rows, W), dtype=np.uint64)
-            for r, blob in enumerate(blobs):
-                v = np.frombuffer(blob, dtype=np.uint64)
-                P[r, : v.size] = v
-            # pads are 0; a real blake2b hash of 0 is ~impossible, and even
-            # then both sides' pads align so counts stay consistent
-            inter = np.zeros(I.size, dtype=np.int64)
-            chunk = 1 << 16
-            for lo in range(0, I.size, chunk):
-                A = P[I[lo : lo + chunk]]
-                B = P[J[lo : lo + chunk]]
-                eq = A[:, :, None] == B[:, None, :]
-                # mask pad-vs-pad equality (both zero)
-                eq &= A[:, :, None] != np.uint64(0)
-                inter[lo : lo + chunk] = eq.sum(axis=(1, 2))
-            union = nt_all[I] + nt_all[J] - inter
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        else:
-            jac = np.empty(I.size, dtype=np.float64)
-            for k, (i_pos, j_pos) in enumerate(zip(I, J)):
-                A = np.frombuffer(toks_col[int(i_pos)].as_py(), dtype=np.uint64)
-                B = np.frombuffer(toks_col[int(j_pos)].as_py(), dtype=np.uint64)
-                inter = np.intersect1d(A, B, assume_unique=True).size
-                union = A.size + B.size - inter
-                jac[k] = inter / union if union else 0.0
+        PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+        # padded sorted-set matrix (rows sorted, MAX pads at the tail),
+        # built ONLY for rows that survived candidate filtering — a
+        # prefix row's blob is its doc's whole token set, so untouched
+        # rows (most of a flood partition) are never decoded
+        used = np.unique(np.concatenate([I, J]))
+        remap = np.full(batch.num_rows, -1, dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        nt_u = nt_all[used]
+        W = int(nt_u.max())
+        blobs = toks_col.take(pa.array(used, pa.int64())).to_pylist()
+        P = np.full((used.size, W), PAD, dtype=np.uint64)
+        for r, blob in enumerate(blobs):
+            v = np.frombuffer(blob, dtype=np.uint64)
+            P[r, : v.size] = v
+        Iu, Ju = remap[I], remap[J]
+
+        # ppjoin positional filter: a pair is owned by the bucket of its
+        # SMALLEST token shared by both prefixes — every other bucket
+        # skips it, so a pair is verified (and emitted) exactly once
+        # across the whole job, not once per shared prefix token.
+        tok = np.asarray(batch["tok"].to_numpy(zero_copy_only=False)).view(np.uint64)
+        plen_u = (nt_u - np.ceil(t * nt_u).astype(np.int64) + 1).astype(np.int64)
+        Wp = int(plen_u.max())
+        colp = np.arange(Wp)
+        Q = np.where(colp[None, :] < plen_u[:, None], P[:, :Wp], PAD)
+        _, mins = _sorted_concat_stats(
+            Q, Iu, Ju, np.maximum(plen_u[Iu], plen_u[Ju]), PAD, want_min=True)
+        own = mins == tok[I]
+        I, J, ia, ib = I[own], J[own], ia[own], ib[own]
+        Iu, Ju = Iu[own], Ju[own]
+        if I.size == 0:
+            return _WORDSET_SCHEMA.empty_table()
+
+        # exact verify: merge-count duplicates of the two sorted sets —
+        # O(w log w) per pair (np row sort) instead of the old W^2
+        # equality broadcast
+        inter, _ = _sorted_concat_stats(
+            P, Iu, Ju, np.maximum(nt_u[Iu], nt_u[Ju]), PAD, want_min=False)
+        union = nt_all[I] + nt_all[J] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         keep = jac >= t
         return pa.table(
             {
@@ -357,9 +377,95 @@ def wordset_jaccard_pairs(
             schema=_WORDSET_SCHEMA,
         )
 
-    raw = map_key_blocks(prefix_rows, ["key"], block_fn, num_partitions)
-    return map_key_blocks(raw, ["id_a", "id_b"],
-                          _make_distinct_block(_WORDSET_SCHEMA), num_partitions)
+    # ONE exchange total: the ownership filter makes pair emission globally
+    # unique, so no distinct pass is needed afterwards
+    return map_key_blocks(prefix_rows, ["key"], block_fn, num_partitions)
+
+
+def _size_window_pairs(
+    keys: np.ndarray, nt: np.ndarray, t: float, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate (i, j) index pairs per key run, enumerating only
+    size-compatible partners: within a run sorted by set size ascending,
+    i pairs with j > i while ``nt[j] <= nt[i] / t`` (J >= t forces
+    min >= t*max) — a flood bucket of mixed sizes emits the provable
+    subset directly instead of C(n,2)-then-filter. Runs longer than
+    ``cap`` fall back to the star+chain skew cap with metrics accounting
+    (same policy as :func:`run_candidate_pairs`)."""
+    n = len(keys)
+    starts = np.concatenate([[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1]).astype(np.int64)
+    lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    n_capped = 0
+    pairs_capped = 0
+    for s, ln in zip(starts, lens):
+        if ln < 2:
+            continue
+        if ln > cap:
+            star_i = np.zeros(ln - 1, dtype=np.int64)
+            star_j = np.arange(1, ln, dtype=np.int64)
+            chain_i = np.arange(ln - 2, dtype=np.int64)
+            out_i.append(s + np.concatenate([star_i, chain_i + 1]))
+            out_j.append(s + np.concatenate([star_j, chain_i + 2]))
+            n_capped += 1
+            pairs_capped += ln * (ln - 1) // 2 - (2 * ln - 3)
+            continue
+        sub = nt[s : s + ln]
+        u = np.searchsorted(sub, sub.astype(np.float64) / t + 1e-9, side="right") - 1
+        idx = np.arange(ln, dtype=np.int64)
+        cnt = np.maximum(u - idx, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        I = np.repeat(idx, cnt)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        out_i.append(s + I)
+        out_j.append(s + I + 1 + pos)
+    if n_capped:
+        from epstein_pipeline_ray.state import metrics
+
+        metrics.inc("wordset.buckets_capped", n_capped)
+        metrics.inc("wordset.pairs_capped", pairs_capped)
+    if not out_i:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _sorted_concat_stats(
+    M: np.ndarray, I: np.ndarray, J: np.ndarray, widths: np.ndarray,
+    PAD: np.uint64, want_min: bool, chunk: int = 1 << 14,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Batched stats over pairs of sorted uint64 sets. ``M`` is a
+    (rows, W) row-sorted matrix padded with ``PAD`` at the tail; the
+    pairs are ``(M[I[k]], M[J[k]])`` and ``widths[k]`` bounds both sets'
+    sizes. Returns per-pair (intersection size, min shared value or PAD
+    if none); duplicates can only be real values (sets), so
+    adjacent-equality after a row sort of the concatenation counts the
+    intersection in O(w log w) per pair.
+
+    Pairs are processed in width-sorted chunks with columns sliced to the
+    chunk's own max width — a partition mixing 30-token and 3000-token
+    buckets pays each pair at ITS width, not the partition max (the skew
+    that made one flood-bucket task 10x the mean)."""
+    n = I.shape[0]
+    inter = np.empty(n, dtype=np.int64)
+    mins = np.full(n, PAD, dtype=np.uint64) if want_min else None
+    ordw = np.argsort(widths, kind="stable")
+    for lo in range(0, n, chunk):
+        sel = ordw[lo:lo + chunk]
+        Wc = int(widths[sel].max())
+        C = np.concatenate([M[I[sel], :Wc], M[J[sel], :Wc]], axis=1)
+        C.sort(axis=1)
+        dup = C[:, 1:] == C[:, :-1]
+        dup &= C[:, 1:] != PAD
+        inter[sel] = dup.sum(axis=1)
+        if want_min:
+            first = np.argmax(dup, axis=1)
+            vals = C[np.arange(C.shape[0]), first + 1]
+            mins[sel] = np.where(dup.any(axis=1), vals, PAD)
+    return inter, mins
 
 
 # ---------------------------------------------------------------------------
