@@ -227,6 +227,17 @@ def q_wordset_jaccard(sf_dir: str):
     return wordset_jaccard_pairs(docs, threshold=0.9)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Word-trigram Jaccard near-dup pairs (the n-gram Jaccard dedup
+    mode): same ppjoin prefix-filter engine as wordset_jaccard but over
+    hashed word 3-grams — shared-phrase (not shared-vocabulary) dedup,
+    exact up to 64-bit hash collisions."""
+    from epstein_pipeline_ray.stages.dedup_extra import wordset_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return wordset_jaccard_pairs(docs, threshold=0.5, ngram=3)
+
+
 def q_simhash_pairs(sf_dir: str):
     from epstein_pipeline_ray.stages.dedup_extra import simhash_pairs
 
@@ -580,6 +591,57 @@ def q_resolve_parts(sf_dir: str):
     return resolve_entities(parts, "p_partkey", "p_name")
 
 
+# Fellegi–Sunter m/u probabilities for the parts linkage demo (shared by
+# the engine call and the SQL oracle so weight literals are identical
+# doubles on both sides)
+_FS_COMPARISONS = [
+    ("p_name", 0.95, 0.005),
+    ("p_brand", 0.9, 0.04),
+    ("p_type", 0.9, 0.0066667),
+    ("p_size", 0.9, 0.02),
+]
+_FS_PRIOR = 0.001
+_FS_THRESHOLD = 2.0
+
+
+def _fs_weight_sql() -> str:
+    """Left-to-right CASE-sum twin of fs_score_pairs' weight loop: the
+    agree/disagree literals are repr() of the identical math.log2
+    doubles, so both sides add the same IEEE values in the same order."""
+    import math
+
+    terms = []
+    for col, m, u in _FS_COMPARISONS:
+        wa, wd = math.log2(m / u), math.log2((1.0 - m) / (1.0 - u))
+        terms.append(
+            f"(CASE WHEN a.{col} IS NULL OR b.{col} IS NULL THEN 0.0 "
+            f"WHEN a.{col} = b.{col} THEN {wa!r} ELSE {wd!r} END)"
+        )
+    return " + ".join(terms)
+
+
+def q_fs_score(sf_dir: str):
+    """Fellegi–Sunter probabilistic record linkage over parts (reference
+    J5, the Splink-style scored tier): blocked on the first name word,
+    each field comparison contributes a log2 Bayes factor from its m/u
+    probabilities; pairs above the weight threshold emit with the
+    posterior match probability."""
+    from epstein_pipeline_ray.stages.entity_resolution import fs_score_pairs
+
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+
+    def add_blk(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        blk = pc.list_element(pc.split_pattern(batch["p_name"], " "), 0)
+        return batch.append_column("blk", blk)
+
+    ds = parts.map_batches(add_blk, batch_format="pyarrow", zero_copy_batch=True)
+    return fs_score_pairs(ds, "p_partkey", "blk", _FS_COMPARISONS,
+                          weight_threshold=_FS_THRESHOLD, prior=_FS_PRIOR)
+
+
 def q_confidence_match(sf_dir: str):
     """Tiered confidence matching (reference confidence.py:30-119 ladder:
     exact 1.0 / alias 0.95 / fuzzy 0.85+0.75 / substring 0.60) of derived
@@ -660,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
         "quality": q_quality,
@@ -683,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "confidence_match": q_confidence_match,
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
+        "fs_score": q_fs_score,
         "prep_corpus": q_prep_corpus,
         "prep_corpus_exact": q_prep_corpus_exact,
         "sample_per_user": q_sample_per_user,
@@ -771,6 +835,27 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """,
+        "ngram_jaccard": """
+            -- word-trigram Jaccard: docs with < 3 words have no trigrams
+            -- and never pair (mirrors the engine's empty-token skip)
+            WITH w AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            t AS (
+                SELECT doc_id, lang,
+                       list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      for i in generate_series(1, len(ws)-2)]) AS toks
+                FROM w WHERE len(ws) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
         """,
         "token_counts": """
             SELECT doc_id,
@@ -1025,6 +1110,27 @@ def oracle_sql() -> dict[str, str]:
                    min(p_partkey) OVER (
                        PARTITION BY lower(trim(p_name))) AS canonical_id
             FROM part
+        """,
+        "fs_score": f"""
+            -- Fellegi–Sunter: weight literals are repr() of the same
+            -- Python math.log2 doubles the engine uses; term order and
+            -- left-to-right IEEE addition match fs_score_pairs exactly
+            WITH p AS (
+                SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                       split_part(p_name, ' ', 1) AS blk
+                FROM part
+            ),
+            s AS (
+                SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                       {_fs_weight_sql()} AS w
+                FROM p a JOIN p b
+                  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            )
+            SELECT id_a, id_b, round(w, 6) AS match_weight,
+                   round({_FS_PRIOR!r} * pow(2.0, w)
+                         / ({_FS_PRIOR!r} * pow(2.0, w) + 1 - {_FS_PRIOR!r}),
+                         6) AS match_probability
+            FROM s WHERE w >= {_FS_THRESHOLD!r}
         """,
         "sample_per_user": """
             SELECT event_id, ts, user_id FROM (

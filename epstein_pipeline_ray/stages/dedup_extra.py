@@ -210,6 +210,7 @@ def wordset_jaccard_pairs(
     block_col: str | None = "lang",
     num_partitions: int | None = None,
     max_bucket_size: int = 4096,
+    ngram: int = 1,
 ) -> Dataset:
     """Word-set Jaccard near-dup pairs via **prefix filtering** (the
     ppjoin family, Xiao et al., WWW'08): tokens are hashed to uint64 and
@@ -230,6 +231,12 @@ def wordset_jaccard_pairs(
     Blank/whitespace-only docs tokenize to the empty set and emit no
     prefix rows — they never pair (the ADVICE r1 blank-doc alignment;
     the SQL oracle filters them explicitly).
+
+    ``ngram > 1`` switches the token universe from single words to
+    space-joined word n-grams (the *n-gram Jaccard* dedup mode): docs
+    with fewer than ``ngram`` words have no tokens and never pair.
+    N-grams are far more discriminative than single words, so the same
+    ppjoin machinery yields near-exact shared-phrase dedup.
     """
     cols = [id_col, text_col] + ([block_col] if block_col else [])
     pruned = docs.select_columns(cols)
@@ -252,7 +259,14 @@ def wordset_jaccard_pairs(
         out_blk: list[str] = []
         out_tok: list[int] = []
         for i, s, blk in zip(ids, texts, blks):
-            toks = {_token_hash64(w) for w in str(s).lower().split()}
+            words = str(s).lower().split()
+            if ngram <= 1:
+                toks = {_token_hash64(w) for w in words}
+            else:
+                toks = {
+                    _token_hash64(" ".join(words[j:j + ngram]))
+                    for j in range(len(words) - ngram + 1)
+                }
             n = len(toks)
             if n == 0:
                 continue

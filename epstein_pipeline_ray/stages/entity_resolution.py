@@ -100,6 +100,109 @@ def resolve_entities(
     return map_key_blocks(keyed, ["block_key"], per_block, num_partitions)
 
 
+FS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()),
+     ("match_weight", pa.float64()), ("match_probability", pa.float64())]
+)
+
+
+def fs_score_pairs(
+    ds: Dataset,
+    id_col: str,
+    block_col: str,
+    comparisons: list[tuple[str, float, float]],
+    weight_threshold: float = 0.0,
+    prior: float = 0.001,
+    num_partitions: int | None = None,
+    max_block_size: int = 10_000,
+) -> Dataset:
+    """Fellegi–Sunter scored record linkage (the reference's Splink-style
+    probabilistic tier, J5: entity_resolution.py — blocked comparison
+    with per-field m/u probabilities → log2 Bayes-factor match weight).
+
+    ``comparisons`` is ``[(col, m, u), ...]``: an agreeing field adds
+    ``log2(m/u)``, a disagreeing field adds ``log2((1-m)/(1-u))``, and a
+    field NULL on either side contributes 0 (no information — Splink's
+    null treatment). ``match_probability`` is the posterior
+    ``prior*2^w / (prior*2^w + 1 - prior)``.
+
+    Ray shape: ONE keyed exchange on ``block_col``; inside each
+    key-sorted block, candidate pairs are enumerated batch-wise
+    (``run_candidate_pairs`` — blocks beyond ``max_block_size`` fall to
+    the star+chain cap with metrics accounting) and every field compares
+    via dictionary codes, so scoring is pure numpy. Weight terms
+    accumulate in ``comparisons`` order with IEEE left-to-right addition
+    to stay bit-equal with the SQL oracle's ``CASE + CASE + ...`` chain.
+    """
+    import math
+
+    import numpy as np
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.dedup_extra import run_candidate_pairs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    terms = [
+        (col, math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+        for col, m, u in comparisons
+    ]
+    cols = [id_col, block_col] + [c for c, _, _ in comparisons]
+
+    def block_fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows < 2:
+            return FS_SCHEMA.empty_table()
+
+        def codes_valid(name: str) -> tuple[np.ndarray, np.ndarray]:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = col.dictionary_encode()
+            codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False))
+            valid = np.asarray(pc.is_valid(col).to_numpy(zero_copy_only=False))
+            return codes, valid
+
+        bcodes, bvalid = codes_valid(block_col)
+        # exchange partitions hold many blocks: sort by block code, pair
+        # within runs (NULL block keys never pair)
+        order = np.argsort(np.where(bvalid, bcodes, -1), kind="stable")
+        keys = np.where(bvalid, bcodes, -1)[order]
+        lo = int(np.searchsorted(keys, 0))
+        I, J = run_candidate_pairs(keys[lo:], max_block_size, "fs")
+        if I.size == 0:
+            return FS_SCHEMA.empty_table()
+        I, J = order[I + lo], order[J + lo]
+
+        weight = np.zeros(I.size, dtype=np.float64)
+        for col, wa, wd in terms:
+            c, v = codes_valid(col)
+            both = v[I] & v[J]
+            weight = weight + np.where(
+                both, np.where(c[I] == c[J], wa, wd), 0.0
+            )
+        keep = weight >= weight_threshold
+        if not keep.any():
+            return FS_SCHEMA.empty_table()
+        I, J, weight = I[keep], J[keep], weight[keep]
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        bayes = np.power(2.0, weight)
+        prob = prior * bayes / (prior * bayes + 1.0 - prior)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ids[I], ids[J]), pa.int64()),
+                "id_b": pa.array(np.maximum(ids[I], ids[J]), pa.int64()),
+                "match_weight": pa.array(sql_round(weight, 6), pa.float64()),
+                "match_probability": pa.array(sql_round(prob, 6), pa.float64()),
+            },
+            schema=FS_SCHEMA,
+        )
+
+    return map_key_blocks(ds.select_columns(cols), [block_col], block_fn,
+                          num_partitions)
+
+
 def apply_merge_map(ds: Dataset, merge_map: Dataset, col: str,
                     broadcast_rows_limit: int = 2_000_000) -> Dataset:
     """Merge-map application (reference J6, entity_resolution.py:276-285):

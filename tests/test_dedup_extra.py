@@ -97,6 +97,33 @@ def test_wordset_prefix_filter_matches_bruteforce(ray_session, docs_df):
     assert got_pairs == want and len(want) > 0
 
 
+def test_ngram_jaccard_matches_bruteforce(ray_session, docs_df):
+    """ngram=3 switches the token universe to word trigrams; output must
+    equal the brute-force trigram-set Jaccard scan (docs with < 3 words
+    have no tokens and never pair)."""
+    from epstein_pipeline_ray.stages.dedup_extra import wordset_jaccard_pairs
+
+    got = wordset_jaccard_pairs(_ds(docs_df), threshold=0.4, ngram=3).to_pandas()
+    got_pairs = {(a, b): j for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+
+    def trigrams(t):
+        w = str(t).lower().split()
+        return {" ".join(w[j:j + 3]) for j in range(len(w) - 2)}
+
+    toks = {i: trigrams(t) for i, t in zip(docs_df.doc_id, docs_df.text)}
+    langs = dict(zip(docs_df.doc_id, docs_df.lang))
+    want = {}
+    for ia, ib in itertools.combinations(sorted(toks), 2):
+        if langs[ia] != langs[ib] or not toks[ia] or not toks[ib]:
+            continue
+        sa, sb = toks[ia], toks[ib]
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.4:
+            want[(ia, ib)] = round(j, 6)
+    assert got_pairs == want and len(want) > 0
+
+
 def test_wordset_blank_docs_never_pair(ray_session):
     from epstein_pipeline_ray.stages.dedup_extra import wordset_jaccard_pairs
 

@@ -54,3 +54,59 @@ def test_fuzzy_tier_and_apply(people, ray_session):
     )
     applied = apply_merge_map(refs, merge, "pid").to_pandas().sort_values("doc")
     assert applied["pid"].tolist() == [1, 4, 6]
+
+
+def test_fs_score_matches_bruteforce(ray_session):
+    """Fellegi–Sunter weights equal a brute-force per-pair log2 Bayes sum,
+    NULL fields contribute zero, NULL block keys never pair."""
+    import itertools
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.entity_resolution import fs_score_pairs
+
+    rng = np.random.default_rng(7)
+    n = 400
+    blocks = [f"b{i}" for i in rng.integers(0, 12, n)]
+    blocks[0] = None  # NULL block: rows never pair
+    rows = {
+        "rid": pa.array(range(n), pa.int64()),
+        "blk": pa.array(blocks),
+        "c1": pa.array(
+            [None if i % 37 == 0 else f"v{x}" for i, x in enumerate(rng.integers(0, 6, n))]
+        ),
+        "c2": pa.array(rng.integers(0, 4, n), pa.int64()),
+    }
+    comparisons = [("c1", 0.9, 0.1), ("c2", 0.8, 0.25)]
+    got = (
+        fs_score_pairs(rd.from_arrow(pa.table(rows)), "rid", "blk",
+                       comparisons, weight_threshold=0.5, prior=0.01)
+        .to_pandas()
+    )
+    got_map = {
+        (a, b): (w, p)
+        for a, b, w, p in zip(got.id_a, got.id_b, got.match_weight,
+                              got.match_probability)
+    }
+
+    terms = [(c, math.log2(m / u), math.log2((1 - m) / (1 - u)))
+             for c, m, u in comparisons]
+    cols = {k: v.to_pylist() for k, v in rows.items()}
+    want = {}
+    for i, j in itertools.combinations(range(n), 2):
+        if cols["blk"][i] is None or cols["blk"][i] != cols["blk"][j]:
+            continue
+        w = 0.0
+        for c, wa, wd in terms:
+            vi, vj = cols[c][i], cols[c][j]
+            if vi is None or vj is None:
+                continue
+            w += wa if vi == vj else wd
+        if w >= 0.5:
+            prob = 0.01 * 2.0 ** w / (0.01 * 2.0 ** w + 0.99)
+            want[(i, j)] = (float(sql_round(np.float64(w), 6)),
+                            float(sql_round(np.float64(prob), 6)))
+    assert got_map == want and len(want) > 0
