@@ -344,6 +344,18 @@ def q_minhash_docs(sf_dir: str):
     return minhash_pairs(renamed, DedupConfig())
 
 
+def q_minhash_true_jaccard(sf_dir: str):
+    """Oracle-exact MinHash sibling (VERDICT r1 item 9): LSH banding is
+    candidate generation only (r=2 x b=64 → miss prob ~4e-29 at the 0.8
+    threshold) and the confirm is the TRUE char-5-shingle set Jaccard, so
+    the output equals DuckDB's brute-force shingle-set self-join
+    pair-for-pair, 6-decimal value-exact."""
+    from epstein_pipeline_ray.stages.minhash_stage import minhash_true_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_true_jaccard_pairs(docs, threshold=0.8)
+
+
 def q_title_fuzzy(sf_dir: str):
     """Blocking-then-fuzzy pass (reference G2) on part names: block by
     first word, normalized-indel ratio >= 0.9 within the block. Indel
@@ -734,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
         "minhash_docs": q_minhash_docs,
+        "minhash_true_jaccard": q_minhash_true_jaccard,
         "title_fuzzy": q_title_fuzzy,
         "bates_overlap": q_bates_overlap,
         "term_cooccur": q_term_cooccur,
@@ -818,6 +831,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+        """,
+        "minhash_true_jaccard": """
+            -- brute-force true char-5-shingle Jaccard self-join (exploded
+            -- relational form: the list_intersect pair scan is ~34ms/pair);
+            -- the engine reaches the same rows via LSH banding (wide-recall
+            -- r=2 x b=64 candidates) + 64-bit shingle-hash set confirm
+            WITH n AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(t) < 5 THEN [t]
+                                   ELSE list_distinct([substr(t, i, 5)
+                                        for i in generate_series(1, length(t) - 4)]) END) AS s
+                FROM n
+            ),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (ca.c + cb.c - i), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8
         """,
         "wordset_jaccard": """
             -- blank/whitespace-only docs tokenize to the empty set in the

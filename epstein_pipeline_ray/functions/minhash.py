@@ -74,6 +74,31 @@ def shingle_hashes(normalized: str, k: int) -> np.ndarray:
     return np.unique(_mix64(h) & _MAX_HASH32)
 
 
+def shingle_hashes64(normalized: str, k: int) -> np.ndarray:
+    """Full-width variant of :func:`shingle_hashes` (no 32-bit mask).
+
+    Used where the shingle-hash SET itself is the statistic (true-Jaccard
+    confirm): at ~10^6 distinct shingles the 32-bit space yields ~100
+    colliding shingle pairs — enough to move a 6-decimal Jaccard off a
+    string-set oracle — while 64 bits leave ~3e-8 expected collisions.
+    ``signature()`` truncates these to uint32 internally, so the same
+    array feeds both the LSH candidates and the exact confirm.
+    """
+    cps = np.frombuffer(normalized.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = cps.shape[0]
+    if n < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for c in cps:
+            h = h * _POLY_BASE + c
+        h = h * _POLY_BASE + np.uint64(n)
+        return _mix64(h)
+    m = n - k + 1
+    h = cps[0:m].copy()
+    for j in range(1, k):
+        h = h * _POLY_BASE + cps[j : j + m]
+    return np.unique(_mix64(h))
+
+
 @lru_cache(maxsize=8)
 def permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) affine-permutation parameters, shape (num_perm,).

@@ -523,3 +523,174 @@ def minhash_pairs(docs: Dataset, cfg: DedupConfig,
 
     raw = minhash_raw_pairs(docs, cfg, num_partitions)
     return map_key_blocks(raw, ["id_a", "id_b"], _dedup_pairs_block, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# oracle-exact variant: LSH candidates + TRUE shingle-set Jaccard confirm
+# ---------------------------------------------------------------------------
+
+_TRUE_CAND_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+_TRUE_PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def minhash_true_jaccard_pairs(
+    docs: Dataset,
+    threshold: float = 0.8,
+    k: int = 5,
+    bands: int = 64,
+    rows: int = 2,
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """MinHash-LSH candidate generation confirmed by the TRUE char-k-shingle
+    set Jaccard — the oracle-exact sibling of :func:`minhash_pairs`
+    (VERDICT r1 item 9).
+
+    LSH here is candidates only: with the wide-recall default banding
+    (r=2 x b=64) a pair sitting exactly at jaccard 0.8 shares a band with
+    probability 0.64, so the miss probability is 0.36^64 ~ 4e-29 — the
+    output equals the exact threshold-Jaccard self-join on any realistic
+    corpus, and is verified pair-for-pair against a DuckDB brute-force
+    shingle-set oracle. The confirm statistic uses 64-bit shingle hashes
+    (:func:`shingle_hashes64`) so hash-vs-string-set divergence is
+    ~2^-64 per shingle pair, invisible at 6-decimal rounding.
+
+    Scale shape: shingle sets do NOT ride the (x bands) band rows — band
+    rows are (bucket, id) only, candidate pairs are made globally distinct
+    FIRST, and the two per-side set attachments go through the
+    size-switched ``attach_column`` exchange, so set bytes cross the wire
+    once per confirmed candidate side, not once per band. No
+    ``max_bucket_size`` cap: this operator promises the exact join, so a
+    degenerate all-identical corpus costs O(n^2) pairs — the same rows the
+    oracle emits. Reference semantics: dedup.py:332-398 (LSH index +
+    confirm), with the signature-estimate confirm replaced by the true set
+    statistic.
+    """
+    from epstein_pipeline_ray.functions.minhash import shingle_hashes64, signature
+    from epstein_pipeline_ray.functions.normalize import normalize_text
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    num_perm = bands * rows
+
+    def base_stage(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        sh: list[np.ndarray] = []
+        sigs = np.empty((n, num_perm), dtype=np.uint32)
+        for i, t in enumerate(texts):
+            h64 = shingle_hashes64(normalize_text(t or ""), k)
+            sh.append(h64)
+            sigs[i] = signature(h64, num_perm, seed)
+        bk = band_keys(sigs, bands, rows)
+        return pa.table(
+            {
+                "id": batch[id_col].cast(pa.int64()),
+                "sh": pa.array([a.tolist() for a in sh], pa.list_(pa.uint64())),
+                "bk": pa.array([r.tolist() for r in bk], pa.list_(pa.uint64())),
+            }
+        )
+
+    base = docs.map_batches(
+        base_stage, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: band explode + set attach
+    sets = base.select_columns(["id", "sh"])
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([("bucket", pa.uint64()), ("id", pa.int64())]).empty_table()
+        bkcol = batch["bk"]
+        if isinstance(bkcol, pa.ChunkedArray):
+            bkcol = bkcol.combine_chunks()
+        ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": bkcol.values,
+                "id": pa.array(np.repeat(ids, bands), pa.int64()),
+            }
+        )
+
+    band_ds = base.select_columns(["id", "bk"]).map_batches(
+        explode_bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_pairs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _TRUE_CAND_SCHEMA.empty_table()
+        b = np.asarray(block["bucket"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(block["id"].to_numpy(zero_copy_only=False))
+        starts = np.concatenate(
+            [[0], np.nonzero(b[1:] != b[:-1])[0] + 1, [len(b)]]
+        ).astype(np.int64)
+        outs_a: list[np.ndarray] = []
+        outs_b: list[np.ndarray] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = int(e - s)
+            if m < 2:
+                continue
+            I, J = np.triu_indices(m, 1)
+            gi = ids[s:e]
+            outs_a.append(gi[I])
+            outs_b.append(gi[J])
+        if not outs_a:
+            return _TRUE_CAND_SCHEMA.empty_table()
+        a = np.concatenate(outs_a)
+        bb = np.concatenate(outs_b)
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        # two bands of the same doc can collide into one bucket value
+        nontriv = lo != hi
+        lo, hi = lo[nontriv], hi[nontriv]
+        if lo.size == 0:
+            return _TRUE_CAND_SCHEMA.empty_table()
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        keep = np.concatenate([[True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])])
+        return pa.table({"id_a": pa.array(lo[keep]), "id_b": pa.array(hi[keep])})
+
+    cand = map_key_blocks(band_ds, ["bucket"], bucket_pairs, num_partitions)
+
+    def distinct_pairs(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _TRUE_CAND_SCHEMA.empty_table()
+        a = np.asarray(block["id_a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(block["id_b"].to_numpy(zero_copy_only=False))
+        keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        return block.filter(pa.array(keep)).cast(_TRUE_CAND_SCHEMA)
+
+    pairs = map_key_blocks(cand, ["id_a", "id_b"], distinct_pairs, num_partitions)
+    pairs = attach_column(pairs, sets, "id_a", "id", "sh", "sh_a",
+                          num_partitions=num_partitions)
+    pairs = attach_column(pairs, sets, "id_b", "id", "sh", "sh_b",
+                          num_partitions=num_partitions)
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _TRUE_PAIRS_SCHEMA.empty_table()
+        sa = batch["sh_a"]
+        sb = batch["sh_b"]
+        if isinstance(sa, pa.ChunkedArray):
+            sa = sa.combine_chunks()
+        if isinstance(sb, pa.ChunkedArray):
+            sb = sb.combine_chunks()
+        va, oa = np.asarray(sa.values), np.asarray(sa.offsets)
+        vb, ob = np.asarray(sb.values), np.asarray(sb.offsets)
+        n = batch.num_rows
+        jac = np.empty(n, np.float64)
+        for i in range(n):
+            A = va[oa[i] : oa[i + 1]]
+            B = vb[ob[i] : ob[i + 1]]
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            jac[i] = inter / float(A.size + B.size - inter)
+        mask = jac >= threshold  # unrounded compare, exactly as the SQL WHERE
+        out = batch.select(["id_a", "id_b"]).filter(pa.array(mask))
+        return out.append_column(
+            "jaccard", pa.array(sql_round(jac[mask], 6), pa.float64())
+        ).cast(_TRUE_PAIRS_SCHEMA)
+
+    return pairs.map_batches(confirm, batch_format="pyarrow", zero_copy_batch=True)
