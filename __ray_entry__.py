@@ -697,13 +697,16 @@ def q_confidence_match(sf_dir: str):
 
 
 def q_lsh_neardup(sf_dir: str):
-    """LSH-bucketed cosine near-dup (ANN scale path; exact confirm, recall
-    approximate — rows-only check; quality asserted vs brute force in
-    tests/test_embed_lsh.py)."""
+    """LSH-bucketed cosine near-dup (ANN scale path; exact cosine confirm,
+    recall approximate in general). At bits=4 x tables=96 a pair sitting
+    exactly at cos 0.45 (collision prob p=1-acos(0.45)/pi=0.6485 per bit)
+    is missed w.p. (1-p^4)^96 ~ 7e-9, so the output equals the brute-force
+    threshold join and is DuckDB-oracled; recall at production widths is
+    asserted vs brute force in tests/test_embed_lsh.py."""
     from epstein_pipeline_ray.stages.embed import lsh_neardup_pairs
 
     vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_neardup_pairs(vecs, threshold=0.45, bits=4, tables=32)
+    return lsh_neardup_pairs(vecs, threshold=0.45, bits=4, tables=96)
 
 
 # ---------------------------------------------------------------------------
@@ -1005,6 +1008,15 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "lsh_neardup": """
+            -- the engine reaches these rows via random-hyperplane banding
+            -- (bits=4 x tables=96 → miss prob ~7e-9 at the 0.45 threshold)
+            -- + exact cosine confirm; the oracle is the brute-force join
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "bates_overlap": """
             WITH b AS (
