@@ -366,6 +366,18 @@ def q_title_fuzzy(sf_dir: str):
     return title_fuzzy_pairs(parts, threshold=0.90, id_col="p_partkey", title_col="p_name")
 
 
+def q_title_lev(sf_dir: str):
+    """First-word-blocked fuzzy titles with LEVENSHTEIN ratio — the
+    DuckDB-expressible sibling of q_title_fuzzy (indel/LCS is not a DuckDB
+    builtin; levenshtein() is). Same blocked exchange + batched DP kernel,
+    vectorized across pairs via the min-plus scan."""
+    from epstein_pipeline_ray.stages.dedup_extra import title_fuzzy_pairs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return title_fuzzy_pairs(parts, threshold=0.65, id_col="p_partkey",
+                             title_col="p_name", metric="lev")
+
+
 def q_bates_overlap(sf_dir: str):
     """Range-overlap self-join (reference J3/M5/M6) on bates-style ranges
     derived deterministically from the documents table."""
@@ -751,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "title_fuzzy": q_title_fuzzy,
+        "title_lev": q_title_lev,
         "bates_overlap": q_bates_overlap,
         "term_cooccur": q_term_cooccur,
         "entities": q_entities,
@@ -1008,6 +1021,19 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "title_lev": """
+            WITH t AS (
+                SELECT p_partkey, lower(p_name) AS name,
+                       regexp_split_to_array(trim(lower(p_name)), '\\s+')[1] AS blk
+                FROM part
+            )
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   round(1.0 - levenshtein(a.name, b.name)::DOUBLE
+                         / greatest(length(a.name), length(b.name), 1), 6) AS score
+            FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            WHERE 1.0 - levenshtein(a.name, b.name)::DOUBLE
+                  / greatest(length(a.name), length(b.name), 1) >= 0.65
         """,
         "lsh_neardup": """
             -- the engine reaches these rows via random-hyperplane banding

@@ -522,10 +522,53 @@ def _batched_lcs(codes: np.ndarray, lens: np.ndarray,
     return out
 
 
+def _batched_levenshtein(codes: np.ndarray, lens: np.ndarray,
+                         I: np.ndarray, J: np.ndarray,
+                         chunk: int = 1 << 16) -> np.ndarray:
+    """Levenshtein distance for many (I[k], J[k]) row pairs of a padded
+    codepoint matrix, vectorized ACROSS pairs (the oracle-parity sibling of
+    :func:`_batched_lcs` — DuckDB ships ``levenshtein()`` but not LCS/indel).
+
+    The row recurrence ``cur[j] = min(prev[j]+1, prev[j-1]+cost,
+    cur[j-1]+1)`` has a sequential chain in ``cur[j-1]``; it vectorizes via
+    the min-plus scan identity: with ``t[j] = min(prev[j]+1,
+    prev[j-1]+cost)``, ``cur[j] = j + cummin(t[k]-k, k<=j)`` (seeded with
+    the ``D[i][0]=i+1`` boundary), because propagating left-to-right adds
+    exactly 1 per step. Each finished pair's answer is harvested at its own
+    last row, so pad rows never corrupt results."""
+    out = np.zeros(I.size, dtype=np.int64)
+    W = codes.shape[1]
+    for lo in range(0, I.size, chunk):
+        Ic, Jc = I[lo : lo + chunk], J[lo : lo + chunk]
+        A = codes[Ic]                           # (m, W)
+        B = codes[Jc]                           # (m, W)
+        la, lb = lens[Ic], lens[Jc]
+        m = Ic.size
+        js = np.arange(W + 1, dtype=np.int32)
+        prev = np.broadcast_to(js, (m, W + 1)).copy()   # D[0][j] = j
+        sub = out[lo : lo + chunk]
+        sub[la == 0] = lb[la == 0]
+        for i in range(int(la.max())):
+            a_ch = A[:, i]
+            cost = (B != a_ch[:, None]).astype(np.int32)
+            t = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)  # (m, W)
+            u = np.empty((m, W + 1), dtype=np.int32)
+            u[:, 0] = i + 1                     # boundary D[i+1][0] - 0
+            np.subtract(t, js[1:][None, :], out=u[:, 1:])
+            np.minimum.accumulate(u, axis=1, out=u)
+            cur = u + js[None, :]
+            done = la == i + 1
+            if done.any():
+                sub[done] = cur[done, np.minimum(lb[done], W)]
+            prev = cur
+    return out
+
+
 def title_fuzzy_pairs(docs: Dataset, threshold: float = 0.90,
                       id_col: str = "id", title_col: str = "title",
                       num_partitions: int | None = None,
-                      max_bucket_size: int = 4096) -> Dataset:
+                      max_bucket_size: int = 4096,
+                      metric: str = "indel") -> Dataset:
     """Title-similarity pass: block by the title's first word, pairwise
     normalized-indel ratio >= threshold within the block
     (reference: src/epstein_pipeline/processors/dedup.py:296-324, G2).
@@ -562,7 +605,10 @@ def title_fuzzy_pairs(docs: Dataset, threshold: float = 0.90,
         titles = [str(s).lower() for s in batch[title_col].to_pylist()]
         lens = np.fromiter((len(s) for s in titles), dtype=np.int64, count=len(titles))
         la, lb = lens[I], lens[J]
-        keep = np.abs(la - lb) <= (1.0 - threshold) * (la + lb)
+        if metric == "indel":
+            keep = np.abs(la - lb) <= (1.0 - threshold) * (la + lb)
+        else:  # lev: dist >= |la-lb| and ratio = 1 - dist/max(la,lb)
+            keep = np.abs(la - lb) <= (1.0 - threshold) * np.maximum(la, lb)
         I, J = I[keep], J[keep]
         if I.size == 0:
             return out_schema.empty_table()
@@ -573,11 +619,16 @@ def title_fuzzy_pairs(docs: Dataset, threshold: float = 0.90,
         for r, s in enumerate(titles):
             v = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
             codes[r, : v.size] = v
-        lcs = _batched_lcs(codes, lens, I, J)
-        total = lens[I] + lens[J]
-        dist = total - 2 * lcs
-        with np.errstate(invalid="ignore"):
-            r_arr = np.where(total > 0, 1.0 - dist / np.maximum(total, 1), 1.0)
+        if metric == "indel":
+            lcs = _batched_lcs(codes, lens, I, J)
+            total = lens[I] + lens[J]
+            dist = total - 2 * lcs
+            with np.errstate(invalid="ignore"):
+                r_arr = np.where(total > 0, 1.0 - dist / np.maximum(total, 1), 1.0)
+        else:
+            dist = _batched_levenshtein(codes, lens, I, J)
+            denom = np.maximum(np.maximum(lens[I], lens[J]), 1)
+            r_arr = 1.0 - dist / denom
         keep2 = r_arr >= threshold
         I, J, r_arr = I[keep2], J[keep2], r_arr[keep2]
         if I.size == 0:
@@ -590,7 +641,11 @@ def title_fuzzy_pairs(docs: Dataset, threshold: float = 0.90,
             {
                 "id_a": pa.array(ia.tolist(), id_type),
                 "id_b": pa.array(ib.tolist(), id_type),
-                "score": pa.array(np.round(r_arr, 4), pa.float64()),
+                "score": pa.array(
+                    np.round(r_arr, 4) if metric == "indel"
+                    else sql_round(r_arr, 6),
+                    pa.float64(),
+                ),
             },
             schema=out_schema,
         )
