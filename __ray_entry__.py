@@ -344,6 +344,44 @@ def q_minhash_docs(sf_dir: str):
     return minhash_pairs(renamed, DedupConfig())
 
 
+DOCS_JSON_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+
+def q_json_roundtrip(sf_dir: str):
+    """S1 end-to-end: export documents to NDJSON shards, inject malformed
+    lines (garbage, non-object JSON, required-field-missing, blank), read
+    back through the policy='skip' NDJSON source — output must equal the
+    documents table exactly (the malformed injections vanish, mirroring
+    reference cli.py:595-616's silent skip)."""
+    import os
+    import shutil
+
+    from epstein_pipeline_ray.sources.jsonsrc import read_ndjson
+    from epstein_pipeline_ray.stages.exporters import write_ndjson
+
+    out = f"/tmp/epr_json_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    write_ndjson(docs, out)
+    with open(os.path.join(out, "zz_dirty.json"), "w", encoding="utf-8") as f:
+        f.write('{"broken": , }\n')
+        f.write("[1, 2, 3]\n")
+        f.write('{"lang": "en", "n_chars": 7}\n')
+        f.write("\n")
+        f.write("not json at all\n")
+    return read_ndjson(out, DOCS_JSON_SCHEMA, policy="skip",
+                       required=("doc_id",))
+
+
 def q_minhash_true_jaccard(sf_dir: str):
     """Oracle-exact MinHash sibling (VERDICT r1 item 9): LSH banding is
     candidate generation only (r=2 x b=64 → miss prob ~4e-29 at the 0.8
@@ -762,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
+        "json_roundtrip": q_json_roundtrip,
         "title_fuzzy": q_title_fuzzy,
         "title_lev": q_title_lev,
         "bates_overlap": q_bates_overlap,
@@ -847,6 +886,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": f"""
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+        """,
+        "json_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "minhash_true_jaccard": """
             -- brute-force true char-5-shingle Jaccard self-join (exploded
