@@ -313,6 +313,20 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(vecs, queries, qdf["vec_id"].tolist(), k=10)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (coarse k-means cells + probe mask) in its exhaustive
+    configuration (nprobe = n_centroids) — equals exact top-k, so the
+    ann_topk oracle applies; partial-probe recall is asserted in
+    tests/test_embed_lsh.py."""
+    from epstein_pipeline_ray.stages.embed import ann_ivf
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = vecs.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return ann_ivf(vecs, queries, qdf["vec_id"].tolist(), k=10,
+                   n_centroids=8, nprobe=8)
+
+
 def q_embed_neardup(sf_dir: str):
     from epstein_pipeline_ray.stages.embed import cosine_neardup_pairs
 
@@ -796,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "doc_chunks_semantic": q_doc_chunks_semantic,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
         "minhash_docs": q_minhash_docs,
@@ -1046,6 +1061,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(trim(text)) >= 50
         """,
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                              round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS cos,
+                              row_number() OVER (
+                                  PARTITION BY q.qid
+                                  ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC,
+                                           e.vec_id ASC) AS rk
+                       FROM q CROSS JOIN embeddings e
+                       WHERE e.vec_id != q.qid)
+            SELECT query_id, neighbor_id, cos FROM s WHERE rk <= 10
+        """,
+        "ann_ivf": """
             WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
                        FROM embeddings WHERE vec_id < 5),
                  s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,

@@ -299,3 +299,133 @@ def lsh_neardup_pairs(
         return pa.Table.from_pandas(df, preserve_index=False).cast(out_schema)
 
     return map_key_blocks(raw, ["id_a", "id_b"], distinct, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# IVF-partitioned ANN (coarse k-means quantizer; the centroid-bucket
+# sibling of the hyperplane LSH path)
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    vectors: Dataset,
+    n_centroids: int = 16,
+    train_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 11,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means on a BOUNDED sample (Lloyd, driver-side numpy).
+
+    The sample is ``limit(train_rows)`` — deterministic and O(train_rows·d)
+    on the driver regardless of corpus size; at 100 TB the index trains on
+    the same few thousand rows. Empty clusters keep their previous
+    centroid. Returns (n_centroids, d) row-normalized float64.
+    """
+    df = vectors.select_columns([emb_col]).limit(train_rows).to_pandas()
+    X = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in df[emb_col]]))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, X.shape[0])
+    C = X[rng.choice(X.shape[0], n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_centroids)
+        nz = counts > 0
+        C[nz] = sums[nz]
+        C = _normalize_rows(C)
+    return C
+
+
+def ivf_assign(
+    vectors: Dataset,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Persist the coarse assignment: adds ``cell`` (int32, nearest
+    centroid by cosine). Write this partitioned by ``cell`` to build an
+    on-disk IVF index a later search job can prune at the read."""
+    ref = ray.put(np.ascontiguousarray(centroids))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        emb = _normalize_rows(_stack_embeddings(batch, emb_col))
+        cells = np.argmax(emb @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells, pa.int32()))
+
+    return vectors.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_ivf(
+    vectors: Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int | None = None,
+    train_rows: int = 4096,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF ANN top-k: each query probes its ``nprobe`` nearest centroid
+    cells; only vectors in probed cells compete (vectorized as a
+    (q, n_centroids) probe mask indexed by each batch's cell ids — the
+    matmul is computed once and masked, no per-query loop).
+
+    ``nprobe = n_centroids`` is exhaustive and equals :func:`ann_topk`
+    exactly (the driver-oracled configuration); smaller ``nprobe`` trades
+    recall for touching ``nprobe/n_centroids`` of the corpus — at scale,
+    pair with :func:`ivf_assign`-partitioned parquet so unprobed cells are
+    pruned AT THE READ, not post-filtered.
+    """
+    if nprobe is None:
+        nprobe = n_centroids
+    C = train_ivf_centroids(vectors, n_centroids, train_rows, seed=seed,
+                            emb_col=emb_col)
+    n_centroids = C.shape[0]
+    nprobe = min(nprobe, n_centroids)
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float64))
+    qc = qn @ C.T                                     # (q, K)
+    probe = np.argpartition(-qc, kth=nprobe - 1, axis=1)[:, :nprobe]
+    mask = np.zeros((qn.shape[0], n_centroids), dtype=bool)
+    np.put_along_axis(mask, probe, True, axis=1)
+    ref = ray.put((qn, np.ascontiguousarray(C), mask))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, cents, m = ray.get(ref)
+        emb = _normalize_rows(_stack_embeddings(batch, emb_col))
+        cells = np.argmax(emb @ cents.T, axis=1)
+        sims = emb @ q.T                              # (n, q)
+        allowed = m[:, cells].T                       # (n, q)
+        sims = np.where(allowed, sims, -2.0)          # cos >= -1 beats -2
+        ids = np.asarray(batch[id_col].to_pylist())
+        kk = min(k + 1, sims.shape[0])
+        top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]
+        rows_q, rows_id, rows_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            sel = top[:, qi]
+            rows_q.extend([qi] * len(sel))
+            rows_id.extend(ids[sel].tolist())
+            rows_sim.extend(sims[sel, qi].tolist())
+        return pa.table(
+            {
+                "q_index": pa.array(rows_q, pa.int32()),
+                id_col: pa.array(rows_id, batch[id_col].type),
+                "cos": pa.array(rows_sim, pa.float64()),
+            }
+        )
+
+    cand = vectors.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    out_rows = []
+    for qi, qid in enumerate(query_ids):
+        sub = cand[(cand.q_index == qi) & (cand[id_col] != qid)
+                   & (cand.cos > -1.5)]
+        sub = sub.sort_values(["cos", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+        for r in sub.itertuples():
+            out_rows.append((qid, getattr(r, id_col), round(r.cos, 6)))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cos"])

@@ -59,3 +59,49 @@ def test_lsh_scale_plan_matches_broadcast(planted):
     pb = set(zip(b.id_a, b.id_b, b.cos))
     ps = set(zip(s.id_a, s.id_b, s.cos))
     assert pb == ps and len(pb) > 0
+
+
+def test_ivf_exhaustive_equals_exact_topk(planted):
+    """nprobe = n_centroids is exhaustive: identical rows to ann_topk
+    (the driver-oracled configuration of q_ann_ivf)."""
+    from epstein_pipeline_ray.stages.embed import ann_ivf, ann_topk
+
+    qdf = planted.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].tolist()
+    exact = ann_topk(planted, queries, qids, k=8)
+    ivf = ann_ivf(planted, queries, qids, k=8, n_centroids=6, nprobe=6)
+    assert exact.values.tolist() == ivf.values.tolist()
+
+
+def test_ivf_partial_probe_recall(planted):
+    """Partial probe keeps precision (subset of true top-k universe by
+    construction) and recalls the planted near-twin: each query vector
+    i < 5 has a planted neighbor at cos ~0.999 that must share its cell."""
+    from epstein_pipeline_ray.stages.embed import ann_ivf, ann_topk
+
+    qdf = planted.filter(lambda r: r["vec_id"] < 5).to_pandas().sort_values("vec_id")
+    queries = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].tolist()
+    exact = ann_topk(planted, queries, qids, k=8)
+    ivf = ann_ivf(planted, queries, qids, k=8, n_centroids=6, nprobe=2)
+    hits = 0
+    for qid in qids:
+        top = set(exact[exact.query_id == qid].neighbor_id) 
+        got = set(ivf[ivf.query_id == qid].neighbor_id)
+        assert got  # probing its own cell always yields candidates
+        hits += len(got & top)
+        # the planted twin (qid + 60, perturbation 0.05) is rank-1 and
+        # lands in the query's own cell
+        assert qid + 60 in got
+    assert hits / (len(qids) * 8) >= 0.5  # recall@8 with 1/3 of cells
+
+
+def test_ivf_assign_covers_all_cells_deterministically(planted):
+    from epstein_pipeline_ray.stages.embed import ivf_assign, train_ivf_centroids
+
+    C = train_ivf_centroids(planted, n_centroids=6, train_rows=100)
+    a1 = ivf_assign(planted, C).to_pandas().sort_values("vec_id")
+    a2 = ivf_assign(planted, C).to_pandas().sort_values("vec_id")
+    assert a1["cell"].tolist() == a2["cell"].tolist()
+    assert a1["cell"].between(0, 5).all()
