@@ -135,16 +135,21 @@ def _merge_first_wins(all_pairs: Dataset) -> Dataset:
 
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
+    from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
     def pick_block(batch: pa.Table) -> pa.Table:
+        # typed empty (not the raw zero-column block): downstream sort()
+        # unions block schemas, and a schema-less empty poisons that union
+        # (the "RefBundle with a different schema" warning, VERDICT r1)
         if batch.num_rows == 0:
-            return batch
+            return PAIRS_SCHEMA.empty_table()
         df = batch.to_pandas()
         df = (
             df.sort_values(["id_a", "id_b", "__rank"], kind="mergesort")
             .drop_duplicates(["id_a", "id_b"], keep="first")
             .drop(columns="__rank")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(PAIRS_SCHEMA)
 
     return map_key_blocks(all_pairs, ["id_a", "id_b"], pick_block)
 
@@ -190,8 +195,13 @@ def dedup_conv_docs(
 
         t0 = time.time()
         if not run.write_checkpoints:
+            from epstein_pipeline_ray.stages.groupblock import drop_empty_blocks
+
             chain.next(stage)
-            out = builder().materialize()
+            # materialize + launder zero-row blocks (refs only): a stray
+            # schema-less empty at a stage barrier otherwise trips the
+            # streaming executor's schema-consistency warning downstream
+            out = drop_empty_blocks(builder())
         else:
             out = run_stage(stage, run.run_dir, chain.next(stage), builder, resume=run.resume)
         # stage barrier: every exchange built for this stage is consumed —
@@ -276,8 +286,13 @@ def dedup_turns(
 
         t0 = time.time()
         if not run.write_checkpoints:
+            from epstein_pipeline_ray.stages.groupblock import drop_empty_blocks
+
             chain.next(stage)
-            out = builder().materialize()
+            # materialize + launder zero-row blocks (refs only): a stray
+            # schema-less empty at a stage barrier otherwise trips the
+            # streaming executor's schema-consistency warning downstream
+            out = drop_empty_blocks(builder())
         else:
             out = run_stage(stage, run.run_dir, chain.next(stage), builder, resume=run.resume)
         if os.environ.get("EPR_TIMING"):
