@@ -313,6 +313,14 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(vecs, queries, qdf["vec_id"].tolist(), k=10)
 
 
+def q_embed_prep(sf_dir: str):
+    """Embedding-input truncation (reference M8, dedup.py:443-449:
+    text[:2000] codepoints before the semantic pass)."""
+    from epstein_pipeline_ray.stages.embed import embed_prep
+
+    return embed_prep(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF ANN (coarse k-means cells + probe mask) in its exhaustive
     configuration (nprobe = n_centroids) — equals exact top-k, so the
@@ -811,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks_semantic": q_doc_chunks_semantic,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "embed_prep": q_embed_prep,
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
         "minhash_docs": q_minhash_docs,
@@ -1085,6 +1094,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM q CROSS JOIN embeddings e
                        WHERE e.vec_id != q.qid)
             SELECT query_id, neighbor_id, cos FROM s WHERE rk <= 10
+        """,
+        "embed_prep": """
+            SELECT doc_id, substr(text, 1, 2000) AS text,
+                   length(substr(text, 1, 2000))::BIGINT AS n_head_chars
+            FROM documents
         """,
         "embed_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -429,3 +429,28 @@ def ann_ivf(
         for r in sub.itertuples():
             out_rows.append((qid, getattr(r, id_col), round(r.cos, 6)))
     return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cos"])
+
+
+def embed_prep(
+    docs: Dataset,
+    max_chars: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Embedding-input prep (reference M8): the semantic pass embeds only
+    the first ``max_chars`` CHARACTERS of each document (reference
+    dedup.py:443-449 ``doc.ocrText[:2000]`` — codepoint slicing, matched
+    here with ``utf8_slice_codeunits``, not a byte slice)."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(batch[text_col], 0, max_chars)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text": head,
+                "n_head_chars": pc.utf8_length(head).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
