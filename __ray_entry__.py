@@ -485,6 +485,53 @@ def q_entities(sf_dir: str):
     return extract_entities(docs, r"(?:spark|merge)\w*")
 
 
+def _entity_fixture_row(k: int, c: int) -> str:
+    """Deterministic entity-bearing text derived from orders integer
+    columns — the SAME construction the oracle SQL performs, so the typed
+    extractor can be hash-compared end-to-end (testdata carries no natural
+    phones/emails/amounts)."""
+    return (
+        f"Case No. {k}-CR filed, contact user{c}@mail.example.com or call "
+        f"(555) 010-{c % 10000:04d}. Pay $ {k % 900 + 100},000.00 now; "
+        f"acct # {c % 100000 + 1000} billed at {k % 9000 + 10} Main Street. "
+        f"Flight N{k % 900 + 10}AB departed. "
+        f"Bates EFTA{k % 100000:08d}-EFTA{k % 100000 + 2:08d}."
+    )
+
+
+def q_entities_typed(sf_dir: str):
+    """Reference M13: the full 8-pattern typed extractor pass
+    (processors/entities.py:34-60 REGEX_EXTRACTORS + the Bates format),
+    every pattern scanned independently per doc."""
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.textops import extract_entities_typed
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        ks = batch["o_orderkey"].to_pylist()
+        cs = batch["o_custkey"].to_pylist()
+        rows = [(k, _entity_fixture_row(k, c))
+                for k, c in zip(ks, cs) if k % 50 == 0]
+        return pa.table({
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+
+    fixture = orders.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    return extract_entities_typed(fixture, id_col="o_orderkey")
+
+
+def q_ocr_confidence(sf_dir: str):
+    """Reference M12: heuristic OCR-confidence score, exact formula
+    (ocr.py:80-118: printable*0.40 + word-length*0.30 + stopword*0.30)."""
+    from epstein_pipeline_ray.stages.textops import with_ocr_confidence
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_ocr_confidence(docs).select_columns(["doc_id", "ocr_confidence"])
+
+
 def q_integrity(sf_dir: str):
     from epstein_pipeline_ray.stages.validate import integrity_report
 
@@ -830,6 +877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bates_overlap": q_bates_overlap,
         "term_cooccur": q_term_cooccur,
         "entities": q_entities,
+        "entities_typed": q_entities_typed,
+        "ocr_confidence": q_ocr_confidence,
         "integrity": q_integrity,
         "violations": q_violations,
         "events_asof_orders": q_events_asof_orders,
@@ -845,6 +894,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fps": q_winnow_fps,
         "winnow_pairs": q_winnow_pairs,
     }
+
+
+def _entities_typed_sql() -> str:
+    """Oracle twin of q_entities_typed: the fixture text is rebuilt with
+    the identical string construction, and each typed pattern comes
+    verbatim from stages.textops.ENTITY_PATTERNS (RE2-compatible by
+    construction), so Python-re and DuckDB-RE2 scan the same literals."""
+    from epstein_pipeline_ray.stages.textops import ENTITY_PATTERNS
+
+    fixture = """
+        WITH t AS (
+          SELECT o_orderkey,
+                 'Case No. ' || o_orderkey || '-CR filed, contact user' || o_custkey
+                 || '@mail.example.com or call (555) 010-'
+                 || lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0')
+                 || '. Pay $ ' || (o_orderkey % 900 + 100)
+                 || ',000.00 now; acct # ' || (o_custkey % 100000 + 1000)
+                 || ' billed at ' || (o_orderkey % 9000 + 10)
+                 || ' Main Street. Flight N' || (o_orderkey % 900 + 10)
+                 || 'AB departed. Bates EFTA'
+                 || lpad(CAST(o_orderkey % 100000 AS VARCHAR), 8, '0')
+                 || '-EFTA' || lpad(CAST(o_orderkey % 100000 + 2 AS VARCHAR), 8, '0')
+                 || '.' AS text
+          FROM orders WHERE o_orderkey % 50 = 0
+        )
+    """
+    parts = [
+        f"SELECT o_orderkey, '{name}' AS entity_type, "
+        f"unnest(regexp_extract_all(text, '{pat}')) AS value FROM t"
+        for name, pat in sorted(ENTITY_PATTERNS.items())
+    ]
+    return fixture + " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1152,6 +1233,38 @@ def oracle_sql() -> dict[str, str]:
         "entities": """
             SELECT doc_id, unnest(regexp_extract_all(text, '(?:spark|merge)\\w*')) AS entity
             FROM documents
+        """,
+        "entities_typed": _entities_typed_sql(),
+        "ocr_confidence": r"""
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, text, words,
+                     CASE WHEN len(words) = 0 THEN NULL
+                          ELSE list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                               / len(words) END AS awl,
+                     (length(text) - len(regexp_extract_all(text, '[^ -~\t\n\r\x0b\x0c]')))::DOUBLE
+                       / NULLIF(length(text), 0) AS pr,
+                     least(1.0, len(list_intersect(
+                         list_distinct(list_transform(words,
+                             x -> trim(lower(x), '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~'))),
+                         ['the','and','of','to','in','a','is','that','for','it'])) / 3.0) AS ss
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 OR len(words) = 0 THEN 0.0
+                        ELSE round(least(1.0, greatest(0.0,
+                             0.40 * pr
+                           + 0.30 * (CASE WHEN awl < 2.0 THEN awl / 2.0
+                                          WHEN awl > 12.0
+                                            THEN greatest(0.3, 1.0 - (awl - 12.0) / 20.0)
+                                          ELSE 1.0 END)
+                           + 0.30 * ss)), 4) END AS ocr_confidence
+            FROM s
         """,
         "integrity": """
             SELECT count(*)::BIGINT AS n_rows,

@@ -68,6 +68,53 @@ def quality_scores(texts: list[str]) -> np.ndarray:
     return out
 
 
+_PRINTABLE = frozenset(
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ \t\n\r\x0b\x0c"
+)  # == set(string.printable)
+_OCR_STOPWORDS = frozenset(
+    ["the", "and", "of", "to", "in", "a", "is", "that", "for", "it"]
+)
+_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"  # == string.punctuation
+
+
+def heuristic_confidence(texts: list[str]) -> np.ndarray:
+    """The reference's OCR-confidence heuristic, exact semantics
+    (src/epstein_pipeline/processors/ocr.py:80-118):
+
+        0.40 * printable-char ratio
+      + 0.30 * avg-word-length score (1.0 inside [2,12], ramped outside)
+      + 0.30 * min(1, |distinct lower words stripped of punctuation ∩
+                      10-word English stoplist| / 3)
+
+    clamped to [0,1] and rounded to 4 places. Rounding uses SQL
+    half-away-from-zero (the engine's oracle-comparison convention,
+    functions/rounding.py) rather than Python banker's — they differ only
+    on exact .00005 float ties, which the weighted float sum cannot
+    produce exactly."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not t or not t.strip():
+            continue
+        printable_ratio = sum(1 for c in t if c in _PRINTABLE) / len(t)
+        words = t.split()
+        if not words:
+            continue
+        avg_word_len = sum(len(w) for w in words) / len(words)
+        word_len_score = 1.0
+        if avg_word_len < 2.0:
+            word_len_score = avg_word_len / 2.0
+        elif avg_word_len > 12.0:
+            word_len_score = max(0.3, 1.0 - (avg_word_len - 12.0) / 20.0)
+        lower_words = {w.lower().strip(_PUNCT) for w in words}
+        stop_score = min(1.0, len(_OCR_STOPWORDS & lower_words) / 3.0)
+        conf = 0.40 * printable_ratio + 0.30 * word_len_score + 0.30 * stop_score
+        out[i] = min(1.0, max(0.0, conf))
+    return sql_round(out, 4)
+
+
 def detect_lang(texts: list[str]) -> list[str]:
     """Stopword/script-profile language guess; 'und' when nothing matches."""
     out = []

@@ -45,6 +45,22 @@ def with_quality(docs: Dataset, text_col: str = "text") -> Dataset:
     return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def with_ocr_confidence(docs: Dataset, text_col: str = "text") -> Dataset:
+    """Reference M12: per-row heuristic OCR confidence
+    (printable*0.40 + word-length*0.30 + stopword*0.30,
+    src/epstein_pipeline/processors/ocr.py:80-118), exact formula in
+    functions.textstats.heuristic_confidence."""
+    from epstein_pipeline_ray.functions.textstats import heuristic_confidence
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ocr_confidence",
+            pa.array(heuristic_confidence(batch[text_col].to_pylist()), pa.float64()),
+        )
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def with_lang_guess(docs: Dataset, text_col: str = "text") -> Dataset:
     def add(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -108,6 +124,70 @@ def extract_entities(docs: Dataset, pattern: str, id_col: str = "doc_id",
                 ents.append(m)
         return pa.table({id_col: pa.array(ids, batch[id_col].type),
                          "entity": pa.array(ents, pa.string())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# The reference's 8 typed extractors (src/epstein_pipeline/processors/
+# entities.py:34-60 plus the Bates format used by its integrity checker,
+# validators/integrity.py). Patterns are kept RE2-compatible (no
+# backreferences, no lookaround, inline (?i) instead of re.IGNORECASE) so
+# the SAME literal strings run in DuckDB's regexp_extract_all for the
+# oracle; only non-capturing groups so findall == full-match scan.
+ENTITY_PATTERNS: dict[str, str] = {
+    "PHONE": r"\b(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b",
+    "EMAIL_ADDR": r"\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b",
+    "ACCOUNT": r"(?i)\b(?:account|acct|a/c)[\s#:]*\d{4,}\b",
+    "ADDRESS": (
+        r"\b\d{1,5}\s+(?:[A-Z][a-z]+\s+){1,3}"
+        r"(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Drive|Dr|Lane|Ln|Court|Ct|Place|Pl)\b"
+    ),
+    "CASE_NUMBER": r"(?i)\b(?:Case|No\.|Docket|Cause)\s*(?:#|No\.?)?\s*\d[\d\-A-Z:/ ]{3,20}\b",
+    "FLIGHT_ID": r"(?i)\b(?:N\d{1,5}[A-Z]{1,2}|(?:Flight|Flt)\s*#?\s*\d{1,6})\b",
+    "FINANCIAL_AMOUNT": (
+        r"(?i)\$\s?\d{1,3}(?:,\d{3})*(?:\.\d{2})?\b"
+        r"|\b\d{1,3}(?:,\d{3})*(?:\.\d{2})?\s*(?:dollars?|USD)\b"
+    ),
+    "BATES": r"\b[A-Z]{2,8}\d{5,10}\b",
+}
+
+
+def extract_entities_typed(docs: Dataset, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           patterns: dict[str, str] | None = None) -> Dataset:
+    """The reference's full typed-extractor pass (entities.py:34-60
+    REGEX_EXTRACTORS): each pattern scanned independently over every doc —
+    a value matched by two types is emitted under both, exactly like the
+    reference's per-pattern findall loop. One output row per
+    (doc, entity_type, match occurrence), schema
+    (id, entity_type:string, value:string).
+
+    Stateless Arrow ``map_batches``; the per-row cost is the C regex scan
+    (8 compiled patterns), no per-match Python beyond list appends — the
+    same shape the reference runs per document, here batch-parallel."""
+    import re
+
+    pats = patterns or ENTITY_PATTERNS
+    compiled = [(name, re.compile(p)) for name, p in sorted(pats.items())]
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids, types, values = [], [], []
+        id_list = batch[id_col].to_pylist()
+        for i, t in zip(id_list, batch[text_col].to_pylist()):
+            if not t:
+                continue
+            for name, rx in compiled:
+                for m in rx.findall(t):
+                    ids.append(i)
+                    types.append(name)
+                    values.append(m)
+        return pa.table({
+            id_col: pa.array(ids, batch[id_col].type),
+            "entity_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.string()),
+        })
 
     return docs.select_columns([id_col, text_col]).map_batches(
         extract, batch_format="pyarrow", zero_copy_batch=True
