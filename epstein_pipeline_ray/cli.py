@@ -7,6 +7,9 @@ export commands, cli.py:37-63, 2252-2254).
     python -m epstein_pipeline_ray.cli chunk  --input docs.parquet --output chunks/
     python -m epstein_pipeline_ray.cli export --input t.parquet --format csv --output out/
     python -m epstein_pipeline_ray.cli validate --input docs.parquet
+    python -m epstein_pipeline_ray.cli extract-entities --input docs.parquet --output ents/
+    python -m epstein_pipeline_ray.cli build-graph --input docs.parquet \
+        --terms alice,bob --format gexf --output graph.gexf
 
 The CLI owns the Ray session (guarded init); the library never calls
 ``ray.init``. ``dedup --checkpoint-dir`` enables per-stage Parquet
@@ -102,6 +105,44 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_entities(args) -> int:
+    """Reference ``extract-entities`` (cli.py:462-531) with the regex
+    backend: the full typed-pattern pass; model backends (spaCy/GLiNER)
+    are out-of-container (SURVEY §2.3 A3/A4)."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import extract_entities_typed
+
+    docs = rd.read_parquet(args.input)
+    ents = extract_entities_typed(docs, id_col=args.id_col, text_col=args.text_col)
+    ents.write_parquet(args.output)
+    print(json.dumps({"entities": ents.count()}))
+    return 0
+
+
+def cmd_build_graph(args) -> int:
+    """Reference ``build-graph`` (cli.py:1287+): term co-occurrence edge
+    weighting → GEXF / node-link JSON export of the (small) aggregated
+    graph."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_export import write_gexf, write_graph_json
+    from epstein_pipeline_ray.stages.textops import term_cooccur
+
+    docs = rd.read_parquet(args.input)
+    terms = [t for t in args.terms.split(",") if t]
+    edges = term_cooccur(docs, terms, id_col=args.id_col, text_col=args.text_col)
+    edf = edges.to_pandas()  # aggregated graph: |terms|^2/2 rows max
+    if args.format == "gexf":
+        write_gexf(edf, args.output)
+    else:
+        write_graph_json(edf, args.output)
+    print(json.dumps({"edges": len(edf), "format": args.format}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     _ray_up()
     import ray.data as rd
@@ -161,6 +202,24 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--table", default="export", help="sqlite table name")
     e.add_argument("--partition-by", default=None)
     e.set_defaults(fn=cmd_export)
+
+    x = sub.add_parser("extract-entities",
+                       help="typed regex entity extraction (8 patterns)")
+    x.add_argument("--input", required=True)
+    x.add_argument("--output", required=True)
+    x.add_argument("--id-col", default="doc_id")
+    x.add_argument("--text-col", default="text")
+    x.set_defaults(fn=cmd_entities)
+
+    g = sub.add_parser("build-graph",
+                       help="term co-occurrence graph → GEXF / node-link JSON")
+    g.add_argument("--input", required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--terms", required=True, help="comma list of node terms")
+    g.add_argument("--format", choices=["gexf", "json"], default="gexf")
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--text-col", default="text")
+    g.set_defaults(fn=cmd_build_graph)
 
     v = sub.add_parser("validate", help="corpus integrity report")
     v.add_argument("--input", required=True)

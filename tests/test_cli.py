@@ -71,3 +71,34 @@ def test_cli_validate_and_export(tmp_path):
     import sqlite3
 
     assert sqlite3.connect(db).execute("SELECT count(*) FROM docs").fetchone()[0] == 3
+
+
+def test_cli_entities_and_graph(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [
+                "alice met bob; call (212) 555-0173 re EFTA00039025",
+                "alice emailed carol at a@b.co",
+            ],
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+
+    out = str(tmp_path / "ents")
+    r = _run(["extract-entities", "--input", src, "--output", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["entities"] == 3  # PHONE + BATES on doc 1, EMAIL on doc 2
+    got = pq.read_table(out).to_pydict()
+    assert sorted(got["entity_type"]) == ["BATES", "EMAIL_ADDR", "PHONE"]
+
+    gexf = str(tmp_path / "g.gexf")
+    r = _run(["build-graph", "--input", src, "--terms", "alice,bob,carol",
+              "--format", "gexf", "--output", gexf])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["edges"] == 2  # alice-bob (doc1), alice-carol (doc2)
+    body = open(gexf).read()
+    assert "alice" in body and "<gexf" in body
