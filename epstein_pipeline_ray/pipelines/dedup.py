@@ -250,8 +250,17 @@ def dedup_conv_docs(
     pairs = ck("pairs", lambda: _merge_first_wins(all_pairs))
     if cfg.sort_pairs_by_score:
         # reference output ordering (dedup.py:170-171); a range shuffle of
-        # the pair table only — output-sized, not corpus-sized
-        pairs = ck("pairs_sorted", lambda: pairs.sort("score", descending=True))
+        # the pair table only — output-sized, not corpus-sized. Block count
+        # is sized to the pair count first: sorting a small table across
+        # many blocks makes Ray's sort emit schema-less empty ranges (the
+        # RefBundle schema warning) and wastes range-partition tasks.
+        def _sorted():
+            n = pairs.count()  # pairs is materialized: metadata-only
+            target = max(1, min(pairs.num_blocks(), -(-n // 2_000_000)))
+            src = pairs if target == pairs.num_blocks() else pairs.repartition(target)
+            return src.sort("score", descending=True)
+
+        pairs = ck("pairs_sorted", _sorted)
 
     if cfg.verify_mode == "extended":
         from epstein_pipeline_ray.stages.verify import extended_verify
