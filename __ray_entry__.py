@@ -264,6 +264,15 @@ def q_quality(sf_dir: str):
     return with_quality(docs).select_columns(["doc_id", "uniq_ratio"])
 
 
+def q_gopher(sf_dir: str):
+    """Gopher-rule quality signals (Rae et al. 2021 §A.1.1 deterministic
+    subset) + duplicate-line repetition fraction + pass verdict."""
+    from epstein_pipeline_ray.stages.textops import with_gopher_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_gopher_signals(docs).drop_columns(["text"])
+
+
 def q_langid(sf_dir: str):
     from epstein_pipeline_ray.stages.textops import with_lang_guess
 
@@ -860,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
         "quality": q_quality,
+        "gopher_quality": q_gopher,
         "langid": q_langid,
         "term_links": q_term_links,
         "doc_chunks": q_doc_chunks,
@@ -1076,6 +1086,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS uniq_ratio
             FROM t
+        """,
+        # Gopher quality rules, list_transform/list_filter twins of the
+        # Arrow kernels in functions/textstats.gopher_signals. '\s' is
+        # RE2-ASCII on both sides; line trim set is ' \t\r' on both sides;
+        # '...' counting is non-overlapping via the replace trick (matches
+        # pc.count_substring). gopher_pass evaluates the ROUNDED ratios.
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS trimmed,
+                       CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(
+                                 regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+'))
+                       END::BIGINT AS n_words,
+                       str_split(coalesce(text, ''), chr(10)) AS lines,
+                       regexp_split_to_array(
+                            regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_words,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+                        length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+                        / n_words, 6) END AS mean_word_len,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE round((
+                          (length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        + (length(text) - length(replace(text, '…', '')))
+                       )::DOUBLE / n_words, 6) END AS symbol_word_ratio,
+                   round(len(list_filter(lines, x -> regexp_matches(
+                        ltrim(x, ' ' || chr(9) || chr(13)), '^[-*•]')))::DOUBLE
+                        / len(lines), 6) AS bullet_ratio,
+                   round(len(list_filter(lines, x -> regexp_matches(
+                        rtrim(x, ' ' || chr(9) || chr(13)), '(\.\.\.|…)$')))::DOUBLE
+                        / len(lines), 6) AS ellipsis_line_ratio,
+                   round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+                        AS dup_line_frac,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+                        len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                        / n_words, 6) END AS frac_alpha_words,
+                   (  CASE WHEN regexp_matches(lower(text), '(^|\s)the(\s|$)')  THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)be(\s|$)')   THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)to(\s|$)')   THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)of(\s|$)')   THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)and(\s|$)')  THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)that(\s|$)') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)have(\s|$)') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)with(\s|$)') THEN 1 ELSE 0 END
+                   )::BIGINT AS stop_word_hits
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_ratio, ellipsis_line_ratio, dup_line_frac,
+                   frac_alpha_words, stop_word_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_ratio <= 0.9
+                    AND ellipsis_line_ratio <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND stop_word_hits >= 2) AS gopher_pass
+            FROM s
         """,
         "langid": _langid_select(),
         # exact-pass-only prep composition: langid CTE → quality+lang gate →

@@ -197,3 +197,115 @@ def winnow_fingerprints(normalized: str, k: int = 8, window: int = 4) -> list[in
     vals = seq[pos]
     keep = np.concatenate([[True], pos[1:] != pos[:-1]])  # new selection only
     return [int(v) for v in vals[keep]]
+
+
+# Gopher stopword octet (Rae et al. 2021, "Scaling Language Models", §A.1.1
+# quality-filter rules): a doc must contain ≥2 of these as tokens.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# line-edge trim set shared with the DuckDB oracle (ASCII only — keeps the
+# SQL twin exact; Arrow's utf8_*trim_whitespace would trim unicode spaces)
+_LINE_TRIM = " \t\r"
+
+
+def gopher_signals(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
+    """Gopher-style document quality signals, fully vectorized.
+
+    Implements the deterministic subset of the Gopher quality-filter rules
+    (word count, mean word length, symbol-to-word ratio, bullet/ellipsis
+    line ratios, alpha-word fraction, stopword hits) plus a duplicate-line
+    fraction — the repetition facet — and the combined ``gopher_pass``
+    verdict. Every signal is SQL-expressible so the whole stage has an
+    exact DuckDB oracle (list_transform/list_filter twins).
+
+    Thresholds (50 ≤ words ≤ 100k, 3 ≤ mean word len ≤ 10, symbol ratio
+    ≤ 0.1, bullet lines ≤ 90%, ellipsis lines ≤ 30%, ≥80% alpha words,
+    ≥2 stopwords) follow the published Gopher rules; the pass verdict is
+    computed on the 6-digit-rounded ratios so engine and oracle agree
+    bit-for-bit.
+    """
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+
+    n_words = np.asarray(token_count_array(texts), dtype=np.float64)
+    has_words = n_words > 0
+    safe_words = np.where(has_words, n_words, 1.0)
+
+    # mean word length: non-whitespace chars / words ('\s' is RE2-ASCII on
+    # both sides)
+    total_len = np.asarray(pc.utf8_length(texts), dtype=np.float64)
+    ws_chars = np.asarray(pc.count_substring_regex(texts, pattern=r"\s"), dtype=np.float64)
+    mean_word_len = np.where(has_words, sql_round((total_len - ws_chars) / safe_words, 6), 0.0)
+
+    # symbol-to-word ratio: '#', non-overlapping '...', and '…'
+    symbols = (
+        np.asarray(pc.count_substring(texts, pattern="#"), dtype=np.float64)
+        + np.asarray(pc.count_substring(texts, pattern="..."), dtype=np.float64)
+        + np.asarray(pc.count_substring(texts, pattern="…"), dtype=np.float64)
+    )
+    symbol_word_ratio = np.where(has_words, sql_round(symbols / safe_words, 6), 0.0)
+
+    # per-line signals: one split, flat child + offset arithmetic
+    lines = pc.split_pattern(texts, "\n")
+    flat = lines.values
+    offs = np.asarray(lines.offsets, dtype=np.int64)
+    n_lines = np.diff(offs).astype(np.float64)  # ≥1 always (split('')==[''])
+    lt = pc.utf8_ltrim(flat, characters=_LINE_TRIM)
+    bullet = pc.or_(
+        pc.or_(pc.starts_with(lt, pattern="-"), pc.starts_with(lt, pattern="*")),
+        pc.starts_with(lt, pattern="•"),
+    )
+    rt = pc.utf8_rtrim(flat, characters=_LINE_TRIM)
+    ell = pc.or_(pc.ends_with(rt, pattern="..."), pc.ends_with(rt, pattern="…"))
+    bullet_n = np.add.reduceat(np.asarray(bullet.cast(pa.int64())), offs[:-1])
+    ell_n = np.add.reduceat(np.asarray(ell.cast(pa.int64())), offs[:-1])
+    bullet_ratio = sql_round(bullet_n / n_lines, 6)
+    ellipsis_line_ratio = sql_round(ell_n / n_lines, 6)
+
+    # duplicate-line fraction: 1 - distinct/total, hashed in pandas C code
+    import pandas as pd
+
+    doc_idx = np.repeat(np.arange(len(n_lines), dtype=np.int64), np.diff(offs))
+    lf = pd.DataFrame({"d": doc_idx, "l": flat.to_pandas()})
+    distinct = lf.drop_duplicates().groupby("d", sort=True).size().to_numpy(dtype=np.float64)
+    dup_line_frac = sql_round(1.0 - distinct / n_lines, 6)
+
+    # alpha-word fraction over the same \s+ token split as token_count_array
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), pattern=r"\s+")
+    tflat = toks.values
+    toffs = np.asarray(toks.offsets, dtype=np.int64)
+    alpha = np.asarray(pc.match_substring_regex(tflat, pattern="[a-zA-Z]").cast(pa.int64()))
+    alpha_n = np.add.reduceat(alpha, toffs[:-1]).astype(np.float64)
+    frac_alpha_words = np.where(has_words, sql_round(alpha_n / safe_words, 6), 0.0)
+
+    # stopword hits: token-boundary regex per stopword on lowered text
+    low = pc.utf8_lower(texts)
+    hits = np.zeros(len(n_words), dtype=np.int64)
+    for w in GOPHER_STOPWORDS:
+        hits += np.asarray(
+            pc.match_substring_regex(low, pattern=rf"(^|\s){w}(\s|$)").cast(pa.int64())
+        )
+
+    gopher_pass = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (symbol_word_ratio <= 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_line_ratio <= 0.3)
+        & (frac_alpha_words >= 0.8)
+        & (hits >= 2)
+    )
+    return {
+        "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+        "mean_word_len": pa.array(mean_word_len, pa.float64()),
+        "symbol_word_ratio": pa.array(symbol_word_ratio, pa.float64()),
+        "bullet_ratio": pa.array(bullet_ratio, pa.float64()),
+        "ellipsis_line_ratio": pa.array(ellipsis_line_ratio, pa.float64()),
+        "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+        "frac_alpha_words": pa.array(frac_alpha_words, pa.float64()),
+        "stop_word_hits": pa.array(hits, pa.int64()),
+        "gopher_pass": pa.array(gopher_pass, pa.bool_()),
+    }

@@ -261,3 +261,17 @@ def with_winnow_fingerprints(docs: Dataset, k: int = 8, window: int = 4,
     return docs.select_columns([id_col, text_col]).map_batches(
         add, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def with_gopher_signals(docs: Dataset, text_col: str = "text") -> Dataset:
+    """Gopher-rule quality signals + pass verdict (functions.textstats.
+    gopher_signals) — the deterministic quality-filter battery a training
+    -data pipeline runs before dedup. One vectorized Arrow pass per batch."""
+    from epstein_pipeline_ray.functions.textstats import gopher_signals
+
+    def add(batch: pa.Table) -> pa.Table:
+        for name, arr in gopher_signals(batch[text_col]).items():
+            batch = batch.append_column(name, arr)
+        return batch
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)

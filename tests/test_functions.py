@@ -103,3 +103,38 @@ def test_band_keys_similarity_monotonicity():
     shared_far = int((bk[0] == bk[2]).sum())
     assert shared_near >= 1
     assert shared_far == 0
+
+
+def test_gopher_signals_edge_parity_with_oracle():
+    """Adversarial inputs (blanks, unicode ellipsis, dot runs, tab bullets,
+    dup lines) through both the Arrow kernel and the DuckDB oracle SQL —
+    the sf corpora are too clean to exercise these branches."""
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+    from epstein_pipeline_ray.functions.textstats import gopher_signals
+
+    texts = [
+        "",
+        "   \t  ",
+        "the cat sat … on .... the mat with a be to of and that have",
+        "- one\n\t- two\n• three\n* four\nplain",
+        "same\nsame\nsame\ndiff",
+        "trailing dots...\nand more…\t\nnone here",
+        "# # # lots ### of #hash",
+        "word " * 60 + "the be to of and with",
+        None,
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = pd.DataFrame({"doc_id": range(len(texts))})
+    for name, arr in gopher_signals(tbl["text"]).items():
+        got[name] = arr.to_pandas()
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(entrymod.oracle_sql()["gopher_quality"]).df()
+    got = got[sorted(got.columns)].sort_values("doc_id").reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
