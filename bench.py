@@ -115,6 +115,7 @@ def run_bench() -> dict:
         "doc_chunks",
         "wordset_jaccard",
         "token_counts",
+        "gopher_quality",
     ):
         q = entrymod.queries()[name]
         best = None
