@@ -851,6 +851,23 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_plist_meta(sf_dir: str):
+    """Embedded Apple-Mail plist forensics over binary payloads
+    (reference plist_forensics.py; stdlib plistlib, fully real — not
+    SQL-expressible, covered by exact-expectation pytest)."""
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.forensics import (
+        extract_plist_metadata,
+        synth_plist_corpus,
+    )
+
+    docs = rd.from_arrow(synth_plist_corpus(300))
+    return extract_plist_metadata(docs).select_columns(
+        ["doc_id", "plist_type", "sender", "subject", "date"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_clusters": q_transcript_clusters,
@@ -879,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_prep": q_embed_prep,
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
+        "plist_meta": q_plist_meta,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "json_roundtrip": q_json_roundtrip,

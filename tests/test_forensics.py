@@ -1,0 +1,54 @@
+"""Embedded-plist forensics: kernel exactness + the Ray stage."""
+
+import plistlib
+
+import pyarrow as pa
+import ray.data as rd
+
+from epstein_pipeline_ray.stages.forensics import (
+    extract_plist_metadata,
+    extract_plists_from_bytes,
+    synth_plist_corpus,
+)
+
+
+def test_kernel_extracts_xml_and_binary_exactly():
+    t = synth_plist_corpus(12)
+    for i in range(12):
+        metas = extract_plists_from_bytes(t["payload"][i].as_py())
+        if i % 3 == 0:
+            assert len(metas) == 1
+            m = metas[0]
+            assert m["sender"] == f"user{i}@example.com"
+            assert m["recipients"] == [f"a{i}@example.com", f"b{i}@example.com"]
+            assert m["subject"] == f"Re: matter {i}"
+            assert m["plist_type"] == ("xml" if i % 2 == 0 else "binary")
+        else:
+            assert metas == []
+
+
+def test_kernel_ignores_noise_and_useless_plists():
+    # truncated magic, empty payload, and a plist with no mail keys
+    assert extract_plists_from_bytes(b"junk bplist00" + b"\x00" * 64) == []
+    assert extract_plists_from_bytes(b"") == []
+    useless = plistlib.dumps({"Version": "1.0"}, fmt=plistlib.FMT_XML)
+    assert extract_plists_from_bytes(b"pre" + useless + b"post") == []
+
+
+def test_kernel_multiple_plists_one_payload():
+    a = plistlib.dumps({"sender": "x@y.z", "subject": "one"}, fmt=plistlib.FMT_XML)
+    b = plistlib.dumps({"X-Sender": "q@r.s", "Subject": "two"}, fmt=plistlib.FMT_XML)
+    metas = extract_plists_from_bytes(b"junk" + a + b"mid" + b + b"tail")
+    assert [m["subject"] for m in metas] == ["one", "two"]
+    assert [m["sender"] for m in metas] == ["x@y.z", "q@r.s"]
+
+
+def test_stage_parallel_scan(ray_session):
+    docs = rd.from_arrow(synth_plist_corpus(90))
+    out = extract_plist_metadata(docs).to_pandas()
+    assert len(out) == 30  # every third payload embeds exactly one plist
+    assert set(out.plist_type) == {"xml", "binary"}
+    assert (out.sender.str.endswith("@example.com")).all()
+    # typed nested column survives the stage
+    sch = extract_plist_metadata(rd.from_arrow(synth_plist_corpus(6))).schema()
+    assert sch.types[sch.names.index("recipients")] == pa.list_(pa.string())
