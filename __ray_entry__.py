@@ -851,6 +851,19 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_efta_dataset(sf_dir: str):
+    """EFTA-number → DOJ dataset-release provenance mapping (reference
+    importers/sea_doughnut.py:58-107) as a vectorized range-bucket
+    lookup; doc_id stands in for the EFTA number."""
+    from epstein_pipeline_ray.stages.relational import (
+        EFTA_DATASET_RANGES,
+        range_bucket_lookup,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return range_bucket_lookup(docs, "doc_id", EFTA_DATASET_RANGES, out_col="dataset")
+
+
 def q_plist_meta(sf_dir: str):
     """Embedded Apple-Mail plist forensics over binary payloads
     (reference plist_forensics.py; stdlib plistlib, fully real — not
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": q_embed_neardup,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
+        "efta_dataset": q_efta_dataset,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "json_roundtrip": q_json_roundtrip,
@@ -1165,6 +1179,19 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND stop_word_hits >= 2) AS gopher_pass
             FROM s
+        """,
+        # EFTA range provenance: LEFT JOIN against the static range table
+        "efta_dataset": """
+            SELECT d.doc_id, r.dataset
+            FROM documents d
+            LEFT JOIN (VALUES
+                (1, 1, 3158), (2, 3159, 3857), (3, 3858, 5586),
+                (4, 5705, 8320), (5, 8409, 8528), (6, 8529, 8998),
+                (7, 9016, 9664), (8, 9676, 39023), (9, 39025, 1262781),
+                (10, 1262782, 2212882), (11, 2212883, 2730262),
+                (12, 2730265, 2731783)
+            ) AS r(dataset, lo, hi)
+              ON d.doc_id BETWEEN r.lo AND r.hi
         """,
         "langid": _langid_select(),
         # exact-pass-only prep composition: langid CTE → quality+lang gate →

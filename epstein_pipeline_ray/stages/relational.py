@@ -332,3 +332,49 @@ def sample_per_group(ds: Dataset, key: str, order_col: str, k: int,
                                     preserve_index=False)
 
     return map_key_blocks(ds, [key], per_block, num_partitions)
+
+
+# the reference's EFTA-number → DOJ dataset-release ranges (public data;
+# reference importers/sea_doughnut.py:58-74)
+EFTA_DATASET_RANGES: list[tuple[int, int, int]] = [
+    (1, 1, 3158), (2, 3159, 3857), (3, 3858, 5586), (4, 5705, 8320),
+    (5, 8409, 8528), (6, 8529, 8998), (7, 9016, 9664), (8, 9676, 39023),
+    (9, 39025, 1262781), (10, 1262782, 2212882), (11, 2212883, 2730262),
+    (12, 2730265, 2731783),
+]
+
+
+def range_bucket_lookup(
+    ds: Dataset,
+    col: str,
+    ranges: list[tuple[int, int, int]],
+    out_col: str = "bucket",
+) -> Dataset:
+    """Assign each row the bucket whose [lo, hi] range contains ``col``
+    (NULL in the gaps) — the reference's EFTA→dataset provenance mapping
+    (importers/sea_doughnut.py:97-107), generalized.
+
+    The range table is a static constant compiled into the stage closure
+    (a dozen rows — no broadcast needed); the per-batch lookup is one
+    ``np.searchsorted`` against the sorted range starts plus an upper-bound
+    check, never a per-row scan of the ranges.
+    """
+    srt = sorted(ranges, key=lambda r: r[1])
+    starts = np.array([lo for _, lo, _ in srt], dtype=np.int64)
+    ends = np.array([hi for _, _, hi in srt], dtype=np.int64)
+    buckets = np.array([b for b, _, _ in srt], dtype=np.int64)
+
+    def add(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        null_mask = np.asarray(pc.is_null(c))
+        v = np.asarray(pc.fill_null(c, 0).cast(pa.int64()))
+        idx = np.searchsorted(starts, v, side="right") - 1
+        safe = np.clip(idx, 0, len(starts) - 1)
+        ok = (idx >= 0) & (v <= ends[safe]) & ~null_mask
+        vals = pa.array(buckets[safe], pa.int64())
+        out = pc.if_else(pa.array(ok), vals, pa.nulls(len(v), pa.int64()))
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
