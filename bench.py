@@ -86,7 +86,17 @@ def run_bench() -> dict:
     _clean_exchange()
     path = _ensure_corpus()
 
-    # warm the page cache so we measure compute + shuffle, not cold disk
+    # warm the page cache so we measure compute + shuffle, not cold disk.
+    # count() alone is metadata-only and reads no data bytes — actually
+    # touch the files (cold-disk rollup reads were measured to cap the
+    # rollup stage at 1.5x speedup from 4x CPUs, poisoning the scaling
+    # measurement whenever the corpus had been evicted)
+    for root, _dirs, files in os.walk(path) if os.path.isdir(path) else [(os.path.dirname(path), None, [os.path.basename(path)])]:
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
     turns = rd.read_parquet(path)
     n_turns = turns.count()
 
