@@ -255,9 +255,13 @@ def dedup_conv_docs(
         # many blocks makes Ray's sort emit schema-less empty ranges (the
         # RefBundle schema warning) and wastes range-partition tasks.
         def _sorted():
-            n = pairs.count()  # pairs is materialized: metadata-only
-            target = max(1, min(pairs.num_blocks(), -(-n // 2_000_000)))
-            src = pairs if target == pairs.num_blocks() else pairs.repartition(target)
+            n = pairs.count()
+            target = max(1, -(-n // 2_000_000))
+            try:
+                cur = pairs.num_blocks()  # materialized in the in-memory path
+            except NotImplementedError:
+                cur = None  # lazy (checkpoint-resume read): block count unknown
+            src = pairs if cur is not None and cur <= target else pairs.repartition(target)
             return src.sort("score", descending=True)
 
         pairs = ck("pairs_sorted", _sorted)
