@@ -1154,6 +1154,11 @@ def oracle_sql() -> dict[str, str]:
                         / len(lines), 6) AS ellipsis_line_ratio,
                    round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
                         AS dup_line_frac,
+                   CASE WHEN n_words < 2 THEN 0.0 ELSE round(
+                        1.0 - len(list_distinct(list_transform(
+                              generate_series(1, n_words - 1),
+                              i -> toks[i] || chr(31) || toks[i + 1])))::DOUBLE
+                        / (n_words - 1), 6) END AS dup_2gram_frac,
                    CASE WHEN n_words = 0 THEN 0.0 ELSE round(
                         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
                         / n_words, 6) END AS frac_alpha_words,
@@ -1170,7 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
                    bullet_ratio, ellipsis_line_ratio, dup_line_frac,
-                   frac_alpha_words, stop_word_hits,
+                   dup_2gram_frac, frac_alpha_words, stop_word_hits,
                    (n_words BETWEEN 50 AND 100000
                     AND mean_word_len BETWEEN 3 AND 10
                     AND symbol_word_ratio <= 0.1

@@ -281,6 +281,28 @@ def gopher_signals(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     alpha_n = np.add.reduceat(alpha, toffs[:-1]).astype(np.float64)
     frac_alpha_words = np.where(has_words, sql_round(alpha_n / safe_words, 6), 0.0)
 
+    # duplicate word-2-gram fraction (the Gopher repetition-rule family):
+    # adjacent token pairs within each doc, distinct-counted in pandas C
+    # code; docs with <2 words score 0
+    n_tok = np.diff(toffs)
+    if len(tflat):
+        tnp = tflat.to_pandas().to_numpy()
+        tdoc = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        keep2 = tdoc[:-1] == tdoc[1:]  # successor in the same doc
+        gf = pd.DataFrame({
+            "d": tdoc[:-1][keep2],
+            "a": tnp[:-1][keep2],
+            "b": tnp[1:][keep2],
+        })
+        dist2 = gf.drop_duplicates().groupby("d", sort=True).size()
+        dist2 = dist2.reindex(range(len(n_tok)), fill_value=0).to_numpy(np.float64)
+    else:
+        dist2 = np.zeros(len(n_tok), dtype=np.float64)
+    n_2grams = np.where(has_words, np.maximum(n_words - 1, 0.0), 0.0)
+    dup_2gram_frac = np.where(
+        n_2grams > 0, sql_round(1.0 - dist2 / np.where(n_2grams > 0, n_2grams, 1.0), 6), 0.0
+    )
+
     # stopword hits: token-boundary regex per stopword on lowered text
     low = pc.utf8_lower(texts)
     hits = np.zeros(len(n_words), dtype=np.int64)
@@ -305,6 +327,7 @@ def gopher_signals(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
         "bullet_ratio": pa.array(bullet_ratio, pa.float64()),
         "ellipsis_line_ratio": pa.array(ellipsis_line_ratio, pa.float64()),
         "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+        "dup_2gram_frac": pa.array(dup_2gram_frac, pa.float64()),
         "frac_alpha_words": pa.array(frac_alpha_words, pa.float64()),
         "stop_word_hits": pa.array(hits, pa.int64()),
         "gopher_pass": pa.array(gopher_pass, pa.bool_()),
