@@ -851,6 +851,15 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_top_events_per_user(sf_dir: str):
+    """Top-3 events per user by value (deterministic event_id tie-break):
+    map-side combiner prune → keyed exchange → block sort+head."""
+    from epstein_pipeline_ray.stages.relational import topk_per_group
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return topk_per_group(ev, "user_id", "value", 3, tie_col="event_id")
+
+
 def q_efta_dataset(sf_dir: str):
     """EFTA-number → DOJ dataset-release provenance mapping (reference
     importers/sea_doughnut.py:58-107) as a vectorized range-bucket
@@ -911,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
+        "top_events_per_user": q_top_events_per_user,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "json_roundtrip": q_json_roundtrip,
@@ -1184,6 +1194,15 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND stop_word_hits >= 2) AS gopher_pass
             FROM s
+        """,
+        "top_events_per_user": """
+            SELECT event_id, user_id, value
+            FROM (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3
         """,
         # EFTA range provenance: LEFT JOIN against the static range table
         "efta_dataset": """

@@ -378,3 +378,43 @@ def range_bucket_lookup(
         return batch.append_column(out_col, out)
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_per_group(ds: Dataset, key: str, value_col: str, k: int,
+                   tie_col: str, num_partitions: int | None = None) -> Dataset:
+    """Top-``k`` rows per group by ``value_col`` descending (ties broken by
+    ``tie_col`` ascending, so membership is deterministic) — the per-entity
+    variant of O2's top-k (reference keeps the N highest-confidence
+    links/chunks per person, person_linker.py).
+
+    Scale shape: a map-side combiner prunes every batch to its local
+    top-k per key BEFORE the exchange, so the keyed shuffle moves at most
+    k rows per (key, batch) instead of the full table; the reduce side is
+    one vectorized sort+head per key-sorted block.
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = ds.schema().names
+
+    def local_prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if len(df) <= k:
+            return batch
+        df = df.sort_values([key, value_col, tie_col], kind="mergesort",
+                            ascending=[True, False, True])
+        out = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(out[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return block
+        df = df.sort_values([key, value_col, tie_col], kind="mergesort",
+                            ascending=[True, False, True])
+        out = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(out[cols].reset_index(drop=True),
+                                    preserve_index=False)
+
+    pruned = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(pruned, [key], per_block, num_partitions)
