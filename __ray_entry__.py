@@ -851,6 +851,14 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_event_deltas(sf_dir: str):
+    """LAG window: microseconds since each user's previous event."""
+    from epstein_pipeline_ray.stages.relational import with_prev_delta
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return with_prev_delta(ev, "user_id", "ts", tie_col="event_id")
+
+
 def q_top_events_per_user(sf_dir: str):
     """Top-3 events per user by value (deterministic event_id tie-break):
     map-side combiner prune → keyed exchange → block sort+head."""
@@ -921,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
         "top_events_per_user": q_top_events_per_user,
+        "event_deltas": q_event_deltas,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "json_roundtrip": q_json_roundtrip,
@@ -1194,6 +1203,14 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND stop_word_hits >= 2) AS gopher_pass
             FROM s
+        """,
+        "event_deltas": """
+            SELECT event_id, user_id, ts,
+                   date_diff('microsecond',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts)::DOUBLE AS delta_us
+            FROM events
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value

@@ -418,3 +418,34 @@ def topk_per_group(ds: Dataset, key: str, value_col: str, k: int,
 
     pruned = ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(pruned, [key], per_block, num_partitions)
+
+
+def with_prev_delta(ds: Dataset, key: str, ts_col: str, tie_col: str,
+                    out_col: str = "delta_us",
+                    num_partitions: int | None = None) -> Dataset:
+    """LAG window: microseconds since the previous row of the same group
+    in (ts, tie) order; NULL for each group's first row. One keyed
+    exchange + a vectorized diff per key-sorted block (never a per-group
+    Python call) — SQL twin:
+    ``date_diff('microsecond', lag(ts) OVER (PARTITION BY key ORDER BY
+    ts, tie), ts)``.
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = ds.schema().names
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.Table.from_pandas(df.assign(**{out_col: pd.Series([], dtype="float64")}),
+                                        preserve_index=False)
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
+        ts_us = df[ts_col].astype("int64")  # datetime64[us] → microseconds
+        delta = ts_us.diff()  # float64, first row NaN
+        same = df[key].eq(df[key].shift())
+        # float64 (NaN = no previous row): nullable ints don't survive the
+        # driver's column canonicalization
+        df[out_col] = delta.where(same)
+        return pa.Table.from_pandas(df[cols + [out_col]], preserve_index=False)
+
+    return map_key_blocks(ds, [key], per_block, num_partitions)
