@@ -851,6 +851,23 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_user_median_value(sf_dir: str):
+    """Exact per-user event-value median (non-decomposable aggregate —
+    one keyed exchange of the pruned value column)."""
+    from epstein_pipeline_ray.stages.relational import grouped_median
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return grouped_median(ev, "user_id", "value")
+
+
+def q_user_running_value(sf_dir: str):
+    """Cumulative event value per user in (ts, event_id) order."""
+    from epstein_pipeline_ray.stages.relational import with_running_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return with_running_sum(ev, "user_id", "ts", "event_id", "value")
+
+
 def q_event_deltas(sf_dir: str):
     """LAG window: microseconds since each user's previous event."""
     from epstein_pipeline_ray.stages.relational import with_prev_delta
@@ -930,6 +947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "efta_dataset": q_efta_dataset,
         "top_events_per_user": q_top_events_per_user,
         "event_deltas": q_event_deltas,
+        "user_median_value": q_user_median_value,
+        "user_running_value": q_user_running_value,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "json_roundtrip": q_json_roundtrip,
@@ -1203,6 +1222,19 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND stop_word_hits >= 2) AS gopher_pass
             FROM s
+        """,
+        "user_median_value": """
+            SELECT user_id, round(median(value), 6) AS median_value
+            FROM events GROUP BY user_id
+        """,
+        "user_running_value": """
+            SELECT event_id, user_id, ts,
+                   value,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 6)
+                       AS running_sum
+            FROM events
         """,
         "event_deltas": """
             SELECT event_id, user_id, ts,

@@ -449,3 +449,53 @@ def with_prev_delta(ds: Dataset, key: str, ts_col: str, tie_col: str,
         return pa.Table.from_pandas(df[cols + [out_col]], preserve_index=False)
 
     return map_key_blocks(ds, [key], per_block, num_partitions)
+
+
+def grouped_median(ds: Dataset, key: str, value_col: str,
+                   out_col: str = "median_value",
+                   num_partitions: int | None = None) -> Dataset:
+    """Exact per-group median. Unlike count/sum/mean (grouped_stats),
+    a median is not decomposable into map-side partials — it genuinely
+    needs every group member co-located, so this is one keyed exchange
+    (values only, pruned columns) + a vectorized pandas groupby.median
+    per key-sorted block. Even-sized groups interpolate the middle two
+    (same convention as the SQL ``median``)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, value_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.table({key: block[key],
+                             out_col: pa.array([], pa.float64())})
+        med = df.groupby(key, sort=True)[value_col].median().reset_index()
+        med.columns = [key, out_col]
+        med[out_col] = sql_round(med[out_col].to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(med, preserve_index=False)
+
+    return map_key_blocks(pruned, [key], per_block, num_partitions)
+
+
+def with_running_sum(ds: Dataset, key: str, order_col: str, tie_col: str,
+                     value_col: str, out_col: str = "running_sum",
+                     num_partitions: int | None = None) -> Dataset:
+    """Cumulative-sum window per group in (order, tie) order — one keyed
+    exchange + a vectorized groupby.cumsum per block. SQL twin:
+    ``sum(v) OVER (PARTITION BY key ORDER BY order_col, tie_col)``."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = ds.schema().names
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.Table.from_pandas(
+                df.assign(**{out_col: pd.Series([], dtype="float64")}),
+                preserve_index=False)
+        df = df.sort_values([key, order_col, tie_col], kind="mergesort").reset_index(drop=True)
+        df[out_col] = sql_round(
+            df.groupby(key, sort=False)[value_col].cumsum().to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(df[cols + [out_col]], preserve_index=False)
+
+    return map_key_blocks(ds, [key], per_block, num_partitions)
