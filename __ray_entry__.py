@@ -851,6 +851,26 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_value_distinct_kmv(sf_dir: str):
+    """Approximate distinct event values per event_type via the KMV
+    sketch (k=256, sigma≈6%) — the mergeable-sketch twin of
+    user_event_types★; accuracy + merge-invariance pytest in
+    test_joins.py (no SQL oracle: it is an estimator)."""
+    from epstein_pipeline_ray.stages.relational import kmv_distinct_per_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return kmv_distinct_per_group(ev, "event_type", "value", k=256)
+
+
+def q_user_event_types(sf_dir: str):
+    """Exact COUNT(DISTINCT event_type) per user — two-phase distinct
+    (map-side dedup before the keyed exchange)."""
+    from epstein_pipeline_ray.stages.relational import grouped_count_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_count_distinct(ev, "user_id", "event_type")
+
+
 def q_user_median_value(sf_dir: str):
     """Exact per-user event-value median (non-decomposable aggregate —
     one keyed exchange of the pruned value column)."""
@@ -948,6 +968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q_top_events_per_user,
         "event_deltas": q_event_deltas,
         "user_median_value": q_user_median_value,
+        "user_event_types": q_user_event_types,
+        "value_distinct_kmv": q_value_distinct_kmv,
         "user_running_value": q_user_running_value,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
@@ -1222,6 +1244,10 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND stop_word_hits >= 2) AS gopher_pass
             FROM s
+        """,
+        "user_event_types": """
+            SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_distinct
+            FROM events GROUP BY user_id
         """,
         "user_median_value": """
             SELECT user_id, round(median(value), 6) AS median_value

@@ -499,3 +499,82 @@ def with_running_sum(ds: Dataset, key: str, order_col: str, tie_col: str,
         return pa.Table.from_pandas(df[cols + [out_col]], preserve_index=False)
 
     return map_key_blocks(ds, [key], per_block, num_partitions)
+
+
+def grouped_count_distinct(ds: Dataset, key: str, value_col: str,
+                           out_col: str = "n_distinct",
+                           num_partitions: int | None = None) -> Dataset:
+    """Exact COUNT(DISTINCT value) per group, two-phase: every batch
+    first collapses to its distinct (key, value) pairs (map-side dedup —
+    the shuffle then moves at most one row per distinct pair per batch,
+    not the raw table), then one keyed exchange + a vectorized nunique
+    per key-sorted block."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, value_col])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.table({key: block[key], out_col: pa.array([], pa.int64())})
+        out = df.groupby(key, sort=True)[value_col].nunique().reset_index()
+        out.columns = [key, out_col]
+        out[out_col] = out[out_col].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    deduped = pruned.map_batches(local_distinct, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return map_key_blocks(deduped, [key], per_block, num_partitions)
+
+
+def kmv_distinct_per_group(ds: Dataset, key: str, value_col: str, k: int = 256,
+                           out_col: str = "n_distinct_est",
+                           num_partitions: int | None = None) -> Dataset:
+    """Approximate COUNT(DISTINCT) per group via a K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002): keep the k smallest distinct 64-bit
+    value hashes per group; estimate (k-1)·2^64/kth_min once the sketch
+    is full, exact below k. KMV partials are mergeable (union, re-trim),
+    so each batch ships at most k rows per key through the exchange no
+    matter how many raw rows it held — the sketch twin of
+    ``grouped_count_distinct`` for when even distinct pairs are too many.
+    Exact-sibling query: user_event_types★; accuracy property test in
+    tests/test_queries-adjacent suite."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, value_col])
+    TWO64 = float(2 ** 64)
+
+    def _hash(df):
+        return pd.util.hash_array(df[value_col].to_numpy(), categorize=False)
+
+    def local_sketch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({key: batch[key], "__h": pa.array([], pa.uint64())})
+        df = df.assign(__h=_hash(df)).drop(columns=[value_col]).drop_duplicates()
+        df = df.sort_values([key, "__h"], kind="mergesort")
+        df = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.table({key: block[key], out_col: pa.array([], pa.float64())})
+        df = df.drop_duplicates().sort_values([key, "__h"], kind="mergesort")
+        df["__rank"] = df.groupby(key, sort=False).cumcount()
+        sizes = df.groupby(key, sort=True).size()
+        est = sizes.astype("float64")
+        kth = df[df["__rank"] == k - 1].set_index(key)["__h"]  # full sketches only
+        if len(kth):
+            est.loc[kth.index] = (k - 1) * TWO64 / kth.astype("float64")
+        out = est.reset_index()
+        out.columns = [key, out_col]
+        out[out_col] = sql_round(out[out_col].to_numpy(np.float64), 1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    sk = pruned.map_batches(local_sketch, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(sk, [key], per_block, num_partitions)

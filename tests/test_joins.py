@@ -92,3 +92,33 @@ def test_extended_verify_exchange_plan(ray_session, tiny_turns):
                          broadcast_rows_limit=0).to_pandas()
     key = lambda d: set(zip(d.id_a, d.id_b, d.method))  # noqa: E731
     assert key(bc) == key(ex) and len(bc) > 0
+
+
+def test_kmv_distinct_sketch_accuracy(ray_session):
+    """KMV estimate: exact below k, within sketch-sigma error when full,
+    and invariant to how rows are batched (mergeable partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import kmv_distinct_per_group
+
+    rng = np.random.default_rng(7)
+    # group A: 40 distinct (< k=64, must be exact); group B: 5000 distinct
+    vals_a = [f"a{v}" for v in rng.integers(0, 40, size=2000)]
+    vals_b = [f"b{v}" for v in range(5000)] * 2
+    t = pa.table({
+        "g": ["A"] * len(vals_a) + ["B"] * len(vals_b),
+        "v": vals_a + vals_b,
+    })
+    for nblocks in (1, 8):
+        out = (kmv_distinct_per_group(
+                   rd.from_arrow(t).repartition(nblocks), "g", "v", k=256)
+               .to_pandas().set_index("g")["n_distinct_est"])
+        assert out["A"] == 40.0
+        assert abs(out["B"] - 5000) / 5000 < 0.10, out["B"]  # sigma=1/sqrt(k-2)=6.3%
+    # batching-invariance: same sketch → identical estimate
+    one = kmv_distinct_per_group(rd.from_arrow(t).repartition(1), "g", "v", k=256).to_pandas()
+    many = kmv_distinct_per_group(rd.from_arrow(t).repartition(8), "g", "v", k=256).to_pandas()
+    assert one.sort_values("g").reset_index(drop=True).equals(
+        many.sort_values("g").reset_index(drop=True))
