@@ -851,6 +851,15 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_scrub_pii(sf_dir: str):
+    """PII masking (emails / SSNs / phones -> typed mask tokens) with a
+    per-doc mask count; RE2 literals shared with the DuckDB twin."""
+    from epstein_pipeline_ray.stages.textops import scrub_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return scrub_pii(docs).select_columns(["doc_id", "scrubbed", "n_masked"])
+
+
 def q_value_distinct_kmv(sf_dir: str):
     """Approximate distinct event values per event_type via the KMV
     sketch (k=256, sigma≈6%) — the mergeable-sketch twin of
@@ -970,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_value": q_user_median_value,
         "user_event_types": q_user_event_types,
         "value_distinct_kmv": q_value_distinct_kmv,
+        "scrub_pii": q_scrub_pii,
         "user_running_value": q_user_running_value,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
@@ -1244,6 +1254,23 @@ def oracle_sql() -> dict[str, str]:
                     AND frac_alpha_words >= 0.8
                     AND stop_word_hits >= 2) AS gopher_pass
             FROM s
+        """,
+        "scrub_pii": r"""
+            WITH t0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            t1 AS (SELECT doc_id,
+                      len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c1,
+                      regexp_replace(t, '\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b', '[EMAIL]', 'g') AS t
+                   FROM t0),
+            t2 AS (SELECT doc_id, c1,
+                      len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS c2,
+                      regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t
+                   FROM t1),
+            t3 AS (SELECT doc_id, c1, c2,
+                      len(regexp_extract_all(t, '\b(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b')) AS c3,
+                      regexp_replace(t, '\b(?:\+?1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b', '[PHONE]', 'g') AS t
+                   FROM t2)
+            SELECT doc_id, t AS scrubbed, (c1 + c2 + c3)::BIGINT AS n_masked
+            FROM t3
         """,
         "user_event_types": """
             SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_distinct

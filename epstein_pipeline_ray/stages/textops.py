@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -275,3 +276,36 @@ def with_gopher_signals(docs: Dataset, text_col: str = "text") -> Dataset:
         return batch
 
     return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII masking pass: patterns applied in this fixed order, each counted on
+# the text as it stands BEFORE that pattern's replacement (an email whose
+# local part looks like a phone number is masked once, as [EMAIL])
+PII_SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("EMAIL_ADDR", ENTITY_PATTERNS["EMAIL_ADDR"], "[EMAIL]"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("PHONE", ENTITY_PATTERNS["PHONE"], "[PHONE]"),
+]
+
+
+def scrub_pii(docs: Dataset, text_col: str = "text",
+              out_col: str = "scrubbed", count_col: str = "n_masked") -> Dataset:
+    """Mask emails / SSNs / phone numbers (the text-side analog of the
+    reference's redaction analysis, processors/redaction.py — its PDF
+    region scan is codec-bound, the masking semantics are not). Pure
+    Arrow RE2 kernels per batch (replace + count per pattern), patterns
+    shared with the typed entity extractor so the DuckDB twin is exact."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        total = np.zeros(len(txt), dtype=np.int64)
+        for _name, pat, mask in PII_SCRUB_PATTERNS:
+            total += np.asarray(pc.count_substring_regex(txt, pattern=pat))
+            txt = pc.replace_substring_regex(txt, pattern=pat, replacement=mask)
+        batch = batch.append_column(out_col, txt)
+        return batch.append_column(count_col, pa.array(total, pa.int64()))
+
+    return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)

@@ -138,3 +138,36 @@ def test_gopher_signals_edge_parity_with_oracle():
     got = got[sorted(got.columns)].sort_values("doc_id").reset_index(drop=True)
     want = want[sorted(want.columns)].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+def test_scrub_pii_edge_parity_with_oracle():
+    """Known PII through both the Arrow scrub kernels and the DuckDB twin,
+    including the ordering case (phone-shaped email local part masks once,
+    as [EMAIL]) and nulls."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+    from epstein_pipeline_ray.stages.textops import scrub_pii
+
+    texts = [
+        "mail bob@example.com or call (212) 555-0173",
+        "ssn 123-45-6789 and phone 212.555.0173",
+        "555-123-4567@sneaky.co hides a phone-shaped local part",
+        "no pii here",
+        None,
+        "+1 212 555 0173 and 212-555-0173 twice",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = (scrub_pii(rd.from_arrow(tbl))
+           .select_columns(["doc_id", "scrubbed", "n_masked"]).to_pandas())
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(entrymod.oracle_sql()["scrub_pii"]).df()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert got.loc[2, "scrubbed"].startswith("[EMAIL] hides")
+    assert got.n_masked.tolist() == [2, 2, 1, 0, 0, 2]
