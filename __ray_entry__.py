@@ -880,6 +880,14 @@ def q_user_event_types(sf_dir: str):
     return grouped_count_distinct(ev, "user_id", "event_type")
 
 
+def q_type_value_p90(sf_dir: str):
+    """Exact p90 event value per event_type (quantile_cont convention)."""
+    from epstein_pipeline_ray.stages.relational import grouped_quantile
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile(ev, "event_type", "value", 0.9)
+
+
 def q_user_median_value(sf_dir: str):
     """Exact per-user event-value median (non-decomposable aggregate —
     one keyed exchange of the pruned value column)."""
@@ -977,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q_top_events_per_user,
         "event_deltas": q_event_deltas,
         "user_median_value": q_user_median_value,
+        "type_value_p90": q_type_value_p90,
         "user_event_types": q_user_event_types,
         "value_distinct_kmv": q_value_distinct_kmv,
         "scrub_pii": q_scrub_pii,
@@ -1275,6 +1284,10 @@ def oracle_sql() -> dict[str, str]:
         "user_event_types": """
             SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_distinct
             FROM events GROUP BY user_id
+        """,
+        "type_value_p90": """
+            SELECT event_type, round(quantile_cont(value, 0.9), 6) AS quantile_value
+            FROM events GROUP BY event_type
         """,
         "user_median_value": """
             SELECT user_id, round(median(value), 6) AS median_value

@@ -578,3 +578,27 @@ def kmv_distinct_per_group(ds: Dataset, key: str, value_col: str, k: int = 256,
 
     sk = pruned.map_batches(local_sketch, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(sk, [key], per_block, num_partitions)
+
+
+def grouped_quantile(ds: Dataset, key: str, value_col: str, q: float,
+                     out_col: str = "quantile_value",
+                     num_partitions: int | None = None) -> Dataset:
+    """Exact per-group continuous quantile (linear interpolation — the
+    SQL ``quantile_cont`` convention; grouped_median is the q=0.5 case).
+    Like the median this is non-decomposable, so: one values-only keyed
+    exchange + a vectorized groupby.quantile per block."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, value_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.table({key: block[key], out_col: pa.array([], pa.float64())})
+        out = (df.groupby(key, sort=True)[value_col]
+                 .quantile(q, interpolation="linear").reset_index())
+        out.columns = [key, out_col]
+        out[out_col] = sql_round(out[out_col].to_numpy(np.float64), 6)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return map_key_blocks(pruned, [key], per_block, num_partitions)
