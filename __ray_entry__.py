@@ -1267,7 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": r"""
             WITH t0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
             t1 AS (SELECT doc_id,
-                      len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS c1,
+                      len(regexp_extract_all(t, '\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b')) AS c1,
                       regexp_replace(t, '\b[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}\b', '[EMAIL]', 'g') AS t
                    FROM t0),
             t2 AS (SELECT doc_id, c1,

@@ -125,19 +125,29 @@ def extract_plists_from_bytes(raw: bytes) -> list[dict]:
 def extract_plist_metadata(
     docs: Dataset, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> Dataset:
-    """One metadata row per embedded plist across all payloads."""
+    """One metadata row per embedded plist across all payloads.
+
+    The output id column keeps the caller's ``id_col`` name and value
+    type (the metadata fields follow ``PLIST_META_SCHEMA``)."""
 
     def scan(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        id_arr = batch[id_col]
+        out_schema = pa.schema(
+            [pa.field(id_col, id_arr.type)] + list(PLIST_META_SCHEMA)[1:]
+        )
         payloads = batch[payload_col].to_pylist()
+        idx: list[int] = []
         rows: list[dict] = []
-        for i, raw in zip(ids, payloads):
+        for j, raw in enumerate(payloads):
             for meta in extract_plists_from_bytes(raw or b""):
-                rows.append({"doc_id": str(i), **meta})
+                idx.append(j)
+                rows.append(meta)
         if not rows:
-            return PLIST_META_SCHEMA.empty_table()
-        cols = {f.name: [r[f.name] for r in rows] for f in PLIST_META_SCHEMA}
-        return pa.table(cols, schema=PLIST_META_SCHEMA)
+            return out_schema.empty_table()
+        cols = {id_col: id_arr.take(pa.array(idx, pa.int64()))}
+        for f in list(PLIST_META_SCHEMA)[1:]:
+            cols[f.name] = [r[f.name] for r in rows]
+        return pa.table(cols, schema=out_schema)
 
     return docs.map_batches(
         scan, batch_format="pyarrow", zero_copy_batch=True, batch_size=64

@@ -43,6 +43,23 @@ def test_kernel_multiple_plists_one_payload():
     assert [m["sender"] for m in metas] == ["x@y.z", "q@r.s"]
 
 
+def test_stage_preserves_custom_id_column(ray_session):
+    # a non-default id column name AND a non-string id type must survive
+    t = synth_plist_corpus(9)
+    t2 = pa.table(
+        {
+            "file_no": pa.array(range(9), pa.int64()),
+            "payload": t["payload"],
+        }
+    )
+    out_ds = extract_plist_metadata(rd.from_arrow(t2), id_col="file_no")
+    sch = out_ds.schema()
+    assert sch.names[0] == "file_no"
+    assert sch.types[0] == pa.int64()
+    out = out_ds.to_pandas()
+    assert sorted(out.file_no) == [0, 3, 6]
+
+
 def test_stage_parallel_scan(ray_session):
     docs = rd.from_arrow(synth_plist_corpus(90))
     out = extract_plist_metadata(docs).to_pandas()

@@ -158,6 +158,9 @@ def test_scrub_pii_edge_parity_with_oracle():
         "no pii here",
         None,
         "+1 212 555 0173 and 212-555-0173 twice",
+        # ADVICE r2: email abutting a word char — neither engine nor oracle
+        # masks it (no \b match), and the oracle COUNT must agree (anchored)
+        "xa@b.co1 touches digits; real a@b.co stands alone",
     ]
     tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                     "text": pa.array(texts, pa.string())})
@@ -170,4 +173,4 @@ def test_scrub_pii_edge_parity_with_oracle():
     want = want.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert got.loc[2, "scrubbed"].startswith("[EMAIL] hides")
-    assert got.n_masked.tolist() == [2, 2, 1, 0, 0, 2]
+    assert got.n_masked.tolist() == [2, 2, 1, 0, 0, 2, 1]
