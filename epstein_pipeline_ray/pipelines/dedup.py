@@ -223,14 +223,18 @@ def dedup_conv_docs(
     # below handles both the cross-band pair dedup and the first-wins pass
     # preference in one exchange (reference dedup.py:143-168, 242-326)
     doc_cols = set(hashed.schema().names)
+    # the rank tag chains lazily INSIDE each pass's stage barrier so the
+    # barrier materializes the tagged stream directly — tagging a
+    # materialized pass would re-copy every pair table once more
     parts = []
     if cfg.enable_exact:
-        parts.append(_with_rank(ck("pairs_exact", lambda: exact_pairs(hashed)), 0))
+        parts.append(ck("pairs_exact", lambda: _with_rank(exact_pairs(hashed), 0)))
     if cfg.enable_bates and "bates_range" in doc_cols:
-        parts.append(_with_rank(ck("pairs_bates", lambda: _bates_pass(hashed)), 1))
+        parts.append(ck("pairs_bates", lambda: _with_rank(_bates_pass(hashed), 1)))
     if cfg.enable_title and "title" in doc_cols:
-        parts.append(_with_rank(
-            ck("pairs_title", lambda: _title_pass(hashed, cfg.title_threshold)), 2))
+        parts.append(ck(
+            "pairs_title",
+            lambda: _with_rank(_title_pass(hashed, cfg.title_threshold), 2)))
     if cfg.enable_minhash:
         from epstein_pipeline_ray.stages.minhash_stage import minhash_raw_pairs
 
@@ -239,8 +243,9 @@ def dedup_conv_docs(
         # hash_representatives) — an extra materialize barrier here would
         # copy the full text corpus once more for nothing
         mh_input = hash_representatives(hashed) if minhash_on_reps else hashed
-        parts.append(_with_rank(
-            ck("pairs_minhash_raw", lambda: minhash_raw_pairs(mh_input, cfg)), 3))
+        parts.append(ck(
+            "pairs_minhash_raw",
+            lambda: _with_rank(minhash_raw_pairs(mh_input, cfg), 3)))
 
     if not parts:
         raise ValueError("at least one dedup pass must be enabled")
