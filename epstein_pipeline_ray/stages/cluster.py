@@ -6,13 +6,21 @@ representative = member with the longest text; avg_similarity = mean of
 pair scores whose BOTH endpoints are in the cluster.
 
 Scale notes: the verified-pair set is orders of magnitude smaller than
-the corpus (it is proportional to the duplicate rate), so union-find runs
-on the driver over a *streamed* pair iterator — no corpus-sized state.
-Cluster assignment is then a broadcast map (``ray.put`` once, read inside
-``map_batches``), not a shuffle join. If pairs ever outgrow driver memory
-the fallback is iterative min-label propagation over groupby (see
-PAPERS.md BTS, ICDE 2024) — not needed at the duplicate rates this engine
-targets, and documented here as the partitioning assumption.
+the corpus (it is proportional to the duplicate rate). Two physical
+plans, switched on the pair count (``assign_clusters``):
+
+- **driver plan** (default below ``driver_pairs_limit``): union-find runs
+  on the driver over a *streamed* pair iterator — no corpus-sized state;
+  cluster assignment is a broadcast map (``ray.put`` once, read inside
+  ``map_batches``), not a shuffle join.
+- **exchange plan** (above the limit, or forced via
+  ``EPR_CC_DRIVER_LIMIT=0``): iterative min-label propagation with
+  pointer jumping through the partitioned-file exchange (PAPERS.md BTS,
+  ICDE 2024; Kiveris et al. "Connected Components in MapReduce", SoCC'14
+  — same message-passing shape). No process ever holds the pair stream or
+  the member→cluster map; labels are the member id STRINGS, so the
+  converged label is the lexicographic-min member — identical cluster ids
+  to the driver plan by construction (equality-tested at a forced limit).
 
 Deviation from the reference: cluster_id is the lexicographic min member
 conv_id (deterministic) instead of ``uuid4()[:8]`` (dedup.py:228), and
@@ -25,8 +33,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+from epstein_pipeline_ray.stages.groupblock import group_starts
 
 CLUSTERS_SCHEMA = pa.schema(
     [
@@ -85,14 +96,302 @@ def union_find_pairs(pairs: Dataset) -> tuple[dict[str, str], dict[str, float]]:
     return member_to_cluster, avg
 
 
-def assign_clusters(docs: Dataset, pairs: Dataset) -> Dataset:
+def min_label_propagation(pairs: Dataset, num_partitions: int | None = None,
+                          max_iters: int = 64) -> Dataset:
+    """Distributed connected components over the pair stream: (node, label)
+    with label = lexicographic-min member id of the node's component.
+
+    Each iteration is two keyed exchanges:
+
+    1. scatter — messages (src → dst) carry ``label(src)`` to dst. The
+       message set is the static directed edge list (both directions)
+       PLUS the current label table read as edges (label(x) → x), which
+       delivers ``label(label(x))`` to x — pointer jumping for free, so
+       chains converge in O(log D) rounds instead of O(D).
+    2. gather — per node, new label = min(own label, received labels);
+       a ``changed`` flag per node drives convergence.
+
+    Everything is edge/node-proportional — no corpus-sized or
+    pair-stream-sized state on any single process.
+    """
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    LBL = pa.schema([("node", pa.string()), ("label", pa.string())])
+    MSG = pa.schema([("k", pa.string()), ("dst", pa.string()),
+                     ("lab", pa.string()), ("own", pa.int8())])
+    CAND = pa.schema([("node", pa.string()), ("cand", pa.string()),
+                      ("own", pa.int8())])
+    STEP = pa.schema([("node", pa.string()), ("label", pa.string()),
+                      ("changed", pa.int8())])
+
+    def to_directed(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"]
+        b = batch["id_b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        a = a.cast(pa.string())
+        b = b.cast(pa.string())
+        n = batch.num_rows
+        return pa.table(
+            {"k": pa.concat_arrays([a, b]),
+             "dst": pa.concat_arrays([b, a]),
+             "lab": pa.nulls(2 * n, pa.string()),
+             "own": pa.array(np.zeros(2 * n, dtype=np.int8))},
+            schema=MSG,
+        )
+
+    directed = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        to_directed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def init_labels(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return LBL.empty_table()
+        ks = block["k"]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        codes = np.asarray(ks.dictionary_encode().indices)
+        starts = group_starts(codes)
+        uniq = ks.take(pa.array(starts))
+        return pa.table({"node": uniq, "label": uniq}, schema=LBL)
+
+    labels = map_key_blocks(
+        directed.select_columns(["k"]), ["k"], init_labels, num_partitions
+    ).materialize()
+    gc_exchange_dirs()
+
+    def label_msgs(batch: pa.Table) -> pa.Table:
+        # current labels as messages: own-label row (k=node, own=1) plus a
+        # pointer-jump edge (k=label(x), dst=x) delivering label(label(x))
+        node = batch["node"]
+        lab = batch["label"]
+        if isinstance(node, pa.ChunkedArray):
+            node = node.combine_chunks()
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        n = batch.num_rows
+        return pa.table(
+            {"k": pa.concat_arrays([node, lab]),
+             "dst": pa.concat_arrays([pa.nulls(n, pa.string()), node]),
+             "lab": pa.concat_arrays([lab, pa.nulls(n, pa.string())]),
+             "own": pa.array(
+                 np.concatenate([np.ones(n, dtype=np.int8),
+                                 np.zeros(n, dtype=np.int8)]))},
+            schema=MSG,
+        )
+
+    def scatter_block(block: pa.Table) -> pa.Table:
+        # per key run: ℓ = the own-label row's lab; emit ℓ to every dst,
+        # and (node=k, cand=ℓ, own=1) once to carry the old label forward
+        if block.num_rows == 0:
+            return CAND.empty_table()
+        block = block.sort_by([("k", "ascending"), ("own", "descending")])
+        ks = block["k"]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        codes = np.asarray(ks.dictionary_encode().indices)
+        starts = group_starts(codes)
+        run_id = np.cumsum(
+            np.concatenate([[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        lab = block["lab"]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        run_lab = lab.take(pa.array(starts))          # ℓ per run
+        row_lab = run_lab.take(pa.array(run_id))      # ℓ per row
+        dst = block["dst"]
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        msg_mask = pa.array(np.asarray(dst.is_valid()))
+        msgs = pa.table(
+            {"node": dst.filter(msg_mask),
+             "cand": row_lab.filter(msg_mask),
+             "own": pa.array(
+                 np.zeros(int(pc.sum(msg_mask).as_py() or 0), dtype=np.int8))},
+            schema=CAND,
+        )
+        own = pa.table(
+            {"node": ks.take(pa.array(starts)),
+             "cand": run_lab,
+             "own": pa.array(np.ones(len(starts), dtype=np.int8))},
+            schema=CAND,
+        )
+        return pa.concat_tables([own, msgs])
+
+    def gather_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return STEP.empty_table()
+        block = block.sort_by([("node", "ascending"), ("cand", "ascending")])
+        nodes = block["node"]
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        codes = np.asarray(nodes.dictionary_encode().indices)
+        starts = group_starts(codes)
+        cand = block["cand"]
+        if isinstance(cand, pa.ChunkedArray):
+            cand = cand.combine_chunks()
+        new = cand.take(pa.array(starts))             # min cand per run
+        own_mask = pa.array(
+            np.asarray(block["own"].to_numpy(zero_copy_only=False)) == 1)
+        old = cand.filter(own_mask)                   # exactly one per run
+        changed = pc.cast(pc.not_equal(new, old), pa.int8())
+        return pa.table(
+            {"node": nodes.take(pa.array(starts)), "label": new,
+             "changed": changed},
+            schema=STEP,
+        )
+
+    for _ in range(max_iters):
+        lbl_msgs = labels.map_batches(
+            label_msgs, batch_format="pyarrow", zero_copy_batch=True)
+        from epstein_pipeline_ray.stages.groupblock import concat_datasets
+
+        msgs = concat_datasets([directed, lbl_msgs.materialize()])
+        cands = map_key_blocks(msgs, ["k"], scatter_block, num_partitions,
+                               sort_blocks=False)
+        step = map_key_blocks(cands, ["node"], gather_block, num_partitions,
+                              sort_blocks=False).materialize()
+        gc_exchange_dirs()
+        labels = step.select_columns(["node", "label"]).materialize()
+        n_changed = step.sum("changed") or 0
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"min_label_propagation did not converge in {max_iters} iterations"
+    )
+
+
+def _cc_driver_limit(default: int = 20_000_000) -> int:
+    import os
+
+    return int(os.environ.get("EPR_CC_DRIVER_LIMIT", default))
+
+
+def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
+                             num_partitions: int | None = None) -> Dataset:
+    """Exchange-plan cluster assignment: identical output to the broadcast
+    plan (same cluster ids, representatives, sizes, avg similarity) with
+    no pair-stream- or member-map-sized state on any process.
+
+    Stages: min-label CC → stamp members through one corpus exchange
+    (docs ⋈ labels on conv_id) → per-cluster stats (size, representative =
+    longest text, ties → larger id) in one cluster-keyed exchange →
+    avg_similarity from the relabeled pair stream attached by cluster key.
+    """
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    labels = min_label_propagation(pairs, num_partitions)
+
+    # per-cluster mean pair score: relabel one endpoint (both endpoints
+    # share a component by construction), then mean per cluster
+    relabeled = attach_column(
+        pairs.select_columns(["id_a", "score"]), labels,
+        left_key="id_a", right_key="node", value_col="label",
+        out_col="cluster_id", broadcast_rows_limit=0,
+        num_partitions=num_partitions,
+    )
+
+    AVG = pa.schema([("cluster_id", pa.string()), ("avg_similarity", pa.float64())])
+
+    def mean_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return AVG.empty_table()
+        df = pd.DataFrame({
+            "cluster_id": block["cluster_id"].to_pandas(),
+            "score": block["score"].to_pandas(),
+        })
+        g = df.groupby("cluster_id", sort=True)["score"].mean().reset_index()
+        return pa.table({"cluster_id": pa.array(g["cluster_id"], pa.string()),
+                         "avg_similarity": pa.array(g["score"], pa.float64())},
+                        schema=AVG)
+
+    avg = map_key_blocks(relabeled, ["cluster_id"], mean_block, num_partitions)
+
+    # stamp members: ONE corpus-sized exchange (the scale price the
+    # broadcast plan pays in plasma instead), then drop non-members
+    members = attach_column(
+        docs.select_columns(["conv_id", "n_chars"]), labels,
+        left_key="conv_id", right_key="node", value_col="label",
+        out_col="cluster_id", broadcast_rows_limit=0,
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b["cluster_id"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    STATS = pa.schema([
+        ("conv_id", pa.string()), ("cluster_id", pa.string()),
+        ("representative", pa.bool_()), ("cluster_size", pa.int32()),
+    ])
+
+    def stats_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return STATS.empty_table()
+        # representative = longest text, ties → larger id: sort each
+        # cluster by (n_chars, conv_id) and flag the last row
+        block = block.sort_by([
+            ("cluster_id", "ascending"), ("n_chars", "ascending"),
+            ("conv_id", "ascending"),
+        ])
+        cids = block["cluster_id"]
+        if isinstance(cids, pa.ChunkedArray):
+            cids = cids.combine_chunks()
+        codes = np.asarray(cids.dictionary_encode().indices)
+        starts = group_starts(codes)
+        n = len(codes)
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        rep = np.zeros(n, dtype=bool)
+        rep[ends] = True
+        sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int32)
+        run_id = np.cumsum(
+            np.concatenate([[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        return pa.table(
+            {"conv_id": block["conv_id"], "cluster_id": cids,
+             "representative": pa.array(rep),
+             "cluster_size": pa.array(sizes[run_id])},
+            schema=STATS,
+        )
+
+    stats = map_key_blocks(members, ["cluster_id"], stats_block, num_partitions)
+    out = attach_column(
+        stats, avg, left_key="cluster_id", right_key="cluster_id",
+        value_col="avg_similarity", out_col="avg_similarity",
+        broadcast_rows_limit=0, num_partitions=num_partitions,
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {"conv_id": b["conv_id"], "cluster_id": b["cluster_id"],
+             "representative": b["representative"],
+             "cluster_size": b["cluster_size"],
+             "avg_similarity": pc.fill_null(
+                 b["avg_similarity"].combine_chunks()
+                 if isinstance(b["avg_similarity"], pa.ChunkedArray)
+                 else b["avg_similarity"], 1.0)},
+            schema=CLUSTERS_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def assign_clusters(docs: Dataset, pairs: Dataset,
+                    driver_pairs_limit: int | None = None) -> Dataset:
     """Docs + pairs → cluster membership table (CLUSTERS_SCHEMA).
 
-    One broadcast of the (small) cluster map; representative selection
-    needs per-member text lengths, which ride the same broadcast pass:
-    the first map_batches collects (conv_id, n_chars) for clustered docs
-    only — a metadata-sized projection — and a second pass stamps rows.
+    Size switch (the engine's broadcast-vs-exchange convention,
+    joins.py/minhash_stage.py): at or below ``driver_pairs_limit``
+    (default 20M, env ``EPR_CC_DRIVER_LIMIT``) union-find runs on the
+    driver and assignment is one broadcast of the (small) cluster map;
+    above it the whole computation moves to
+    :func:`assign_clusters_exchange` and nothing pair- or member-sized
+    ever lands on one process.
     """
+    limit = _cc_driver_limit() if driver_pairs_limit is None else driver_pairs_limit
+    if pairs.count() > limit:
+        return assign_clusters_exchange(docs, pairs)
     member_to_cluster, avg = union_find_pairs(pairs)
     if not member_to_cluster:
         return ray.data.from_arrow(CLUSTERS_SCHEMA.empty_table())
