@@ -351,6 +351,51 @@ def q_embed_neardup(sf_dir: str):
     return cosine_neardup_pairs(vecs, threshold=0.4)
 
 
+def q_dedup_docs_semantic(sf_dir: str):
+    """5-pass flagship merge with the semantic pass live (VERDICT r2 item
+    3): exact + semantic over documents ⋈ embeddings, minhash off (its
+    estimated-Jaccard scores are not SQL-expressible). Every 50th doc is
+    duplicated under a 'c-' id sharing the base text AND embedding, so the
+    copy pair is found by BOTH passes and first-wins must keep the exact
+    record — the merge interplay is what the oracle checks."""
+    import numpy as np
+
+    from epstein_pipeline_ray.config import DedupConfig
+    from epstein_pipeline_ray.pipelines.dedup import dedup_conv_docs
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    joined = attach_column(docs, embs, "doc_id", "vec_id", "embedding", "embedding")
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pandas().astype("int64")
+        base = pa.table({
+            "conv_id": pa.array(("d-" + ids.astype(str)).tolist(), pa.string()),
+            "text": batch["text"].cast(pa.large_string()),
+            "n_chars": batch["n_chars"],
+            "embedding": batch["embedding"],
+        })
+        take = np.flatnonzero((ids.to_numpy() % 50) == 0)
+        if not len(take):
+            return base
+        idx = pa.array(take, pa.int64())
+        copies = pa.table({
+            "conv_id": pa.array(
+                ("c-" + ids.iloc[take].astype(str)).tolist(), pa.string()),
+            "text": base["text"].take(idx),
+            "n_chars": base["n_chars"].take(idx),
+            "embedding": base["embedding"].take(idx),
+        })
+        return pa.concat_tables([base, copies])
+
+    corpus = joined.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    cfg = DedupConfig(enable_minhash=False, enable_semantic=True,
+                      semantic_threshold=0.4)
+    res = dedup_conv_docs(corpus, cfg)
+    return res.pairs.select_columns(["id_a", "id_b", "score", "method"])
+
+
 def q_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs over the documents table (shingle →
     128-perm signature → band bucket groupby → estimated-Jaccard confirm).
@@ -979,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "embed_prep": q_embed_prep,
         "embed_neardup": q_embed_neardup,
+        "dedup_docs_semantic": q_dedup_docs_semantic,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
@@ -1441,6 +1487,45 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "dedup_docs_semantic": r"""
+            -- first-wins merge of the exact pass (content-hash groups,
+            -- score 1.0) and the semantic pass (cosine >= 0.4 over the
+            -- attached embedding, eligibility len(text) > 50); every 50th
+            -- doc is duplicated under a 'c-' id sharing text+embedding, so
+            -- its pair appears in BOTH passes and must keep method='exact'
+            WITH docs AS (
+                SELECT 'd-' || d.doc_id::VARCHAR AS id, d.text, e.embedding
+                FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+                UNION ALL
+                SELECT 'c-' || d.doc_id::VARCHAR AS id, d.text, e.embedding
+                FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+                WHERE d.doc_id % 50 = 0
+            ),
+            norm AS (
+                SELECT id, text, embedding,
+                       trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+                FROM docs
+            ),
+            exact AS (
+                SELECT a.id AS id_a, b.id AS id_b, 1.0::DOUBLE AS score,
+                       'exact' AS method
+                FROM norm a JOIN norm b ON a.t = b.t AND a.id < b.id
+                WHERE a.t <> ''
+            ),
+            sem AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       round(round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score,
+                       'semantic' AS method
+                FROM norm a JOIN norm b ON a.id < b.id
+                WHERE length(a.text) > 50 AND length(b.text) > 50
+                  AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+                  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+                  AND NOT EXISTS (SELECT 1 FROM exact x
+                                  WHERE x.id_a = a.id AND x.id_b = b.id)
+            )
+            SELECT * FROM exact UNION ALL SELECT * FROM sem
         """,
         "title_lev": """
             WITH t AS (

@@ -62,6 +62,18 @@ class DedupConfig:
     enable_bates: bool = False
     enable_title: bool = False
     enable_minhash: bool = True
+    # semantic pass (reference dedup.py:404-464, first-wins rank AFTER
+    # minhash per dedup.py:143-168): cosine >= semantic_threshold over a
+    # precomputed `embedding` vector column (the sandbox carries no
+    # sentence-transformer; A2's model load is the actor-pool pattern in
+    # stages/embed.py). Off by default — it only fires on corpora that
+    # carry embeddings.
+    enable_semantic: bool = False
+    # semantic eligibility: raw text strictly longer than this (dedup.py:421)
+    semantic_min_text_len: int = 50
+    # semantic physical plan: exact all-pairs cosine at or below this many
+    # eligible rows (reference-parity all-pairs matrix), LSH-bucketed above
+    semantic_broadcast_limit: int = 100_000
     # reference output ordering: pairs sorted by score desc (dedup.py:170)
     sort_pairs_by_score: bool = True
     # extension knobs

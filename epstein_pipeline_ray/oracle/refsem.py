@@ -58,13 +58,15 @@ def oracle_pairs(
     cfg: DedupConfig | None = None,
     titles: dict[str, str] | None = None,
     bates: dict[str, str] | None = None,
+    embeddings: dict[str, np.ndarray] | None = None,
 ) -> list[OraclePair]:
     """Exact (content hash → Bates overlap → title fuzzy, dedup.py:242-326)
-    + MinHash passes with first-wins merge, sorted by score desc.
+    + MinHash + semantic passes with first-wins merge, sorted by score desc.
 
-    ``docs`` = [(doc_id, raw_text)]; ``titles`` / ``bates`` are optional
-    per-doc side columns for the sub-passes the reference folds into its
-    exact pass.
+    ``docs`` = [(doc_id, raw_text)]; ``titles`` / ``bates`` /
+    ``embeddings`` are optional per-doc side columns (``embeddings``
+    stands in for the reference's model encode at dedup.py:439-448 — the
+    oracle consumes precomputed vectors, like the engine).
     """
     cfg = cfg or DedupConfig()
     pairs: list[OraclePair] = []
@@ -156,6 +158,35 @@ def oracle_pairs(
                     seen.add(key)
                     pairs.append(OraclePair(key[0], key[1], round(jac, 4), "minhash"))
 
+    # ---- pass 3: semantic (all-pairs cosine over precomputed vectors,
+    # dedup.py:404-464: eligible len(text) > 50, score round(sim, 4))
+    if getattr(cfg, "enable_semantic", False) and embeddings:
+        elig = [
+            d for d, t in docs
+            if t and len(t) > cfg.semantic_min_text_len and d in embeddings
+        ]
+        if len(elig) >= 2:
+            mat = np.stack([np.asarray(embeddings[d], dtype=np.float64) for d in elig])
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ mat.T
+            for i in range(len(elig)):
+                for j in range(i + 1, len(elig)):
+                    sim = float(sims[i, j])
+                    if sim < cfg.semantic_threshold:
+                        continue
+                    key = (min(elig[i], elig[j]), max(elig[i], elig[j]))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    # sql_round (= DuckDB round), the engine's convention;
+                    # the reference's Python round differs only on exact
+                    # half boundaries (see functions/rounding.py)
+                    from epstein_pipeline_ray.functions.rounding import sql_round
+
+                    pairs.append(OraclePair(
+                        key[0], key[1],
+                        float(sql_round(sql_round(sim, 6), 4)), "semantic"))
+
     pairs.sort(key=lambda p: p.score, reverse=True)
     return pairs
 
@@ -165,6 +196,7 @@ def oracle_clusters(
     cfg: DedupConfig | None = None,
     titles: dict[str, str] | None = None,
     bates: dict[str, str] | None = None,
+    embeddings: dict[str, np.ndarray] | None = None,
 ) -> tuple[list[OraclePair], dict[str, set[str]], dict[str, str]]:
     """Union-find over oracle pairs → (pairs, {root: members}, {member: representative}).
 
@@ -172,7 +204,8 @@ def oracle_clusters(
     ties broken by doc id for determinism (the reference's ``max`` keeps the
     first maximum, which depends on input order — we pin it).
     """
-    pairs = oracle_pairs(docs, cfg, titles=titles, bates=bates)
+    pairs = oracle_pairs(docs, cfg, titles=titles, bates=bates,
+                         embeddings=embeddings)
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:

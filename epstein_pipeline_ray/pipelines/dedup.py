@@ -111,10 +111,72 @@ def _title_pass(docs: Dataset, threshold: float) -> Dataset:
     return raw.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _semantic_pass(docs: Dataset, cfg: DedupConfig) -> Dataset:
+    """Embedding-cosine pairs in the flagship pair schema (reference
+    dedup.py:404-464: eligibility len(text) > 50, score = round(cos, 4),
+    method 'semantic', reason 'semantic similarity: XX.XX%'). Runs over a
+    precomputed ``embedding`` list<float> column; size-switched between
+    the exact all-pairs plan (reference parity) and the random-hyperplane
+    LSH plan (scale path, recall-approximate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.embed import cosine_neardup_pairs, lsh_neardup_pairs
+
+    def eligible(batch: pa.Table) -> pa.Table:
+        mask = pc.and_kleene(
+            pc.fill_null(
+                pc.greater(pc.utf8_length(batch["text"]),
+                           cfg.semantic_min_text_len), False),
+            pc.is_valid(batch["embedding"]),
+        )
+        return batch.select(["conv_id", "embedding"]).filter(mask)
+
+    vecs = docs.map_batches(eligible, batch_format="pyarrow", zero_copy_batch=True)
+    n = vecs.count()
+    if n < 2:
+        import ray.data as rd
+
+        from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+        return rd.from_arrow(PAIRS_SCHEMA.empty_table())
+    if n <= cfg.semantic_broadcast_limit:
+        raw = cosine_neardup_pairs(vecs, threshold=cfg.semantic_threshold,
+                                   id_col="conv_id", emb_col="embedding")
+    else:
+        raw = lsh_neardup_pairs(vecs, threshold=cfg.semantic_threshold,
+                                id_col="conv_id", emb_col="embedding")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        from epstein_pipeline_ray.functions.rounding import sql_round
+        from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
+
+        cos = batch["cos"].to_pylist()
+        # score rounding follows the repo's SQL convention (sql_round —
+        # half away from zero, = DuckDB round) rather than the reference's
+        # Python round (banker's): the two differ only on exact half
+        # boundaries at the 4th decimal, which real cosines don't hit
+        return pa.table(
+            {
+                "id_a": batch["id_a"].cast(pa.string()),
+                "id_b": batch["id_b"].cast(pa.string()),
+                "score": pa.array(sql_round(cos, 4), pa.float64())
+                if cos else pa.array([], pa.float64()),
+                "method": pa.array(["semantic"] * batch.num_rows, pa.string()),
+                "reason": pa.array(
+                    [f"semantic similarity: {c:.2%}" for c in cos], pa.string()
+                ),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+    return raw.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _with_rank(ds: Dataset, rank: int) -> Dataset:
     """Tag a pass's pair stream with its first-wins priority (the
-    reference's pass ORDER, dedup.py:242-326: content hash < bates <
-    title < minhash — lower wins)."""
+    reference's pass ORDER, dedup.py:143-168, 242-326: content hash <
+    bates < title < minhash < semantic — lower wins)."""
     import pyarrow as pa
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -127,10 +189,10 @@ def _with_rank(ds: Dataset, rank: int) -> Dataset:
 
 def _merge_first_wins(all_pairs: Dataset) -> Dataset:
     """Pair-key dedup preferring the earliest pass — the reference's
-    first-wins merge (dedup.py:143-168) generalized to the four-pass
-    stream (content hash, bates, title, minhash), as one vectorized pass
-    per key-sorted block. Input rows carry a ``__rank`` priority column
-    (dropped on output)."""
+    first-wins merge (dedup.py:143-168) generalized to the five-pass
+    stream (content hash, bates, title, minhash, semantic), as one
+    vectorized pass per key-sorted block. Input rows carry a ``__rank``
+    priority column (dropped on output)."""
     import pyarrow as pa
 
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
@@ -246,6 +308,10 @@ def dedup_conv_docs(
         parts.append(ck(
             "pairs_minhash_raw",
             lambda: _with_rank(minhash_raw_pairs(mh_input, cfg), 3)))
+    if cfg.enable_semantic and "embedding" in doc_cols:
+        parts.append(ck(
+            "pairs_semantic",
+            lambda: _with_rank(_semantic_pass(hashed, cfg), 4)))
 
     if not parts:
         raise ValueError("at least one dedup pass must be enabled")

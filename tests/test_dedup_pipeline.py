@@ -99,3 +99,78 @@ def test_tiny_corpus_engine_equals_oracle(ray_session, tiny_turns):
         eng_sets.add(frozenset(grp.conv_id))
     assert eng_sets == {frozenset(v) for v in ogroups.values()}
     assert set(clusters[clusters.representative].conv_id) == set(orep.values())
+
+
+def test_semantic_pass_in_flagship_merge(ray_session):
+    """VERDICT r2 item 3: 5-pass first-wins merge with the semantic pass
+    (rank 4, reference dedup.py:143-168, 404-464) over a precomputed
+    embedding column — engine pairs/clusters equal the extended oracle."""
+    import numpy as np
+    import ray.data as rd
+
+    from epstein_pipeline_ray.oracle.refsem import oracle_clusters
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+
+    def jitter(eps, seed):
+        r = np.random.default_rng(seed)
+        v = base + eps * r.standard_normal(16)
+        return (v / np.linalg.norm(v)).astype(np.float64)
+
+    body = "this is the same long document body " * 10
+    mbody = " ".join(f"token{i:03d} word{i * 7 % 91:02d}" for i in range(80))
+    texts = {
+        "e-1": body,                       # exact pair with e-2
+        "e-2": body,
+        "m-1": mbody,                      # minhash near-dups, and their
+        "m-2": mbody + " tail",            # embeddings ALSO match → first-wins keeps minhash
+        "s-1": "completely different text about maritime law " * 6,
+        "s-2": "unrelated discussion of astrophysics and telescopes " * 6,
+        "x-1": "short",                    # ineligible everywhere (len <= 50)
+    }
+    emb = {
+        "e-1": jitter(5.0, 1), "e-2": jitter(5.0, 2),   # far apart
+        "m-1": jitter(0.01, 3), "m-2": jitter(0.01, 3),  # identical → cos 1.0
+        "s-1": jitter(0.02, 4), "s-2": jitter(0.02, 4),  # identical → semantic-only pair
+        "x-1": jitter(0.0, 5),
+    }
+    ids = sorted(texts)
+    tbl = pa.table({
+        "conv_id": pa.array(ids, pa.string()),
+        "text": pa.array([texts[i] for i in ids], pa.large_string()),
+        "n_turns": pa.array([1] * len(ids), pa.int32()),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+        "embedding": pa.array([emb[i].tolist() for i in ids],
+                              pa.list_(pa.float64())),
+    })
+    cfg = DedupConfig(enable_semantic=True)
+    res = dedup_conv_docs(rd.from_arrow(tbl), cfg)
+    pairs = res.pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    opairs, ogroups, _ = oracle_clusters(
+        [(i, texts[i]) for i in ids], cfg, embeddings=emb)
+    odf = (pd.DataFrame([(p.id_a, p.id_b, p.score, p.method) for p in opairs],
+                        columns=["id_a", "id_b", "score", "method"])
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        pairs[["id_a", "id_b", "score", "method"]], odf, check_exact=False, atol=1e-6)
+    # the semantic-only pair is present with method=semantic; the
+    # minhash+semantic pair kept the minhash record (first wins)
+    by_key = {(r.id_a, r.id_b): r.method for r in pairs.itertuples()}
+    assert by_key[("s-1", "s-2")] == "semantic"
+    assert by_key[("m-1", "m-2")] == "minhash"
+    assert by_key[("e-1", "e-2")] == "exact"
+    # clusters match the oracle's components
+    clusters = res.clusters.to_pandas()
+    eng_sets = {frozenset(g.conv_id) for _, g in clusters.groupby("cluster_id")}
+    assert eng_sets == {frozenset(v) for v in ogroups.values()}
+
+
+def test_semantic_pass_disabled_without_embeddings(ray_session):
+    # enable_semantic on a corpus with no embedding column: pass skipped
+    body = "words " * 60
+    res = dedup_conv_docs(
+        _docs_ds([("a-1", body), ("a-2", body)]),
+        DedupConfig(enable_semantic=True))
+    pairs = res.pairs.to_pandas()
+    assert pairs.method.tolist() == ["exact"]
