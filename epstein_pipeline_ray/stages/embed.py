@@ -100,17 +100,32 @@ def cosine_neardup_pairs(
     The full normalized matrix is broadcast once (small side — embeddings
     tables are far narrower than text); each batch matmuls its rows against
     it and emits (id_a < id_b) pairs. O(n^2) compute spread across the
-    pool, O(n*d) memory per worker.
+    pool, O(n*d) memory per worker. The matrix is assembled INSIDE a Ray
+    task from the dataset's block refs — the driver only moves refs.
     """
-    mat_tbl = vectors.select_columns([id_col, emb_col]).to_pandas()
-    all_ids = np.asarray(mat_tbl[id_col].to_numpy())
-    all_emb = _normalize_rows(
-        np.stack([np.asarray(v, dtype=np.float64) for v in mat_tbl[emb_col]])
-    )
-    ref = ray.put((all_ids, all_emb))
+    refs = vectors.select_columns([id_col, emb_col]).to_arrow_refs()
+
+    @ray.remote
+    def _build_matrix(*tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return np.empty(0, dtype=object), None
+        tbl = pa.concat_tables(live)
+        ids = np.asarray(tbl[id_col].to_pandas().to_numpy())
+        emb = _normalize_rows(
+            np.stack([np.asarray(v, dtype=np.float64)
+                      for v in tbl[emb_col].to_pylist()])
+        )
+        return ids, emb
+
+    ref = _build_matrix.remote(*refs)
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all, emb_all = ray.get(ref)
+        if emb_all is None:
+            return pa.table({"id_a": pa.array([], batch[id_col].type),
+                             "id_b": pa.array([], batch[id_col].type),
+                             "cos": pa.array([], pa.float64())})
         emb = _normalize_rows(_stack_embeddings(batch, emb_col))
         ids = np.asarray(batch[id_col].to_pylist())
         sims = emb @ emb_all.T  # (n, N)
