@@ -17,13 +17,21 @@ Reference semantics reproduced:
 
 Ray-Data-first design: the .opt/.dat files stream through
 ``read_text``/``read_csv`` map_batches parsers (vectorized Arrow splits;
-no driver row loop). Doc assignment is a broadcast as-of: the doc-start
-table (one row per DOCUMENT — orders of magnitude smaller than pages) is
-sorted once, shipped via ``ray.put``, and each page batch does one
-``np.searchsorted``. Page aggregation is ONE keyed exchange on the
-assigned doc; metadata attaches through the size-switched key join.
-Partitioning assumption: one document's pages fit one block (same
-assumption every keyed window in the engine makes).
+no driver row loop). Doc assignment is size-switched (VERDICT r2 item 5):
+
+- at or below ``broadcast_rows_limit`` doc-starts: broadcast as-of — the
+  doc-start table (one row per DOCUMENT) is sorted once, shipped via
+  ``ray.put``, and each page batch does one ``np.searchsorted``.
+- above it: bucketed-exchange as-of — pages are keyed by fixed-width
+  bates buckets, a per-bucket max-start table (bucket-count-sized, NOT
+  page- or doc-sized) yields each bucket's carry-in via a prefix max,
+  and one keyed exchange computes the seeded running max per block. No
+  process ever holds the doc-start table.
+
+Page aggregation is ONE keyed exchange on the assigned doc; metadata
+attaches through the size-switched key join. Partitioning assumption:
+one document's pages fit one block (same assumption every keyed window
+in the engine makes).
 """
 
 from __future__ import annotations
@@ -129,10 +137,102 @@ def read_opt(path: str) -> Dataset:
     return ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_NO_DOC = np.iinfo(np.int64).min  # "no doc-start at or before this page"
+
+
+def _assign_docs_exchange(
+    pages: Dataset,
+    bucket_width: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exchange-plan as-of: page → greatest doc-start bates_num <= page.
+
+    Bucket key = ``bates_num // bucket_width``. The per-bucket max-start
+    table is bucket-count-sized (corpus bates span / width — pick the
+    width so this is thousands-to-millions of rows, bounded regardless of
+    page count); its prefix max gives each bucket's carry-in seed, and
+    the page exchange computes a seeded running max per bucket run."""
+    from epstein_pipeline_ray.stages.groupblock import group_starts, map_key_blocks
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        nums = np.asarray(batch["bates_num"])
+        return batch.append_column(
+            "__bucket", pa.array(nums // bucket_width, pa.int64()))
+
+    pb = pages.map_batches(with_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    BMAX = pa.schema([("__bucket", pa.int64()), ("max_start", pa.int64())])
+
+    def bucket_max_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return BMAX.empty_table()
+        block = block.sort_by([("__bucket", "ascending")])
+        b = np.asarray(block["__bucket"])
+        nums = np.asarray(block["bates_num"])
+        starts = group_starts(np.asarray(
+            block["__bucket"].combine_chunks().dictionary_encode().indices
+            if isinstance(block["__bucket"], pa.ChunkedArray)
+            else block["__bucket"].dictionary_encode().indices))
+        mx = np.maximum.reduceat(nums, starts)
+        return pa.table({"__bucket": pa.array(b[starts], pa.int64()),
+                         "max_start": pa.array(mx, pa.int64())}, schema=BMAX)
+
+    start_pages = pb.map_batches(
+        lambda b: b.filter(b["doc_start"]).select(["__bucket", "bates_num"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bmax = map_key_blocks(start_pages, ["__bucket"], bucket_max_block,
+                          num_partitions, sort_blocks=False)
+    # bucket-count-sized gather (documented bound above) → prefix max
+    tbls = [t for t in ray.get(bmax.to_arrow_refs()) if t.num_rows]
+    if tbls:
+        cat = pa.concat_tables(tbls).sort_by([("__bucket", "ascending")])
+        sb = np.asarray(cat["__bucket"])
+        pm = np.maximum.accumulate(np.asarray(cat["max_start"]))
+    else:
+        sb = np.empty(0, np.int64)
+        pm = np.empty(0, np.int64)
+    carry_ref = ray.put((sb, pm))
+
+    def assign_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            sch = block.schema
+            if "__bucket" in sch.names:
+                sch = sch.remove(sch.get_field_index("__bucket"))
+            return sch.append(pa.field("doc_num", pa.int64())).empty_table()
+        block = block.sort_by([("__bucket", "ascending"), ("bates_num", "ascending")])
+        bkt_col = block["__bucket"]
+        if isinstance(bkt_col, pa.ChunkedArray):
+            bkt_col = bkt_col.combine_chunks()
+        codes = np.asarray(bkt_col.dictionary_encode().indices)
+        starts = group_starts(codes)
+        nums = np.asarray(block["bates_num"])
+        is_start = np.asarray(block["doc_start"].to_numpy(zero_copy_only=False))
+        sb_, pm_ = ray.get(carry_ref)
+        # carry-in = prefix max over strictly-earlier buckets
+        run_buckets = np.asarray(bkt_col.take(pa.array(starts)))
+        idx = np.searchsorted(sb_, run_buckets, side="left") - 1
+        seeds = np.where(idx >= 0, pm_[np.clip(idx, 0, None)], _NO_DOC)
+        cand = np.where(is_start, nums, _NO_DOC)
+        doc = np.empty(len(cand), dtype=np.int64)
+        ends = np.concatenate([starts[1:], [len(cand)]])
+        for s, e, seed in zip(starts, ends, seeds):  # runs per block: few
+            seg = cand[s:e].copy()
+            seg[0] = max(seg[0], seed)
+            doc[s:e] = np.maximum.accumulate(seg)
+        keep = doc != _NO_DOC
+        out = block.drop_columns(["__bucket"]).append_column(
+            "doc_num", pa.array(doc, pa.int64()))
+        return out.filter(pa.array(keep))
+
+    return map_key_blocks(pb, ["__bucket"], assign_block, num_partitions,
+                          sort_blocks=False)
+
+
 def load_hoc_documents(
     opt_path: str,
     dat_path: str | None = None,
     broadcast_rows_limit: int = 5_000_000,
+    asof_bucket_width: int = 1_000_000,
 ) -> Dataset:
     """.opt pages + .dat metadata → one row per logical document:
     (doc_id, bates_begin, bates_end, n_pages, page_count, pages
@@ -149,25 +249,25 @@ def load_hoc_documents(
         batch_format="pyarrow", zero_copy_batch=True,
     ).select_columns(["bates_num"])
     n_starts = starts_tbl.count()
-    if n_starts > broadcast_rows_limit:
-        raise NotImplementedError(
-            "doc-start table exceeds the broadcast limit; partition the "
-            ".opt by volume and load per volume")
-    start_arrays = [np.asarray(t["bates_num"])
-                    for t in ray.get(starts_tbl.to_arrow_refs()) if t.num_rows]
-    starts_sorted = np.sort(np.concatenate(start_arrays)) if start_arrays else np.array([], np.int64)
-    starts_ref = ray.put(starts_sorted)
+    if n_starts <= broadcast_rows_limit:
+        start_arrays = [np.asarray(t["bates_num"])
+                        for t in ray.get(starts_tbl.to_arrow_refs()) if t.num_rows]
+        starts_sorted = np.sort(np.concatenate(start_arrays)) if start_arrays else np.array([], np.int64)
+        starts_ref = ray.put(starts_sorted)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        ss = ray.get(starts_ref)
-        nums = np.asarray(batch["bates_num"])
-        pos = np.searchsorted(ss, nums, side="right") - 1
-        ok = pos >= 0  # pages before the first doc-start are dropped
-        doc_start_num = np.where(ok, ss[np.clip(pos, 0, None)], -1)
-        out = batch.append_column("doc_num", pa.array(doc_start_num, pa.int64()))
-        return out.filter(pa.array(ok))
+        def assign(batch: pa.Table) -> pa.Table:
+            ss = ray.get(starts_ref)
+            nums = np.asarray(batch["bates_num"])
+            pos = np.searchsorted(ss, nums, side="right") - 1
+            ok = pos >= 0  # pages before the first doc-start are dropped
+            doc_start_num = np.where(ok, ss[np.clip(pos, 0, None)], -1)
+            out = batch.append_column("doc_num", pa.array(doc_start_num, pa.int64()))
+            return out.filter(pa.array(ok))
 
-    assigned = pages.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        assigned = pages.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        # bucketed-exchange as-of — no process holds the doc-start table
+        assigned = _assign_docs_exchange(pages, asof_bucket_width)
 
     page_struct = pa.struct([("bates_id", pa.string()), ("image_path", pa.string())])
     out_schema = pa.schema([
