@@ -885,6 +885,61 @@ def q_confidence_match(sf_dir: str):
                              enable_substring=True)
 
 
+def q_person_audit(sf_dir: str):
+    """Auditor duplicate-person scan (reference person_auditor.py:257-303,
+    VERDICT r2 item 6): fuzzy name >= threshold OR alias cross-match, with
+    confidence = the name-pair similarity either way. Persons are every
+    5th part; every 3rd person carries the NEXT person's name as an alias
+    (attached via the size-switched join, no driver pull), so alias-tier
+    pairs exist deterministically. Levenshtein metric = the DuckDB-oracled
+    tier; the reference's indel fuzz.ratio is parity-tested in
+    tests/test_auditor.py."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.auditor import person_audit_pairs
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def persons_base(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"]
+        mod5 = pc.subtract(pk, pc.multiply(
+            pc.divide(pk, pa.scalar(5, pa.int64())), pa.scalar(5, pa.int64())))
+        kept = batch.filter(pc.equal(mod5, 0))
+        return pa.table({
+            "person_id": kept["p_partkey"],
+            "name": kept["p_name"],
+            "alias_key": pc.add(kept["p_partkey"], pa.scalar(5, pa.int64())),
+        })
+
+    persons = parts.map_batches(persons_base, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    with_alias = attach_column(
+        persons, persons, left_key="alias_key", right_key="person_id",
+        value_col="name", out_col="alias_name",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pid = np.asarray(batch["person_id"])
+        alias = batch["alias_name"]
+        if isinstance(alias, pa.ChunkedArray):
+            alias = alias.combine_chunks()
+        has = ((pid % 3) == 0) & np.asarray(alias.is_valid())
+        flat = alias.filter(pa.array(has))
+        offs = np.concatenate([[0], np.cumsum(has.astype(np.int32))])
+        return pa.table({
+            "person_id": batch["person_id"],
+            "name": batch["name"],
+            "aliases": pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat),
+        })
+
+    table = with_alias.map_batches(finish, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return person_audit_pairs(table, threshold=0.8, metric="levenshtein")
+
+
 def q_lsh_neardup(sf_dir: str):
     """LSH-bucketed cosine near-dup (ANN scale path; exact cosine confirm,
     recall approximate in general). At bits=4 x tables=96 a pair sitting
@@ -1068,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup": q_events_dedup,
         "dates_norm": q_dates_norm,
         "confidence_match": q_confidence_match,
+        "person_audit": q_person_audit,
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
         "fs_score": q_fs_score,
@@ -1555,6 +1611,41 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
             WHERE 1.0 - levenshtein(a.name, b.name)::DOUBLE
                   / greatest(length(a.name), length(b.name), 1) >= 0.65
+        """,
+        "person_audit": """
+            -- auditor duplicate-person scan: name lev-ratio >= 0.8 OR an
+            -- alias (every 3rd person carries the NEXT person's name)
+            -- matching the other side's name; confidence is ALWAYS the
+            -- name-pair similarity (person_auditor.py:294)
+            WITH p AS (
+                SELECT p_partkey AS pid, lower(p_name) AS name
+                FROM part WHERE p_partkey % 5 = 0
+            ),
+            al AS (
+                SELECT x.pid, y.name AS alias
+                FROM p x JOIN p y ON y.pid = x.pid + 5
+                WHERE x.pid % 3 = 0
+            ),
+            pairs AS (
+                SELECT x.pid AS id_a, y.pid AS id_b, x.name AS na, y.name AS nb,
+                       1.0 - levenshtein(x.name, y.name)::DOUBLE
+                           / greatest(length(x.name), length(y.name), 1) AS sim
+                FROM p x JOIN p y ON x.pid < y.pid
+            )
+            SELECT id_a, id_b, round(sim, 6) AS confidence, 'name' AS matched_via
+            FROM pairs WHERE sim >= 0.8
+            UNION ALL
+            SELECT pr.id_a, pr.id_b, round(pr.sim, 6) AS confidence,
+                   'alias' AS matched_via
+            FROM pairs pr
+            WHERE pr.sim < 0.8 AND (
+                EXISTS (SELECT 1 FROM al a WHERE a.pid = pr.id_a
+                        AND 1.0 - levenshtein(a.alias, pr.nb)::DOUBLE
+                            / greatest(length(a.alias), length(pr.nb), 1) >= 0.8)
+                OR EXISTS (SELECT 1 FROM al a WHERE a.pid = pr.id_b
+                        AND 1.0 - levenshtein(pr.na, a.alias)::DOUBLE
+                            / greatest(length(pr.na), length(a.alias), 1) >= 0.8)
+            )
         """,
         "lsh_neardup": """
             -- the engine reaches these rows via random-hyperplane banding
