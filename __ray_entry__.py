@@ -885,6 +885,71 @@ def q_confidence_match(sf_dir: str):
                              enable_substring=True)
 
 
+def q_email_participants(sf_dir: str):
+    """Email nested-struct explode (VERDICT r2 item 7; reference
+    models/document.py:106-127 Email/EmailContact + the J7
+    document_persons analog, sqlite_export.py:58-63): orders derive a
+    nested email table (from: struct, to/cc: list<struct>) which
+    explode_participants flattens to one row per (email, role, pos,
+    contact). The DuckDB twin builds the same nested structs and
+    unnest()s them."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.email_ops import (
+        CONTACT_STRUCT,
+        explode_participants,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def contact_parts(keys: np.ndarray):
+        ks = pa.array(keys.astype("int64")).cast(pa.string())
+        name = pc.binary_join_element_wise(pa.scalar("user "), ks, "")
+        email = pc.binary_join_element_wise(pa.scalar("u"), ks,
+                                            pa.scalar("@example.com"), "")
+        slug = pc.binary_join_element_wise(pa.scalar("p-"), ks, "")
+        return [name, email, slug]
+
+    def to_emails(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        c = np.asarray(batch["o_custkey"], dtype=np.int64)
+        n = len(k)
+        eid = pc.binary_join_element_wise(
+            pa.scalar("e-"), pa.array(k).cast(pa.string()), "")
+        from_null = (k % 7) == 0
+        from_arr = pa.StructArray.from_arrays(
+            contact_parts(c), fields=list(CONTACT_STRUCT),
+            mask=pa.array(from_null))
+        to_len = 1 + (k % 2)
+        to_off = np.concatenate([[0], np.cumsum(to_len)]).astype(np.int32)
+        flat_k = np.empty(int(to_len.sum()), dtype=np.int64)
+        starts = to_off[:-1].astype(np.int64)
+        flat_k[starts] = k % 1000 + 1
+        two = to_len == 2
+        flat_k[starts[two] + 1] = k[two] % 997 + 1
+        to_arr = pa.ListArray.from_arrays(
+            pa.array(to_off),
+            pa.StructArray.from_arrays(contact_parts(flat_k),
+                                       fields=list(CONTACT_STRUCT)))
+        cc_has = (k % 3) == 0
+        cc_off = np.concatenate([[0], np.cumsum(cc_has.astype(np.int32))]).astype(np.int32)
+        cc_arr = pa.ListArray.from_arrays(
+            pa.array(cc_off),
+            pa.StructArray.from_arrays(contact_parts(k[cc_has] % 13),
+                                       fields=list(CONTACT_STRUCT)))
+        return pa.table({
+            "email_id": eid,
+            "from": from_arr,
+            "to": to_arr,
+            "cc": cc_arr,
+        })
+
+    emails = orders.map_batches(to_emails, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return explode_participants(emails)
+
+
 def q_person_audit(sf_dir: str):
     """Auditor duplicate-person scan (reference person_auditor.py:257-303,
     VERDICT r2 item 6): fuzzy name >= threshold OR alias cross-match, with
@@ -1124,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dates_norm": q_dates_norm,
         "confidence_match": q_confidence_match,
         "person_audit": q_person_audit,
+        "email_participants": q_email_participants,
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
         "fs_score": q_fs_score,
@@ -1611,6 +1677,67 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
             WHERE 1.0 - levenshtein(a.name, b.name)::DOUBLE
                   / greatest(length(a.name), length(b.name), 1) >= 0.65
+        """,
+        "email_participants": """
+            -- the same nested email construction, unnested: from is a
+            -- struct, to/cc are list<struct>; struct fields come back out
+            -- through unnest() + field access (the engine explodes the
+            -- identical Arrow shape with list_parent_indices + flatten)
+            WITH e AS (
+                SELECT 'e-' || o_orderkey AS email_id,
+                       CASE WHEN o_orderkey % 7 <> 0 THEN struct_pack(
+                           name := 'user ' || o_custkey,
+                           email := 'u' || o_custkey || '@example.com',
+                           person_slug := 'p-' || o_custkey) END AS frm,
+                       CASE WHEN o_orderkey % 2 = 1 THEN [
+                           struct_pack(name := 'user ' || (o_orderkey % 1000 + 1),
+                                       email := 'u' || (o_orderkey % 1000 + 1) || '@example.com',
+                                       person_slug := 'p-' || (o_orderkey % 1000 + 1)),
+                           struct_pack(name := 'user ' || (o_orderkey % 997 + 1),
+                                       email := 'u' || (o_orderkey % 997 + 1) || '@example.com',
+                                       person_slug := 'p-' || (o_orderkey % 997 + 1))]
+                       ELSE [
+                           struct_pack(name := 'user ' || (o_orderkey % 1000 + 1),
+                                       email := 'u' || (o_orderkey % 1000 + 1) || '@example.com',
+                                       person_slug := 'p-' || (o_orderkey % 1000 + 1))]
+                       END AS to_list,
+                       CASE WHEN o_orderkey % 3 = 0 THEN [
+                           struct_pack(name := 'user ' || (o_orderkey % 13),
+                                       email := 'u' || (o_orderkey % 13) || '@example.com',
+                                       person_slug := 'p-' || (o_orderkey % 13))]
+                       ELSE []::STRUCT(name VARCHAR, email VARCHAR, person_slug VARCHAR)[]
+                       END AS cc_list
+                FROM orders
+            ),
+            f AS (
+                SELECT email_id, 'from' AS role, 0::INT AS pos,
+                       frm.name AS name, frm.email AS email,
+                       frm.person_slug AS person_slug
+                FROM e WHERE frm IS NOT NULL
+            ),
+            t0 AS (
+                SELECT email_id, unnest(to_list) AS ct,
+                       generate_subscripts(to_list, 1) - 1 AS p
+                FROM e
+            ),
+            t AS (
+                SELECT email_id, 'to' AS role, p::INT AS pos,
+                       ct.name AS name, ct.email AS email,
+                       ct.person_slug AS person_slug
+                FROM t0
+            ),
+            c0 AS (
+                SELECT email_id, unnest(cc_list) AS ct,
+                       generate_subscripts(cc_list, 1) - 1 AS p
+                FROM e
+            ),
+            c AS (
+                SELECT email_id, 'cc' AS role, p::INT AS pos,
+                       ct.name AS name, ct.email AS email,
+                       ct.person_slug AS person_slug
+                FROM c0
+            )
+            SELECT * FROM f UNION ALL SELECT * FROM t UNION ALL SELECT * FROM c
         """,
         "person_audit": """
             -- auditor duplicate-person scan: name lev-ratio >= 0.8 OR an
