@@ -196,3 +196,53 @@ def test_winnow_pairs_min_shared_filters(ray_session):
     n = int(loose.n_shared.iloc[0])
     strict = winnow_pairs(rd.from_arrow(t), min_shared=n + 1).to_pandas()
     assert len(strict) == 0
+
+
+def test_indel_ratio_dominates_lev_ratio_property():
+    """VERDICT r2 item 10 — the invariant that upgrades title_fuzzy's
+    rows-only status: indel_ratio = 2*LCS/(la+lb) >= LCS/max(la,lb) >=
+    lev_ratio (2*max >= la+lb and lev >= max - LCS), so at matched
+    thresholds every title_lev pair is a title_fuzzy pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epstein_pipeline_ray.functions.fuzzy import ratio
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(la):
+            cur = [i + 1] + [0] * lb
+            for j in range(lb):
+                cur[j + 1] = min(prev[j + 1] + 1, cur[j] + 1,
+                                 prev[j] + (a[i] != b[j]))
+            prev = cur
+        return prev[lb]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcde ", max_size=24),
+           st.text(alphabet="abcde ", max_size=24))
+    def check(a, b):
+        lev_ratio = 1.0 - lev(a, b) / max(len(a), len(b), 1)
+        assert ratio(a, b) >= lev_ratio - 1e-12
+
+    check()
+
+
+def test_title_lev_pairs_subset_of_title_fuzzy(ray_session):
+    """Containment at matched threshold on the real sf0.001 part table:
+    the DuckDB-oracled title_lev pair set is contained in title_fuzzy's
+    (same first-word blocking, indel >= lev ratio)."""
+    import ray.data as rd
+
+    parts = rd.read_parquet("/root/testdata/sf0.001/part.parquet",
+                            columns=["p_partkey", "p_name"])
+    from epstein_pipeline_ray.stages.dedup_extra import title_fuzzy_pairs
+
+    kw = dict(id_col="p_partkey", title_col="p_name", threshold=0.75)
+    lev_pairs = title_fuzzy_pairs(parts, metric="levenshtein", **kw).to_pandas()
+    indel_pairs = title_fuzzy_pairs(parts, metric="indel", **kw).to_pandas()
+    lev_set = set(zip(lev_pairs.id_a, lev_pairs.id_b))
+    indel_set = set(zip(indel_pairs.id_a, indel_pairs.id_b))
+    assert len(lev_set) > 0
+    assert lev_set <= indel_set
