@@ -1052,6 +1052,17 @@ def q_value_distinct_kmv(sf_dir: str):
     return kmv_distinct_per_group(ev, "event_type", "value", k=256)
 
 
+def q_value_distinct_hll(sf_dir: str):
+    """Approximate distinct event values per event_type via HyperLogLog
+    (p=12, sigma≈1.6%) — O(1)-size mergeable register partials per key;
+    accuracy + merge-invariance pytest in test_joins.py (no SQL oracle:
+    it is an estimator)."""
+    from epstein_pipeline_ray.stages.relational import hll_distinct_per_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return hll_distinct_per_group(ev, "event_type", "value", p=12)
+
+
 def q_user_event_types(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user — two-phase distinct
     (map-side dedup before the keyed exchange)."""
@@ -1170,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_p90": q_type_value_p90,
         "user_event_types": q_user_event_types,
         "value_distinct_kmv": q_value_distinct_kmv,
+        "value_distinct_hll": q_value_distinct_hll,
         "scrub_pii": q_scrub_pii,
         "user_running_value": q_user_running_value,
         "minhash_docs": q_minhash_docs,

@@ -586,6 +586,79 @@ def kmv_distinct_per_group(ds: Dataset, key: str, value_col: str, k: int = 256,
     return map_key_blocks(sk, [key], per_block, num_partitions)
 
 
+def hll_distinct_per_group(ds: Dataset, key: str, value_col: str, p: int = 12,
+                           out_col: str = "n_distinct_est",
+                           num_partitions: int | None = None) -> Dataset:
+    """Approximate COUNT(DISTINCT) per group via HyperLogLog (Flajolet et
+    al. 2007): 2^p uint8 registers per key. Each batch collapses to ONE
+    fixed-size register blob per key (4 KiB at p=12) regardless of raw
+    row count — the exchange moves sketch rows, never values — and the
+    reduce side merges blobs by elementwise max before the standard
+    bias-corrected harmonic estimate (linear counting below 2.5m).
+    Standard error ~1.04/sqrt(2^p) (~1.6% at p=12); the mergeable sibling
+    of ``kmv_distinct_per_group`` with O(1)-size partials per key."""
+    from epstein_pipeline_ray.stages.groupblock import group_starts, map_key_blocks
+
+    m = 1 << p
+    rem_bits = 64 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    pruned = ds.select_columns([key, value_col])
+    SKETCH = None  # derived per batch (key type varies)
+
+    def local_sketch(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        ktype = batch[key].type if not isinstance(batch[key], pa.ChunkedArray) \
+            else batch[key].combine_chunks().type
+        if not len(df):
+            return pa.table({key: pa.array([], ktype),
+                             "__regs": pa.array([], pa.large_binary())})
+        h = pd.util.hash_array(df[value_col].to_numpy(), categorize=False)
+        bucket = (h >> np.uint64(rem_bits)).astype(np.int64)
+        rem = h & np.uint64((1 << rem_bits) - 1)
+        # rank = leading zeros within rem_bits + 1; frexp exponent is the
+        # bit length of rem (exact: rem < 2^52 <= float64 mantissa)
+        _, e = np.frexp(rem.astype(np.float64))
+        rank = np.where(rem > 0, rem_bits - e + 1, rem_bits + 1).astype(np.uint8)
+        codes, uniques = pd.factorize(df[key], use_na_sentinel=False)
+        regs = np.zeros((len(uniques), m), dtype=np.uint8)
+        np.maximum.at(regs, (codes, bucket), rank)
+        return pa.table({
+            key: pa.array(uniques, ktype),
+            "__regs": pa.array([r.tobytes() for r in regs], pa.large_binary()),
+        })
+
+    def per_block(block: pa.Table) -> pa.Table:
+        ktype = block.schema.field(key).type
+        if block.num_rows == 0:
+            return pa.table({key: pa.array([], ktype),
+                             out_col: pa.array([], pa.float64())})
+        block = block.sort_by([(key, "ascending")])
+        karr = block[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        codes = np.asarray(karr.dictionary_encode().indices)
+        starts = group_starts(codes)
+        blobs = block["__regs"].to_pylist()
+        all_regs = np.frombuffer(b"".join(blobs), dtype=np.uint8).reshape(-1, m)
+        ends = np.concatenate([starts[1:], [len(codes)]])
+        ests = np.empty(len(starts), dtype=np.float64)
+        for g, (s, e) in enumerate(zip(starts, ends)):
+            regs = all_regs[s:e].max(axis=0) if e - s > 1 else all_regs[s]
+            est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+            if est <= 2.5 * m:
+                zeros = int(np.count_nonzero(regs == 0))
+                if zeros:
+                    est = m * np.log(m / zeros)
+            ests[g] = est
+        return pa.table({
+            key: karr.take(pa.array(starts)),
+            out_col: pa.array(sql_round(ests, 1), pa.float64()),
+        })
+
+    sk = pruned.map_batches(local_sketch, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(sk, [key], per_block, num_partitions, sort_blocks=False)
+
+
 def grouped_quantile(ds: Dataset, key: str, value_col: str, q: float,
                      out_col: str = "quantile_value",
                      num_partitions: int | None = None) -> Dataset:
