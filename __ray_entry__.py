@@ -1063,6 +1063,29 @@ def q_value_distinct_hll(sf_dir: str):
     return hll_distinct_per_group(ev, "event_type", "value", p=12)
 
 
+def q_heavy_event_values(sf_dir: str):
+    """Misra-Gries heavy hitters per event_type over bucketed values. At
+    capacity 1024 >= the 100-bucket domain no counter is ever evicted, so
+    the summary is EXACT and the DuckDB count/row_number twin is an exact
+    oracle of the sketch machinery; the sub-capacity approximation bound
+    is property-tested in test_joins.py."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.relational import misra_gries_topk_per_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch["value"]), pa.int64())
+        b = pc.subtract(v, pc.multiply(
+            pc.divide(v, pa.scalar(100, pa.int64())), pa.scalar(100, pa.int64())))
+        return pa.table({"event_type": batch["event_type"], "v": b})
+
+    buck = ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return misra_gries_topk_per_group(buck, "event_type", "v", k=5,
+                                      capacity=1024)
+
+
 def q_user_event_types(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user — two-phase distinct
     (map-side dedup before the keyed exchange)."""
@@ -1180,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_value": q_user_median_value,
         "type_value_p90": q_type_value_p90,
         "user_event_types": q_user_event_types,
+        "heavy_event_values": q_heavy_event_values,
         "value_distinct_kmv": q_value_distinct_kmv,
         "value_distinct_hll": q_value_distinct_hll,
         "scrub_pii": q_scrub_pii,
@@ -1480,6 +1504,24 @@ def oracle_sql() -> dict[str, str]:
         "user_event_types": """
             SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_distinct
             FROM events GROUP BY user_id
+        """,
+        "heavy_event_values": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value) AS BIGINT) % 100 AS v
+                FROM events
+            ),
+            c AS (
+                SELECT event_type, v, count(*)::BIGINT AS count_est
+                FROM b GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY count_est DESC, v ASC) AS rn
+                FROM c
+            )
+            SELECT event_type, v, count_est FROM r WHERE rn <= 5
         """,
         "type_value_p90": """
             SELECT event_type, round(quantile_cont(value, 0.9), 6) AS quantile_value

@@ -659,6 +659,74 @@ def hll_distinct_per_group(ds: Dataset, key: str, value_col: str, p: int = 12,
     return map_key_blocks(sk, [key], per_block, num_partitions, sort_blocks=False)
 
 
+def misra_gries_topk_per_group(
+    ds: Dataset, key: str, value_col: str, k: int = 10, capacity: int = 256,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Approximate heavy hitters per group via Misra–Gries summaries
+    (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+    Summaries", PODS'12): each batch keeps at most ``capacity`` counters
+    per key; the reduce side sums matching counters and subtracts the
+    (capacity+1)-th largest.
+
+    Guarantees (per group, N = group row count): every value with true
+    frequency > N/capacity is present, and each reported ``count_est``
+    undercounts its true frequency by at most N/capacity. Estimates
+    depend on merge order (NOT batching-invariant — the bound is).
+    Output: top ``k`` surviving counters per group,
+    (key, value, count_est), count desc / value asc. The exact sibling is
+    ``grouped_stats`` + ``topk_per_group`` (top_events_per_user★); this
+    is for value domains too wide to exchange exactly."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, value_col])
+
+    def _trim(df: pd.DataFrame) -> pd.DataFrame:
+        """Misra-Gries trim: per key keep `capacity` counters, subtracting
+        the (capacity+1)-th count from survivors (vectorized per key)."""
+        df = df.sort_values([key, "__cnt"], ascending=[True, False],
+                            kind="mergesort")
+        pos = df.groupby(key, sort=False).cumcount()
+        kth = df[pos == capacity].set_index(key)["__cnt"]  # (cap+1)-th largest
+        if len(kth):
+            sub = df[key].map(kth).fillna(0).astype(np.int64)
+            df = df.assign(__cnt=df["__cnt"] - sub)
+            df = df[df["__cnt"] > 0]
+        return df
+
+    def local_summary(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({key: batch[key], value_col: batch[value_col],
+                             "__cnt": pa.array([], pa.int64())})
+        g = (df.groupby([key, value_col], sort=False).size()
+             .rename("__cnt").reset_index())
+        return pa.Table.from_pandas(_trim(g), preserve_index=False)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        ktype = block.schema.field(key).type
+        vtype = block.schema.field(value_col).type
+        if block.num_rows == 0:
+            return pa.table({key: pa.array([], ktype),
+                             value_col: pa.array([], vtype),
+                             "count_est": pa.array([], pa.int64())})
+        df = block.to_pandas()
+        merged = (df.groupby([key, value_col], sort=False)["__cnt"].sum()
+                  .reset_index())
+        merged = _trim(merged)
+        merged = merged.sort_values([key, "__cnt", value_col],
+                                    ascending=[True, False, True],
+                                    kind="mergesort")
+        top = merged[merged.groupby(key, sort=False).cumcount() < k]
+        top = top.rename(columns={"__cnt": "count_est"})
+        return pa.Table.from_pandas(top.reset_index(drop=True),
+                                    preserve_index=False)
+
+    sk = pruned.map_batches(local_summary, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return map_key_blocks(sk, [key], per_block, num_partitions)
+
+
 def grouped_quantile(ds: Dataset, key: str, value_col: str, q: float,
                      out_col: str = "quantile_value",
                      num_partitions: int | None = None) -> Dataset:

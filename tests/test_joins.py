@@ -152,3 +152,34 @@ def test_hll_distinct_sketch_accuracy(ray_session):
     many = hll_distinct_per_group(rd.from_arrow(t).repartition(8), "g", "v").to_pandas()
     assert one.sort_values("g").reset_index(drop=True).equals(
         many.sort_values("g").reset_index(drop=True))
+
+
+def test_misra_gries_heavy_hitters(ray_session):
+    """MG guarantees: every value with true freq > N/capacity survives,
+    and reported counts undercount by at most N/capacity."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import misra_gries_topk_per_group
+
+    rng = np.random.default_rng(23)
+    # group G: 3 heavy values (20% / 10% / 8%) over a long uniform tail
+    N = 30000
+    heavy = (["hot-a"] * 6000 + ["hot-b"] * 3000 + ["hot-c"] * 2400)
+    tail = [f"t{v}" for v in rng.integers(0, 5000, size=N - len(heavy))]
+    vals = heavy + tail
+    rng.shuffle(vals)
+    t = pa.table({"g": ["G"] * N, "v": vals})
+    cap = 256
+    for nblocks in (1, 8):
+        out = (misra_gries_topk_per_group(
+                   rd.from_arrow(t).repartition(nblocks), "g", "v",
+                   k=10, capacity=cap).to_pandas())
+        got = dict(zip(out.v, out.count_est))
+        err = N / cap  # ~117
+        for val, true in (("hot-a", 6000), ("hot-b", 3000), ("hot-c", 2400)):
+            assert val in got, (nblocks, val)
+            assert true - 2 * err <= got[val] <= true, (val, got[val])
+        # top of the list is the heaviest value
+        assert out.iloc[0].v == "hot-a"
