@@ -18,6 +18,8 @@ Operators over the Arrow shape ``struct<name, email, person_slug>`` and
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -171,6 +173,67 @@ def nest_participants(participants: Dataset,
         ["email_id", "role", "pos", "name", "email", "person_slug"])
     return map_key_blocks(pruned, ["email_id"], rebuild, num_partitions,
                           sort_blocks=False)
+
+
+_CONTACT_RE = re.compile(
+    r'^\s*"?([^"<]*?)"?\s*<([^>]+)>\s*$'  # 'Display Name <addr@host>'
+)
+
+
+def _parse_contact(raw: str) -> dict | None:
+    """One 'Name <addr>' / bare-address contact string → CONTACT_STRUCT
+    dict (the shape HOC .dat Email From/To fields carry,
+    reference hoc_loader.py:58,247 — raw Relativity strings)."""
+    s = (raw or "").strip()
+    if not s:
+        return None
+    m = _CONTACT_RE.match(s)
+    if m:
+        name, addr = m.group(1).strip(), m.group(2).strip()
+        return {"name": name or addr, "email": addr or None, "person_slug": None}
+    if "@" in s:
+        return {"name": s, "email": s, "person_slug": None}
+    return {"name": s, "email": None, "person_slug": None}
+
+
+def hoc_to_emails(docs, id_col: str = "doc_id",
+                  from_col: str = "email_from", to_col: str = "email_to",
+                  subject_col: str = "email_subject") -> "Dataset":
+    """HOC documents (raw string email fields, sources/hoc.py) → the typed
+    nested email shape: from struct + to list<struct> (semicolon/comma
+    split), ready for :func:`explode_participants`. Rows with no email
+    metadata are dropped (reference hoc_loader.py:115 treats
+    email_from/email_to presence as 'is an email')."""
+
+    def convert(batch: pa.Table) -> pa.Table:
+        ids = _combine(batch[id_col]).cast(pa.string()).to_pylist()
+        froms = _combine(batch[from_col]).to_pylist()
+        tos = _combine(batch[to_col]).to_pylist()
+        subjects = _combine(batch[subject_col]).to_pylist()
+        out_ids: list[str] = []
+        out_subj: list[str | None] = []
+        out_from: list[dict | None] = []
+        out_to: list[list[dict]] = []
+        for i, f, t, subj in zip(ids, froms, tos, subjects):
+            f = f or ""
+            t = t or ""
+            if not f.strip() and not t.strip():
+                continue
+            recips = [c for part in re.split(r"[;,]", t)
+                      for c in [_parse_contact(part)] if c is not None]
+            out_ids.append(i)
+            out_subj.append(subj if subj else None)
+            out_from.append(_parse_contact(f))
+            out_to.append(recips)
+        return pa.table({
+            "email_id": pa.array(out_ids, pa.string()),
+            "subject": pa.array(out_subj, pa.string()),
+            "from": pa.array(out_from, CONTACT_STRUCT),
+            "to": pa.array(out_to, pa.list_(CONTACT_STRUCT)),
+            "cc": pa.array([[] for _ in out_ids], pa.list_(CONTACT_STRUCT)),
+        })
+
+    return docs.map_batches(convert, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def synth_email_table(n: int, seed: int = 42) -> pa.Table:

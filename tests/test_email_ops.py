@@ -65,3 +65,35 @@ def test_explode_empty_and_all_null(ray_session):
     })
     out = explode_participants(rd.from_arrow(tbl)).to_pandas()
     assert len(out) == 0
+
+
+def test_hoc_to_emails_bridge(ray_session):
+    """HOC raw-string email fields → typed nested contacts: name<addr>
+    parsing, bare addresses, semicolon/comma recipient splits, non-email
+    docs dropped."""
+    from epstein_pipeline_ray.stages.email_ops import hoc_to_emails
+
+    tbl = pa.table({
+        "doc_id": pa.array(["d-1", "d-2", "d-3", "d-4"], pa.string()),
+        "email_from": pa.array(
+            ['"Alice A" <alice@x.com>', "bob@y.org", "", None], pa.string()),
+        "email_to": pa.array(
+            ["Carol <c@z.net>; dave@z.net, Eve", "", "", ""], pa.string()),
+        "email_subject": pa.array(["Lunch", "", "x", None], pa.string()),
+    })
+    out = hoc_to_emails(rd.from_arrow(tbl)).to_pandas().set_index("email_id")
+    assert sorted(out.index) == ["d-1", "d-2"]  # d-3/d-4 have no email fields
+    f1 = dict(out.loc["d-1", "from"])
+    assert f1 == {"name": "Alice A", "email": "alice@x.com", "person_slug": None}
+    to1 = [dict(x) for x in out.loc["d-1", "to"]]
+    assert to1 == [
+        {"name": "Carol", "email": "c@z.net", "person_slug": None},
+        {"name": "dave@z.net", "email": "dave@z.net", "person_slug": None},
+        {"name": "Eve", "email": None, "person_slug": None},
+    ]
+    assert dict(out.loc["d-2", "from"])["email"] == "bob@y.org"
+    assert out.loc["d-2", "to"].tolist() == []
+    # bridges into the explode operator
+    parts = explode_participants(
+        hoc_to_emails(rd.from_arrow(tbl))).to_pandas()
+    assert len(parts) == 5  # 2 senders + 3 recipients
