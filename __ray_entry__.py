@@ -19,6 +19,47 @@ import numpy as np
 import pyarrow as pa
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# shared CTE text of the semantic-demo corpus + its exact/semantic pair
+# set (the SQL twin of _semantic_demo_corpus / _semantic_demo_result) —
+# used by both the dedup_docs_semantic and semantic_clusters_exchange
+# oracles so the two cannot drift
+_SEM_PAIRS_CTE = r"""docs AS (
+                SELECT 'd-' || d.doc_id::VARCHAR AS id, d.text, d.n_chars,
+                       e.embedding
+                FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+                UNION ALL
+                SELECT 'c-' || d.doc_id::VARCHAR AS id, d.text, d.n_chars,
+                       e.embedding
+                FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+                WHERE d.doc_id % 50 = 0
+            ),
+            norm AS (
+                SELECT id, text, n_chars, embedding,
+                       trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+                FROM docs
+            ),
+            exact AS (
+                SELECT a.id AS id_a, b.id AS id_b, 1.0::DOUBLE AS score,
+                       'exact' AS method
+                FROM norm a JOIN norm b ON a.t = b.t AND a.id < b.id
+                WHERE a.t <> ''
+            ),
+            sem AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       round(round(list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score,
+                       'semantic' AS method
+                FROM norm a JOIN norm b ON a.id < b.id
+                WHERE length(a.text) > 50 AND length(b.text) > 50
+                  AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+                  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+                  AND NOT EXISTS (SELECT 1 FROM exact x
+                                  WHERE x.id_a = a.id AND x.id_b = b.id)
+            ),
+            pairs AS (
+                SELECT * FROM exact UNION ALL SELECT * FROM sem
+            )"""
 _TERMS = ["spark", "window", "stream", "vector", "merge"]
 
 
@@ -355,17 +396,12 @@ def q_embed_neardup(sf_dir: str):
     return cosine_neardup_pairs(vecs, threshold=0.4)
 
 
-def q_dedup_docs_semantic(sf_dir: str):
-    """5-pass flagship merge with the semantic pass live (VERDICT r2 item
-    3): exact + semantic over documents ⋈ embeddings, minhash off (its
-    estimated-Jaccard scores are not SQL-expressible). Every 50th doc is
-    duplicated under a 'c-' id sharing the base text AND embedding, so the
-    copy pair is found by BOTH passes and first-wins must keep the exact
-    record — the merge interplay is what the oracle checks."""
+def _semantic_demo_corpus(sf_dir: str):
+    """documents ⋈ embeddings with every 50th doc duplicated under a 'c-'
+    id sharing text AND embedding — the shared input of
+    dedup_docs_semantic / semantic_clusters_exchange and their SQL twins."""
     import numpy as np
 
-    from epstein_pipeline_ray.config import DedupConfig
-    from epstein_pipeline_ray.pipelines.dedup import dedup_conv_docs
     from epstein_pipeline_ray.stages.joins import attach_column
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
@@ -393,11 +429,58 @@ def q_dedup_docs_semantic(sf_dir: str):
         })
         return pa.concat_tables([base, copies])
 
-    corpus = joined.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return joined.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _semantic_demo_result(sf_dir: str):
+    from epstein_pipeline_ray.config import DedupConfig
+    from epstein_pipeline_ray.pipelines.dedup import dedup_conv_docs
+
     cfg = DedupConfig(enable_minhash=False, enable_semantic=True,
                       semantic_threshold=0.4)
-    res = dedup_conv_docs(corpus, cfg)
+    return dedup_conv_docs(_semantic_demo_corpus(sf_dir), cfg)
+
+
+def q_dedup_docs_semantic(sf_dir: str):
+    """5-pass flagship merge with the semantic pass live (VERDICT r2 item
+    3): exact + semantic over documents ⋈ embeddings, minhash off (its
+    estimated-Jaccard scores are not SQL-expressible). Every 50th doc is
+    duplicated under a 'c-' id sharing the base text AND embedding, so the
+    copy pair is found by BOTH passes and first-wins must keep the exact
+    record — the merge interplay is what the oracle checks."""
+    res = _semantic_demo_result(sf_dir)
     return res.pairs.select_columns(["id_a", "id_b", "score", "method"])
+
+
+def q_semantic_clusters_exchange(sf_dir: str):
+    """The DISTRIBUTED connected-components plan (VERDICT r2 item 2),
+    DuckDB-oracled: min-label propagation with pointer jumping over the
+    keyed exchange assigns cluster ids over the exact+semantic pair set;
+    the SQL twin computes the same components via a recursive-CTE
+    transitive closure. Representative = longest text (ties → larger id);
+    avg_similarity = mean pair score within the cluster."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.cluster import assign_clusters_exchange
+
+    res = _semantic_demo_result(sf_dir)
+    clusters = assign_clusters_exchange(res.docs, res.pairs)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        avg = np.asarray(batch["avg_similarity"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "cluster_id": batch["cluster_id"],
+            "representative": batch["representative"],
+            "cluster_size": pc.cast(batch["cluster_size"], pa.int64()),
+            "avg_similarity": pa.array(sql_round(avg, 6), pa.float64()),
+        })
+
+    return clusters.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_minhash_docs(sf_dir: str):
@@ -1195,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_prep": q_embed_prep,
         "embed_neardup": q_embed_neardup,
         "dedup_docs_semantic": q_dedup_docs_semantic,
+        "semantic_clusters_exchange": q_semantic_clusters_exchange,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
@@ -1680,44 +1764,64 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
-        "dedup_docs_semantic": r"""
-            -- first-wins merge of the exact pass (content-hash groups,
-            -- score 1.0) and the semantic pass (cosine >= 0.4 over the
-            -- attached embedding, eligibility len(text) > 50); every 50th
-            -- doc is duplicated under a 'c-' id sharing text+embedding, so
-            -- its pair appears in BOTH passes and must keep method='exact'
-            WITH docs AS (
-                SELECT 'd-' || d.doc_id::VARCHAR AS id, d.text, e.embedding
-                FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
-                UNION ALL
-                SELECT 'c-' || d.doc_id::VARCHAR AS id, d.text, e.embedding
-                FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
-                WHERE d.doc_id % 50 = 0
+        # first-wins merge of the exact pass (content-hash groups, score
+        # 1.0) and the semantic pass (cosine >= 0.4 over the attached
+        # embedding, eligibility len(text) > 50); every 50th doc is
+        # duplicated under a 'c-' id sharing text+embedding, so its pair
+        # appears in BOTH passes and must keep method='exact'
+        "dedup_docs_semantic": f"""
+            WITH {_SEM_PAIRS_CTE}
+            SELECT id_a, id_b, score, method FROM pairs
+        """,
+        # the distributed connected-components plan, oracled: DuckDB
+        # computes the same components via a recursive-CTE transitive
+        # closure; cluster_id = lexicographic min member, representative =
+        # longest text (ties -> larger id), avg_similarity = mean pair
+        # score within the cluster
+        "semantic_clusters_exchange": f"""
+            WITH RECURSIVE {_SEM_PAIRS_CTE},
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
             ),
-            norm AS (
-                SELECT id, text, embedding,
-                       trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
-                FROM docs
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
             ),
-            exact AS (
-                SELECT a.id AS id_a, b.id AS id_b, 1.0::DOUBLE AS score,
-                       'exact' AS method
-                FROM norm a JOIN norm b ON a.t = b.t AND a.id < b.id
-                WHERE a.t <> ''
+            lab AS (
+                SELECT a AS conv_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a
             ),
-            sem AS (
-                SELECT a.id AS id_a, b.id AS id_b,
-                       round(round(list_cosine_similarity(
-                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS score,
-                       'semantic' AS method
-                FROM norm a JOIN norm b ON a.id < b.id
-                WHERE length(a.text) > 50 AND length(b.text) > 50
-                  AND a.embedding IS NOT NULL AND b.embedding IS NOT NULL
-                  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
-                  AND NOT EXISTS (SELECT 1 FROM exact x
-                                  WHERE x.id_a = a.id AND x.id_b = b.id)
+            sized AS (
+                SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                FROM lab GROUP BY cluster_id
+            ),
+            memb AS (
+                SELECT l.conv_id, l.cluster_id, n.n_chars
+                FROM lab l JOIN norm n ON n.id = l.conv_id
+            ),
+            rep AS (
+                SELECT cluster_id, conv_id AS rep_id FROM (
+                    SELECT cluster_id, conv_id,
+                           row_number() OVER (
+                               PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, conv_id DESC) AS rn
+                    FROM memb) WHERE rn = 1
+            ),
+            avg_s AS (
+                SELECT l.cluster_id, round(avg(p.score), 6) AS avg_similarity
+                FROM pairs p JOIN lab l ON l.conv_id = p.id_a
+                GROUP BY l.cluster_id
             )
-            SELECT * FROM exact UNION ALL SELECT * FROM sem
+            SELECT m.conv_id, m.cluster_id,
+                   (m.conv_id = r.rep_id) AS representative,
+                   s.cluster_size, a.avg_similarity
+            FROM memb m
+            JOIN sized s USING (cluster_id)
+            JOIN rep r USING (cluster_id)
+            JOIN avg_s a USING (cluster_id)
         """,
         "title_lev": """
             WITH t AS (

@@ -363,7 +363,9 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
         value_col="avg_similarity", out_col="avg_similarity",
         broadcast_rows_limit=0, num_partitions=num_partitions,
     )
-    return out.map_batches(
+    from epstein_pipeline_ray.stages.groupblock import drop_empty_blocks
+
+    shaped = out.map_batches(
         lambda b: pa.table(
             {"conv_id": b["conv_id"], "cluster_id": b["cluster_id"],
              "representative": b["representative"],
@@ -375,6 +377,10 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
             schema=CLUSTERS_SCHEMA),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    # launder zero-row blocks: Ray skips UDFs on empty blocks, and a
+    # schema-less empty poisons downstream schema unions (cosmetic
+    # warnings at best, shuffle crashes at worst)
+    return drop_empty_blocks(shaped)
 
 
 def assign_clusters(docs: Dataset, pairs: Dataset,
