@@ -483,6 +483,28 @@ def q_semantic_clusters_exchange(sf_dir: str):
     return clusters.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 App. C / Gopher A.3): every 25th
+    document plays the benchmark set; each doc reports its count of
+    DISTINCT word 8-grams shared with the benchmark and a contaminated
+    flag. Engine probes a broadcast 64-bit n-gram hash set built in a Ray
+    task; the DuckDB twin joins the literal n-gram strings."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["doc_id"], pc.multiply(
+                pc.divide(b["doc_id"], pa.scalar(25, pa.int64())),
+                pa.scalar(25, pa.int64()))),
+            pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return decontaminate(docs, bench, n=8)
+
+
 def q_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs over the documents table (shingle →
     128-perm signature → band bucket groupby → estimated-Jaccard confirm).
@@ -1279,6 +1301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": q_embed_neardup,
         "dedup_docs_semantic": q_dedup_docs_semantic,
         "semantic_clusters_exchange": q_semantic_clusters_exchange,
+        "decontaminate": q_decontaminate,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
@@ -1584,6 +1607,31 @@ def oracle_sql() -> dict[str, str]:
                    FROM t2)
             SELECT doc_id, t AS scrubbed, (c1 + c2 + c3)::BIGINT AS n_masked
             FROM t3
+        """,
+        "decontaminate": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, regexp_split_to_array(t, ' ') AS ws
+                FROM nrm WHERE t <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+7], ' ')
+                               for i in generate_series(1, len(ws) - 7)]) AS ng
+                FROM w WHERE len(ws) >= 8
+            ),
+            bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 25 = 0),
+            hits AS (
+                SELECT g.doc_id, count(DISTINCT g.ng)::BIGINT AS n_hits
+                FROM g JOIN bg USING (ng) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "user_event_types": """
             SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_distinct

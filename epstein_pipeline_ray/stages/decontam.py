@@ -1,0 +1,101 @@
+"""Benchmark decontamination: flag training documents that share any
+word n-gram with an evaluation/benchmark text set (the GPT-3 appendix-C /
+Gopher A.3 procedure — the dedup engine's sibling op for keeping eval
+data out of a 100-TB training corpus).
+
+Ray shape: the benchmark n-gram hash set is the classic bounded
+broadcast side — built INSIDE a Ray task from the benchmark dataset's
+block refs (the driver only moves refs), shipped as one sorted uint64
+array, probed per batch with vectorized ``np.searchsorted``. Each doc
+batch computes its word n-gram hashes once; 64-bit hashing makes a
+false flag ~(doc_ngrams x bench_ngrams)/2^64 — negligible, and the
+DuckDB twin (string-equality join) agrees on real corpora.
+
+Tokenization is the engine's normalize convention: lowercase,
+whitespace runs collapsed, split on single spaces — identical to the
+SQL twin's ``regexp_split_to_array(norm, ' ')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from epstein_pipeline_ray.functions.normalize import normalize_array
+
+DECONTAM_SCHEMA_FIELDS = [
+    ("n_hits", pa.int64()),
+    ("contaminated", pa.bool_()),
+]
+
+
+def _doc_ngram_hashes(norm_texts: list[str | None], n: int) -> list[np.ndarray]:
+    """Per doc: uint64 hashes of its distinct word n-grams (joined with
+    single spaces — the exact strings the SQL twin builds)."""
+    out: list[np.ndarray] = []
+    for t in norm_texts:
+        if not t:
+            out.append(np.empty(0, np.uint64))
+            continue
+        ws = t.split(" ")
+        m = len(ws) - n + 1
+        if m <= 0:
+            out.append(np.empty(0, np.uint64))
+            continue
+        grams = np.array([" ".join(ws[i:i + n]) for i in range(m)], dtype=object)
+        out.append(np.unique(pd.util.hash_array(grams, categorize=False)))
+    return out
+
+
+def decontaminate(
+    docs: Dataset,
+    bench: Dataset,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> Dataset:
+    """→ one row per doc: (id_col, n_hits = count of DISTINCT shared
+    n-grams, contaminated = n_hits > 0)."""
+    refs = bench.select_columns([bench_text_col]).to_arrow_refs()
+
+    @ray.remote
+    def _build(*tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return np.empty(0, np.uint64)
+        col = pa.concat_tables(live)[bench_text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = normalize_array(col).to_pylist()
+        hs = _doc_ngram_hashes(norm, n)
+        allh = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        return np.unique(allh)
+
+    bench_ref = _build.remote(*refs)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        norm = normalize_array(col).to_pylist()
+        hs = _doc_ngram_hashes(norm, n)
+        hits = np.zeros(len(hs), dtype=np.int64)
+        if bset.size:
+            for i, h in enumerate(hs):
+                if h.size:
+                    pos = np.searchsorted(bset, h)
+                    pos = np.clip(pos, 0, bset.size - 1)
+                    hits[i] = int(np.count_nonzero(bset[pos] == h))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)

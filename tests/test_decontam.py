@@ -1,0 +1,43 @@
+"""Benchmark decontamination (stages/decontam.py): verbatim inclusion,
+partial overlap below n, case/whitespace invariance, short docs."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from epstein_pipeline_ray.stages.decontam import decontaminate
+
+
+def _ds(rows, col="text"):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        col: pa.array(rows, pa.string()),
+    }))
+
+
+BENCH_SENT = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def test_verbatim_and_partial(ray_session):
+    docs = _ds([
+        "intro words then " + BENCH_SENT + " and trailing content here",  # hit
+        "the quick brown fox jumps over seven words only",  # 7-token prefix: no 8-gram
+        "completely unrelated text about maritime law and astrophysics today",
+        "THE   Quick BROWN fox JUMPS over the LAZY dog near the river bank",  # case/ws
+        "tiny",
+        None,
+    ])
+    bench = _ds([BENCH_SENT, "another benchmark sentence entirely"])
+    out = (decontaminate(docs, bench, n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.contaminated.tolist() == [True, False, False, True, False, False]
+    # doc 0 contains the full 13-token sentence: 13-8+1 = 6 distinct 8-grams
+    assert out.loc[0, "n_hits"] == 6
+    assert out.loc[3, "n_hits"] == 6
+
+
+def test_empty_bench_flags_nothing(ray_session):
+    docs = _ds(["some words repeated many times over and over again ok"])
+    bench = _ds([], col="text")
+    out = decontaminate(docs, bench, n=8).to_pandas()
+    assert out.contaminated.tolist() == [False]
+    assert out.n_hits.tolist() == [0]
