@@ -505,6 +505,54 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def q_c4_filter(sf_dir: str):
+    """C4 boilerplate line filtering (Raffel 2020 §2.2). The synthetic
+    documents carry no newlines, so a 5-line page is derived per doc
+    (identically in the SQL twin): one long terminal sentence, one
+    too-short line, one unterminated line, and two variant lines that
+    plant lorem-ipsum (doc_id%5=0) / curly-brace (doc_id%7=0) flags."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.c4_filter import c4_line_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"]
+
+        def mod_is(m):
+            return pc.equal(
+                pc.subtract(did, pc.multiply(
+                    pc.divide(did, pa.scalar(m, pa.int64())),
+                    pa.scalar(m, pa.int64()))),
+                pa.scalar(0, pa.int64()))
+
+        text = pc.fill_null(batch["text"].cast(pa.large_string()) if not isinstance(
+            batch["text"], pa.ChunkedArray) else
+            batch["text"].combine_chunks().cast(pa.large_string()), "")
+        l1 = pc.binary_join_element_wise(
+            text, pa.scalar(" ok.", pa.large_string()),
+            pa.scalar("", pa.large_string()))
+        l4 = pc.if_else(
+            mod_is(5),
+            pa.scalar("we must drop lorem ipsum pages entirely now.", pa.large_string()),
+            pa.scalar("a perfectly fine sentence with many words inside it.", pa.large_string()))
+        l5 = pc.if_else(
+            mod_is(7),
+            pa.scalar("config { braces } present in this line here.", pa.large_string()),
+            pa.scalar("another good sentence with enough words to keep.", pa.large_string()))
+        nl = pa.scalar("\n", pa.large_string())
+        tx = pc.binary_join_element_wise(
+            l1,
+            pa.scalar("too short.", pa.large_string()),
+            pa.scalar("this line has no terminal punctuation at all", pa.large_string()),
+            l4, l5, nl)
+        return pa.table({"doc_id": did, "text": tx})
+
+    pages = docs.map_batches(build, batch_format="pyarrow", zero_copy_batch=True)
+    return c4_line_filter(pages)
+
+
 def q_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs over the documents table (shingle →
     128-perm signature → band bucket groupby → estimated-Jaccard confirm).
@@ -1302,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_semantic": q_dedup_docs_semantic,
         "semantic_clusters_exchange": q_semantic_clusters_exchange,
         "decontaminate": q_decontaminate,
+        "c4_filter": q_c4_filter,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
@@ -1607,6 +1656,53 @@ def oracle_sql() -> dict[str, str]:
                    FROM t2)
             SELECT doc_id, t AS scrubbed, (c1 + c2 + c3)::BIGINT AS n_masked
             FROM t3
+        """,
+        "c4_filter": r"""
+            -- identical 5-line page construction, then the C4 line rules:
+            -- terminal-punctuation + >=5 words per line, lorem/brace page
+            -- flags, keep = n_kept >= 3 and unflagged
+            WITH pages AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' ok.' || chr(10)
+                       || 'too short.' || chr(10)
+                       || 'this line has no terminal punctuation at all' || chr(10)
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN 'we must drop lorem ipsum pages entirely now.'
+                               ELSE 'a perfectly fine sentence with many words inside it.' END
+                       || chr(10)
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN 'config { braces } present in this line here.'
+                               ELSE 'another good sentence with enough words to keep.' END
+                       AS tx
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, tx,
+                       unnest(regexp_split_to_array(tx, chr(10))) AS line,
+                       generate_subscripts(regexp_split_to_array(tx, chr(10)), 1) AS i
+                FROM pages
+            ),
+            k AS (
+                SELECT doc_id, line, i,
+                       (regexp_matches(line, '[.!?"]\s*$')
+                        AND len(regexp_extract_all(line, '\S+')) >= 5) AS kept
+                FROM l
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_lines,
+                       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                       coalesce(string_agg(CASE WHEN kept THEN line END,
+                                           chr(10) ORDER BY i), '') AS clean_text
+                FROM k GROUP BY doc_id
+            )
+            SELECT p.doc_id, a.n_lines, a.n_kept,
+                   contains(lower(p.tx), 'lorem ipsum') AS has_lorem,
+                   contains(p.tx, '{') AS has_brace,
+                   (a.n_kept >= 3
+                    AND NOT contains(lower(p.tx), 'lorem ipsum')
+                    AND NOT contains(p.tx, '{')) AS keep,
+                   a.clean_text
+            FROM pages p JOIN agg a USING (doc_id)
         """,
         "decontaminate": r"""
             WITH nrm AS (

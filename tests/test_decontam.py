@@ -41,3 +41,39 @@ def test_empty_bench_flags_nothing(ray_session):
     out = decontaminate(docs, bench, n=8).to_pandas()
     assert out.contaminated.tolist() == [False]
     assert out.n_hits.tolist() == [0]
+
+
+def test_c4_line_filter_rules(ray_session):
+    """C4 rules direct: terminal punctuation, >=5 words, lorem/brace
+    flags, clean_text rebuild in order."""
+    from epstein_pipeline_ray.stages.c4_filter import c4_line_filter
+
+    pages = [
+        # 3 good lines → keep
+        "first proper sentence with several words inside.\n"
+        "second proper sentence with several words too!\n"
+        "is this a third proper sentence here?\nno punct line",
+        # good lines but lorem → dropped
+        "a good long sentence with lorem ipsum inside it.\n"
+        "more good words in a proper sentence here.\n"
+        "and a third fine sentence to count now.",
+        # brace → dropped
+        'var x = { "json": 1 }.\n'
+        "a fine sentence with enough words here one.\n"
+        "a fine sentence with enough words here two.\n"
+        "a fine sentence with enough words here three.",
+        # only 2 kept lines → dropped
+        "one proper sentence with enough words here.\nshort.\n"
+        "two proper sentence with enough words here.",
+        None,
+    ]
+    out = (c4_line_filter(_ds(pages)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.keep.tolist() == [True, False, False, False, False]
+    assert out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "n_lines"] == 4
+    assert out.loc[0, "clean_text"].count("\n") == 2
+    assert "no punct line" not in out.loc[0, "clean_text"]
+    assert bool(out.loc[1, "has_lorem"]) and not bool(out.loc[1, "has_brace"])
+    assert bool(out.loc[2, "has_brace"])
+    assert out.loc[4, "n_kept"] == 0 and out.loc[4, "clean_text"] == ""
