@@ -9,8 +9,10 @@ them. The whole flow is lazy Dataset→Dataset except the dedup pass
 skips finished partitions.
 
     docs(doc_id, text, lang, source, n_chars)
+     → [optional] C4 boilerplate line filter (keep + clean_text rewrite)
      → quality filter (unique-token ratio >= min_quality)
      → language filter (lang_guess ∈ keep_langs, n-gram heuristic)
+     → [optional] benchmark decontamination (drop contaminated docs)
      → exact + MinHash/LSH dedup → drop non-representatives
      → sliding-window chunks (1 row → N)
      → token counts per chunk
@@ -34,9 +36,17 @@ def prep_corpus(
     chunk_size: int = 512,
     overlap: int = 64,
     out_dir: str | None = None,
+    c4_clean: bool = False,
+    decontam_bench: Dataset | None = None,
+    decontam_ngram: int = 8,
 ) -> Dataset:
     """→ chunk table (doc_id, chunk_index, chunk_text, char_offset,
-    n_tokens); writes partitioned Parquet when ``out_dir`` is given."""
+    n_tokens); writes partitioned Parquet when ``out_dir`` is given.
+
+    ``c4_clean=True`` prepends the C4 boilerplate line filter (dropped
+    pages removed, surviving pages rewritten to their kept lines);
+    ``decontam_bench`` drops documents sharing any word
+    ``decontam_ngram``-gram with the benchmark set before dedup."""
     import pyarrow.compute as pc
 
     from epstein_pipeline_ray.pipelines.dedup import dedup_conv_docs
@@ -48,6 +58,38 @@ def prep_corpus(
     )
 
     cfg = dedup_cfg or DedupConfig()
+
+    if c4_clean:
+        from epstein_pipeline_ray.stages.c4_filter import c4_line_filter
+        from epstein_pipeline_ray.stages.joins import attach_column
+
+        verdicts = c4_line_filter(docs)
+        kept_clean = verdicts.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"].filter(b["keep"]),
+                                "clean_text": b["clean_text"].filter(b["keep"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # rewrite text to the cleaned page; docs the filter dropped get a
+        # null clean_text and are removed
+        docs = attach_column(docs, kept_clean, "doc_id", "doc_id",
+                             "clean_text", "clean_text")
+        def rewrite(b: pa.Table) -> pa.Table:
+            mask = pc.is_valid(b["clean_text"])
+            cols = {c: (b["clean_text"] if c == "text" else b[c])
+                    for c in b.schema.names if c != "clean_text"}
+            return pa.table(cols).filter(mask)
+
+        docs = docs.map_batches(rewrite, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    if decontam_bench is not None:
+        from epstein_pipeline_ray.stages.decontam import decontaminate
+        from epstein_pipeline_ray.stages.joins import key_membership_join
+
+        flagged = decontaminate(docs, decontam_bench, n=decontam_ngram)
+        bad_ids = flagged.map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"].filter(b["contaminated"])}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        docs = key_membership_join(docs, bad_ids, "doc_id", mode="anti")
 
     scored = with_quality(docs)
     langed = with_lang_guess(scored)

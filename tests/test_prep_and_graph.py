@@ -85,3 +85,36 @@ def test_media_resize_and_frame_sample(ray_session):
     per_video = frames.groupby("media_id").size()
     assert (per_video <= 4).all()
     assert frames["frame"].map(len).eq(32).all()
+
+
+def test_prep_corpus_c4_and_decontam_stages(ray_session):
+    """The optional cleaning stages: C4 page rewrite drops flagged pages
+    and rewrites text to kept lines; decontamination drops docs sharing a
+    benchmark n-gram — both before dedup/chunking."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.pipelines.prep import prep_corpus
+
+    good = ("a perfectly fine first sentence with words here.\n"
+            "a perfectly fine second sentence with words here.\n"
+            "a perfectly fine third sentence with words here.")
+    bench_sent = "the quick brown fox jumps over the lazy dog today"
+    leaky = (f"prefix {bench_sent} suffix words.\n"
+             "another fine sentence with enough words here too.\n"
+             "a third fine sentence with enough words here now.")
+    lorem = good + "\nlorem ipsum filler line with several words."
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([good, leaky, lorem], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(good), len(leaky), len(lorem)], pa.int64()),
+    }))
+    bench = rd.from_arrow(pa.table({"text": pa.array([bench_sent], pa.string())}))
+    chunks = prep_corpus(docs, min_quality=0.0, keep_langs=("en", "und"),
+                         c4_clean=True, decontam_bench=bench,
+                         chunk_size=64, overlap=8).to_pandas()
+    # doc 2 decontaminated, doc 3 lorem-dropped → only doc 1 survives
+    assert set(chunks.doc_id) == {1}
+    assert all("lorem" not in t for t in chunks.chunk_text)
