@@ -126,6 +126,9 @@ def run_bench() -> dict:
         "wordset_jaccard",
         "token_counts",
         "gopher_quality",
+        "person_audit",
+        "decontaminate",
+        "c4_filter",
     ):
         q = entrymod.queries()[name]
         best = None
