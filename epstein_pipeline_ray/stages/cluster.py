@@ -112,10 +112,24 @@ def min_label_propagation(pairs: Dataset, num_partitions: int | None = None,
        a ``changed`` flag per node drives convergence.
 
     Everything is edge/node-proportional — no corpus-sized or
-    pair-stream-sized state on any single process.
+    pair-stream-sized state on any single process. ``num_partitions``
+    defaults to the pair count / 250k (clamped to [4, default]): a CC
+    loop runs several exchanges per iteration, and full-width exchanges
+    over small label tables are pure fixed cost.
     """
     from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
-    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.groupblock import (
+        default_partitions,
+        map_key_blocks,
+    )
+
+    if num_partitions is None:
+        try:
+            n_pairs = pairs.count()
+            num_partitions = max(4, min(default_partitions(),
+                                        -(-n_pairs // 250_000)))
+        except Exception:
+            num_partitions = None
 
     LBL = pa.schema([("node", pa.string()), ("label", pa.string())])
     MSG = pa.schema([("k", pa.string()), ("dst", pa.string()),
@@ -282,10 +296,21 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
     """
     import pandas as pd
 
-    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.groupblock import default_partitions, map_key_blocks
     from epstein_pipeline_ray.stages.joins import attach_column
 
-    labels = min_label_propagation(pairs, num_partitions)
+    # pair-/member-sized exchanges take a width sized to the pair count
+    # (fixed cost per partition); the corpus-sized member stamp keeps the
+    # caller's width / the engine default
+    small_p = num_partitions
+    if small_p is None:
+        try:
+            small_p = max(4, min(default_partitions(),
+                                 -(-pairs.count() // 250_000)))
+        except Exception:
+            small_p = None
+
+    labels = min_label_propagation(pairs, small_p)
 
     # per-cluster mean pair score: relabel one endpoint (both endpoints
     # share a component by construction), then mean per cluster
@@ -293,7 +318,7 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
         pairs.select_columns(["id_a", "score"]), labels,
         left_key="id_a", right_key="node", value_col="label",
         out_col="cluster_id", broadcast_rows_limit=0,
-        num_partitions=num_partitions,
+        num_partitions=small_p,
     )
 
     AVG = pa.schema([("cluster_id", pa.string()), ("avg_similarity", pa.float64())])
@@ -310,15 +335,24 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
                          "avg_similarity": pa.array(g["score"], pa.float64())},
                         schema=AVG)
 
-    avg = map_key_blocks(relabeled, ["cluster_id"], mean_block, num_partitions)
+    avg = map_key_blocks(relabeled, ["cluster_id"], mean_block, small_p)
 
     # stamp members: ONE corpus-sized exchange (the scale price the
-    # broadcast plan pays in plasma instead), then drop non-members
+    # broadcast plan pays in plasma instead), then drop non-members. Width
+    # scales with the doc count (250k rows/partition, clamped) unless the
+    # caller pinned one — full width on a small table is pure fixed cost.
+    stamp_p = num_partitions
+    if stamp_p is None:
+        try:
+            stamp_p = max(4, min(default_partitions(),
+                                 -(-docs.count() // 250_000)))
+        except Exception:
+            stamp_p = None
     members = attach_column(
         docs.select_columns(["conv_id", "n_chars"]), labels,
         left_key="conv_id", right_key="node", value_col="label",
         out_col="cluster_id", broadcast_rows_limit=0,
-        num_partitions=num_partitions,
+        num_partitions=stamp_p,
     ).map_batches(
         lambda b: b.filter(pc.is_valid(b["cluster_id"])),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -357,11 +391,11 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
             schema=STATS,
         )
 
-    stats = map_key_blocks(members, ["cluster_id"], stats_block, num_partitions)
+    stats = map_key_blocks(members, ["cluster_id"], stats_block, small_p)
     out = attach_column(
         stats, avg, left_key="cluster_id", right_key="cluster_id",
         value_col="avg_similarity", out_col="avg_similarity",
-        broadcast_rows_limit=0, num_partitions=num_partitions,
+        broadcast_rows_limit=0, num_partitions=small_p,
     )
     from epstein_pipeline_ray.stages.groupblock import drop_empty_blocks
 
