@@ -553,6 +553,33 @@ def q_c4_filter(sf_dir: str):
     return c4_line_filter(pages)
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank (10 rounds, d=0.85) over an order-derived
+    graph — the engine's iterative-exchange loop against an EXACTLY
+    UNROLLED SQL twin (one CTE per iteration, same per-round rounding,
+    same dangling convention; stages/graph_algo.pagerank_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import pagerank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def nodecol(col, m=211):
+            v = pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+            return pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(v, pa.string()), "")
+
+        return pa.table({"src": nodecol(batch["o_custkey"]),
+                         "dst": nodecol(batch["o_orderkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pagerank(edges, damping=0.85, iters=10)
+
+
 def q_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs over the documents table (shingle →
     128-perm signature → band bucket groupby → estimated-Jaccard confirm).
@@ -1351,6 +1378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_clusters_exchange": q_semantic_clusters_exchange,
         "decontaminate": q_decontaminate,
         "c4_filter": q_c4_filter,
+        "pagerank": q_pagerank,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
@@ -1426,6 +1454,8 @@ def _entities_typed_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from epstein_pipeline_ray.stages.graph_algo import pagerank_sql
+
     terms_values = ", ".join(f"('{t}')" for t in _TERMS)
     return {
         "doc_stats": """
@@ -1657,6 +1687,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed, (c1 + c2 + c3)::BIGINT AS n_masked
             FROM t3
         """,
+        "pagerank": pagerank_sql(
+            "edges AS (SELECT 'n' || (o_custkey % 211) AS src, "
+            "'n' || (o_orderkey % 211) AS dst FROM orders)",
+            damping=0.85, iters=10),
         "c4_filter": r"""
             -- identical 5-line page construction, then the C4 line rules:
             -- terminal-punctuation + >=5 words per line, lorem/brace page
