@@ -143,6 +143,44 @@ def cmd_build_graph(args) -> int:
     return 0
 
 
+def cmd_audit_persons(args) -> int:
+    """Reference auditor dedup phase (person_auditor.py:257-303): fuzzy
+    name >= threshold OR alias cross-match over a person registry."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.auditor import person_audit_pairs
+
+    persons = rd.read_parquet(args.input)
+    pairs = person_audit_pairs(
+        persons, threshold=args.threshold, metric=args.metric,
+        id_col=args.id_col, name_col=args.name_col)
+    pairs.write_parquet(args.output)
+    print(json.dumps({"pairs": pairs.count()}))
+    return 0
+
+
+def cmd_prep(args) -> int:
+    """Training-data prep composition: [C4 clean] → quality → langid →
+    [decontaminate] → dedup reps → chunk → token counts → partitioned
+    Parquet (pipelines/prep.py)."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.pipelines.prep import prep_corpus
+
+    docs = rd.read_parquet(args.input)
+    bench = rd.read_parquet(args.bench) if args.bench else None
+    chunks = prep_corpus(
+        docs, min_quality=args.min_quality,
+        keep_langs=tuple(args.langs.split(",")),
+        chunk_size=args.chunk_size, overlap=args.overlap,
+        out_dir=args.output, c4_clean=args.c4_clean,
+        decontam_bench=bench)
+    print(json.dumps({"chunks": chunks.count()}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     _ray_up()
     import ray.data as rd
@@ -220,6 +258,29 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--id-col", default="doc_id")
     g.add_argument("--text-col", default="text")
     g.set_defaults(fn=cmd_build_graph)
+
+    a = sub.add_parser("audit-persons",
+                       help="duplicate-person scan: fuzzy name + alias cross-match")
+    a.add_argument("--input", required=True, help="persons Parquet (person_id, name[, aliases])")
+    a.add_argument("--output", required=True)
+    a.add_argument("--threshold", type=float, default=0.85)
+    a.add_argument("--metric", choices=["indel", "levenshtein"], default="indel")
+    a.add_argument("--id-col", default="person_id")
+    a.add_argument("--name-col", default="name")
+    a.set_defaults(fn=cmd_audit_persons)
+
+    pp = sub.add_parser("prep",
+                        help="training-data prep: clean → filter → dedup → chunk")
+    pp.add_argument("--input", required=True, help="docs Parquet (doc_id, text, lang, source, n_chars)")
+    pp.add_argument("--output", required=True, help="partitioned Parquet dir")
+    pp.add_argument("--min-quality", type=float, default=0.3)
+    pp.add_argument("--langs", default="en")
+    pp.add_argument("--chunk-size", type=int, default=512)
+    pp.add_argument("--overlap", type=int, default=64)
+    pp.add_argument("--c4-clean", action="store_true")
+    pp.add_argument("--bench", default=None,
+                    help="benchmark Parquet (text) for decontamination")
+    pp.set_defaults(fn=cmd_prep)
 
     v = sub.add_parser("validate", help="corpus integrity report")
     v.add_argument("--input", required=True)

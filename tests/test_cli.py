@@ -102,3 +102,42 @@ def test_cli_entities_and_graph(tmp_path):
     assert res["edges"] == 2  # alice-bob (doc1), alice-carol (doc2)
     body = open(gexf).read()
     assert "alice" in body and "<gexf" in body
+
+
+def test_cli_audit_persons_and_prep(tmp_path):
+    persons = pa.table({
+        "person_id": pa.array([1, 2, 3], pa.int64()),
+        "name": ["Jeffrey Edwards", "Jefrey Edwards", "Unrelated Name Here"],
+    })
+    psrc = str(tmp_path / "persons.parquet")
+    pq.write_table(persons, psrc)
+    out = str(tmp_path / "audit")
+    r = _run(["audit-persons", "--input", psrc, "--output", out,
+              "--threshold", "0.85"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["pairs"] == 1
+    got = pq.read_table(out).to_pydict()
+    assert (got["id_a"], got["id_b"]) == ([1], [2])
+
+    good = ("a perfectly fine first sentence with words here.\n"
+            "a perfectly fine second sentence with words here.\n"
+            "a perfectly fine third sentence with words here.")
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": [good, good + "\nlorem ipsum filler line with words."],
+        "lang": ["en", "en"],
+        "source": ["s", "s"],
+        "n_chars": pa.array([len(good), len(good) + 40], pa.int64()),
+    })
+    dsrc = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dsrc)
+    pout = str(tmp_path / "prep")
+    r = _run(["prep", "--input", dsrc, "--output", pout, "--min-quality", "0.0",
+              "--langs", "en,und", "--c4-clean", "--chunk-size", "64",
+              "--overlap", "8"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["chunks"] >= 1
+    got = pq.read_table(pout).to_pydict()
+    assert set(got["doc_id"]) == {1}  # lorem page dropped by the C4 stage
