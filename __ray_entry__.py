@@ -441,6 +441,38 @@ def _semantic_demo_result(sf_dir: str):
     return dedup_conv_docs(_semantic_demo_corpus(sf_dir), cfg)
 
 
+def q_matryoshka(sf_dir: str):
+    """Matryoshka truncation (reference embeddings.py:111-114 truncate_dim,
+    config.py:91 768→256): keep the first 8 components and L2-renormalize;
+    components pinned to the SQL rounding grid (6 decimals). Output is
+    exploded to one row per component — the driver's value-hash compare
+    needs scalar columns."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.embed import matryoshka_truncate
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    trunc = matryoshka_truncate(vecs, dim=8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        parents = pc.list_parent_indices(emb)
+        flat = emb.flatten()
+        n = len(flat)
+        idx = (np.arange(n) % 8 + 1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"].take(parents),
+            "dim_idx": pa.array(idx, pa.int64()),
+            "value": flat,
+        })
+
+    return trunc.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_docs_semantic(sf_dir: str):
     """5-pass flagship merge with the semantic pass live (VERDICT r2 item
     3): exact + semantic over documents ⋈ embeddings, minhash off (its
@@ -1379,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "c4_filter": q_c4_filter,
         "pagerank": q_pagerank,
+        "matryoshka": q_matryoshka,
         "media_features": q_media_features,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
@@ -1686,6 +1719,19 @@ def oracle_sql() -> dict[str, str]:
                    FROM t2)
             SELECT doc_id, t AS scrubbed, (c1 + c2 + c3)::BIGINT AS n_masked
             FROM t3
+        """,
+        "matryoshka": """
+            WITH t AS (
+                SELECT vec_id,
+                       [round(x / sqrt(list_sum(list_transform(
+                            embedding[1:8], y -> y::DOUBLE * y::DOUBLE))), 6)
+                        for x in list_transform(embedding[1:8], y -> y::DOUBLE)]
+                       AS emb8
+                FROM embeddings
+            )
+            SELECT vec_id, generate_subscripts(emb8, 1)::BIGINT AS dim_idx,
+                   unnest(emb8) AS value
+            FROM t
         """,
         "pagerank": pagerank_sql(
             "edges AS (SELECT 'n' || (o_custkey % 211) AS src, "

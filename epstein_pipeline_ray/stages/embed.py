@@ -469,3 +469,38 @@ def embed_prep(
         )
 
     return docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def matryoshka_truncate(
+    vectors: Dataset,
+    dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out_col: str = "embedding",
+    renormalize: bool = True,
+    round_digits: int | None = 6,
+) -> Dataset:
+    """Matryoshka dimensionality truncation (reference A1:
+    processors/embeddings.py:111-114 ``truncate_dim`` + config.py:91 —
+    768-dim vectors truncated to a 256-dim prefix): keep the first
+    ``dim`` components and L2-renormalize, one vectorized matrix slice
+    per batch. ``round_digits`` pins the components to the SQL rounding
+    grid for oracle comparison (None = raw floats)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        mat = _stack_embeddings(batch, emb_col)[:, :dim]
+        if renormalize:
+            mat = _normalize_rows(mat)
+        if round_digits is not None:
+            mat = sql_round(mat, round_digits)
+        flat = pa.array(mat.reshape(-1), pa.float64())
+        offs = pa.array(
+            np.arange(0, (batch.num_rows + 1) * dim, dim, dtype=np.int32))
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: pa.ListArray.from_arrays(offs, flat),
+        })
+
+    return vectors.select_columns([id_col, emb_col]).map_batches(
+        trunc, batch_format="pyarrow", zero_copy_batch=True)
