@@ -1244,6 +1244,22 @@ def q_media_features(sf_dir: str):
     return media_features(media).select_columns(["media_id", "kind", "ok", "n_bytes"])
 
 
+def q_media_meta(sf_dir: str):
+    """REAL media metadata from binary columns: stdlib byte parsing of
+    PNG/GIF/BMP/JPEG/WAV container headers over a corpus of genuinely
+    valid tiny files (stages/media_meta.py; exact header truths pinned in
+    tests/test_media_meta.py — rows-only here, media is synthesized)."""
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.media_meta import (
+        extract_media_meta,
+        synth_real_media,
+    )
+
+    media = rd.from_arrow(synth_real_media(220))
+    return extract_media_meta(media)
+
+
 def q_scrub_pii(sf_dir: str):
     """PII masking (emails / SSNs / phones -> typed mask tokens) with a
     per-doc mask count; RE2 literals shared with the DuckDB twin."""
@@ -1413,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "matryoshka": q_matryoshka,
         "media_features": q_media_features,
+        "media_meta": q_media_meta,
         "plist_meta": q_plist_meta,
         "efta_dataset": q_efta_dataset,
         "top_events_per_user": q_top_events_per_user,
