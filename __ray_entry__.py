@@ -1314,6 +1314,19 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_type_value_p90_sampled(sf_dir: str):
+    """Bottom-k-by-hash quantile sketch in its exact regime (k=1e6 >=
+    every group, so the deterministic sample IS the group and the
+    estimate equals quantile_cont — the sketch machinery gets a full
+    DuckDB oracle; sub-k accuracy + batching-invariance are
+    property-tested in test_joins.py)."""
+    from epstein_pipeline_ray.stages.relational import sampled_quantile_per_group
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return sampled_quantile_per_group(ev, "event_type", "value", "event_id",
+                                      q=0.9, k=1_000_000)
+
+
 def q_user_event_types(sf_dir: str):
     """Exact COUNT(DISTINCT event_type) per user — two-phase distinct
     (map-side dedup before the keyed exchange)."""
@@ -1438,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_p90": q_type_value_p90,
         "user_event_types": q_user_event_types,
         "heavy_event_values": q_heavy_event_values,
+        "type_value_p90_sampled": q_type_value_p90_sampled,
         "value_distinct_kmv": q_value_distinct_kmv,
         "value_distinct_hll": q_value_distinct_hll,
         "scrub_pii": q_scrub_pii,
@@ -1847,6 +1861,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT event_type, v, count_est FROM r WHERE rn <= 5
+        """,
+        "type_value_p90_sampled": """
+            SELECT event_type, round(quantile_cont(value, 0.9), 6) AS quantile_est
+            FROM events GROUP BY event_type
         """,
         "type_value_p90": """
             SELECT event_type, round(quantile_cont(value, 0.9), 6) AS quantile_value

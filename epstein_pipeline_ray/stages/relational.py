@@ -659,6 +659,56 @@ def hll_distinct_per_group(ds: Dataset, key: str, value_col: str, p: int = 12,
     return map_key_blocks(sk, [key], per_block, num_partitions, sort_blocks=False)
 
 
+def sampled_quantile_per_group(
+    ds: Dataset, key: str, value_col: str, id_col: str, q: float,
+    k: int = 1024, out_col: str = "quantile_est",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Approximate per-group quantile from a DETERMINISTIC uniform row
+    sample: keep the k rows with the smallest 64-bit ``hash(id)`` per
+    group (bottom-k-by-hash — the row-sampling analog of the KMV distinct
+    sketch). Bottom-k of a union is the bottom-k of per-part bottom-ks,
+    so partials are mergeable and the result is EXACTLY invariant to how
+    rows are batched; groups with <= k rows return the exact
+    ``quantile_cont`` value. Rank-space standard error sqrt(q(1-q)/k)
+    (~1% at k=1024). The exact sibling is ``grouped_quantile`` (one
+    values-only exchange of EVERY row); this is for groups too large to
+    co-locate."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, id_col, value_col])
+
+    def local_sample(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if not len(df):
+            return pa.table({key: batch[key],
+                             "__h": pa.array([], pa.uint64()),
+                             value_col: batch[value_col]})
+        df = df.assign(__h=pd.util.hash_array(df[id_col].to_numpy(),
+                                              categorize=False))
+        df = df.drop(columns=[id_col]).sort_values([key, "__h"],
+                                                   kind="mergesort")
+        df = df.groupby(key, sort=False).head(k)
+        return pa.Table.from_pandas(df[[key, "__h", value_col]].reset_index(drop=True),
+                                    preserve_index=False)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        ktype = block.schema.field(key).type
+        if block.num_rows == 0:
+            return pa.table({key: pa.array([], ktype),
+                             out_col: pa.array([], pa.float64())})
+        df = block.to_pandas().sort_values([key, "__h"], kind="mergesort")
+        df = df.groupby(key, sort=False).head(k)
+        g = df.groupby(key, sort=True)[value_col].quantile(q, interpolation="linear")
+        return pa.table({key: pa.array(g.index, ktype),
+                         out_col: pa.array(sql_round(g.to_numpy(np.float64), 6),
+                                           pa.float64())})
+
+    sk = pruned.map_batches(local_sample, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return map_key_blocks(sk, [key], per_block, num_partitions)
+
+
 def misra_gries_topk_per_group(
     ds: Dataset, key: str, value_col: str, k: int = 10, capacity: int = 256,
     num_partitions: int | None = None,

@@ -183,3 +183,34 @@ def test_misra_gries_heavy_hitters(ray_session):
             assert true - 2 * err <= got[val] <= true, (val, got[val])
         # top of the list is the heaviest value
         assert out.iloc[0].v == "hot-a"
+
+
+def test_sampled_quantile_sketch(ray_session):
+    """Bottom-k-by-hash quantile: exact for small groups, within rank-space
+    tolerance for large ones, EXACTLY batching-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import sampled_quantile_per_group
+
+    rng = np.random.default_rng(3)
+    small_vals = rng.uniform(0, 100, 200)          # group A: exact (<= k)
+    big_vals = rng.uniform(0, 1000, 60000)         # group B: sampled
+    t = pa.table({
+        "g": ["A"] * 200 + ["B"] * 60000,
+        "rid": pa.array(range(60200), pa.int64()),
+        "v": pa.array(np.concatenate([small_vals, big_vals]), pa.float64()),
+    })
+    outs = {}
+    for nblocks in (1, 8):
+        out = (sampled_quantile_per_group(
+                   rd.from_arrow(t).repartition(nblocks), "g", "v", "rid",
+                   q=0.9, k=1024)
+               .to_pandas().set_index("g")["quantile_est"])
+        outs[nblocks] = out
+        assert abs(out["A"] - np.quantile(small_vals, 0.9)) < 1e-6
+        # rank se = sqrt(.09/1024) ~ 0.0094 → +-4 sigma ~ +-38 on [0,1000]
+        assert abs(out["B"] - np.quantile(big_vals, 0.9)) < 40, out["B"]
+    # deterministic min-k → bit-identical across batchings
+    assert outs[1].equals(outs[8])
