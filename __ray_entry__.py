@@ -302,6 +302,17 @@ def q_token_counts(sf_dir: str):
     return with_token_counts(docs).select_columns(["doc_id", "n_tokens"])
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-5 terms per document by smoothed TF-IDF
+    (tf * ln((1+N)/(1+df)), term-ascending tie-break): per-doc token
+    explode -> pre-aggregated DF exchange -> size-switched DF attach ->
+    combiner-pruned per-doc top-k."""
+    from epstein_pipeline_ray.stages.ranking import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, k=5)
+
+
 def q_quality(sf_dir: str):
     from epstein_pipeline_ray.stages.textops import with_quality
 
@@ -1425,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "quality": q_quality,
         "gopher_quality": q_gopher,
         "langid": q_langid,
@@ -1658,6 +1670,30 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens
             FROM documents
+        """,
+        # TF-IDF twin: [a-zA-Z0-9]+ tokens are pure ASCII so lower() agrees
+        # byte-for-byte with Python str.lower(); both sides rank by the
+        # ROUNDED score so a half-ulp ln() divergence can't flip a rank.
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 6) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+                FROM scored
+            )
+            SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 5
         """,
         "quality": """
             WITH t AS (

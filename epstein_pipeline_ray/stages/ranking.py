@@ -1,0 +1,111 @@
+"""Term-weighting / ranking stages (TF, DF, smoothed TF-IDF) over documents.
+
+Reference analog: the reference ranks person/chunk links by relevance
+heuristics (src/epstein_pipeline/processors/person_linker.py) and ships a
+BM25-backed FTS5 search index (exporters/sqlite_export.py:88-117); this
+module provides the engine-native term-weighting primitive those features
+sit on — per-doc term frequency, corpus document frequency, and the
+smoothed TF-IDF ``tf * ln((1+N)/(1+df))`` (the sklearn-popularized variant
+of Salton & Buckley 1988) — as exchange-shaped Ray stages.
+
+Scale shape (100 TB): the TF explode is embarrassingly parallel and
+per-doc-bounded; DF is a map-side pre-aggregated groupby over the
+(doc, term)-distinct TF table (grouped_stats partials, so the exchange
+moves per-term counts, not raw token rows); DF attaches back to the TF
+rows through joins.attach_column's size switch (vocabulary broadcast
+below the limit, keyed exchange above); the final per-doc top-k rides
+relational.topk_per_group's combiner-pruned exchange. No stage holds the
+corpus, the vocabulary, or the posting table in one process on the
+exchange plans.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from epstein_pipeline_ray.functions.rounding import sql_round
+
+# ASCII word tokens only, lowercased AFTER extraction: `[a-zA-Z0-9]+`
+# matches are pure ASCII, so Python str.lower() and DuckDB lower() agree
+# byte-for-byte (unicode lower() edge cases can't arise).
+WORD_RE = re.compile(r"[a-zA-Z0-9]+")
+
+
+def term_frequencies(docs: Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> Dataset:
+    """Explode each document into one row per distinct token:
+    ``(id, term, tf)``. SQL twin: ``SELECT id, term, count(*) FROM
+    (unnest(regexp_extract_all(text,'[a-zA-Z0-9]+')) with lower())
+    GROUP BY 1, 2``.
+
+    The per-doc Counter is Python but per-doc-bounded inside a batch
+    task (same trade as the other text analyzers — tokenizing is
+    inherently per-string); output is one Arrow table per batch.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids_in = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_ids: list = []
+        out_terms: list[str] = []
+        out_tf: list[int] = []
+        for i, t in zip(ids_in, texts):
+            if not t:
+                continue
+            c = Counter(m.group(0).lower() for m in WORD_RE.finditer(t))
+            out_ids.extend([i] * len(c))
+            out_terms.extend(c.keys())
+            out_tf.extend(c.values())
+        return pa.table({
+            id_col: pa.array(out_ids, id_type),
+            "term": pa.array(out_terms, pa.string()),
+            "tf": pa.array(out_tf, pa.int64()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def document_frequencies(tf: Dataset, num_partitions: int | None = None) -> Dataset:
+    """``(term, df)`` — documents containing each term. The TF table is
+    already (doc, term)-distinct, so DF is a plain pre-aggregated row
+    count per term."""
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    return grouped_stats(tf.select_columns(["term"]), ["term"], count_alias="df")
+
+
+def tfidf_top_terms(docs: Dataset, k: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    broadcast_rows_limit: int = 2_000_000,
+                    num_partitions: int | None = None) -> Dataset:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    ``round(tf * ln((1+N)/(1+df)), 6)``, ties broken by term ascending
+    so membership and ordering are deterministic. Ranking uses the
+    ROUNDED score on both the engine and the SQL-twin side, so a
+    half-ulp ln() divergence cannot flip a rank."""
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import topk_per_group
+
+    tf = term_frequencies(docs, id_col, text_col)
+    n_docs = float(docs.count())
+    df = document_frequencies(tf, num_partitions)
+    scored = attach_column(tf, df, "term", "term", "df", "df",
+                           broadcast_rows_limit=broadcast_rows_limit,
+                           num_partitions=num_partitions)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = np.asarray(batch["tf"], dtype=np.float64)
+        dfv = np.asarray(batch["df"], dtype=np.float64)
+        s = sql_round(tfv * np.log((1.0 + n_docs) / (1.0 + dfv)), 6)
+        return batch.append_column("tfidf", pa.array(s, pa.float64()))
+
+    scored = scored.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return topk_per_group(
+        scored.select_columns([id_col, "term", "tf", "tfidf"]),
+        id_col, "tfidf", k, tie_col="term", num_partitions=num_partitions)

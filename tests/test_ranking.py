@@ -1,0 +1,75 @@
+"""TF-IDF ranking stage: hand-computed truth on a tiny corpus, plan
+equality between the broadcast and exchange DF-attach paths, and
+determinism of the tie-break."""
+
+import math
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows),
+                                              preserve_index=False))
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_tfidf_hand_computed(ray_session):
+    from epstein_pipeline_ray.stages.ranking import tfidf_top_terms
+
+    docs = [
+        {"doc_id": 1, "text": "apple banana apple"},
+        {"doc_id": 2, "text": "banana cherry"},
+        {"doc_id": 3, "text": "apple Cherry cherry!"},
+    ]
+    got = tfidf_top_terms(_ds(docs), k=2).to_pandas()
+    n = 3.0
+
+    def idf(df_):
+        return math.log((1.0 + n) / (1.0 + df_))
+
+    # doc 1: apple tf=2 df=2 -> 2*ln(4/3); banana tf=1 df=2 -> ln(4/3)
+    # doc 3: cherry tf=2 df=2 (Cherry lowercased, '!' not a token char)
+    by_doc = {d: g.sort_values("tfidf", ascending=False)
+              for d, g in got.groupby("doc_id")}
+    assert list(by_doc[1].term) == ["apple", "banana"]
+    assert by_doc[1].tfidf.iloc[0] == pytest.approx(2 * idf(2), abs=1e-6)
+    assert list(by_doc[3].term) == ["cherry", "apple"]
+    assert by_doc[3].tf.tolist() == [2, 1]
+    # doc 2: banana and cherry both tf=1 df=2 — equal score, term-asc tie
+    assert list(by_doc[2].term) == ["banana", "cherry"]
+
+
+def test_tfidf_plan_equality_forced_exchange(ray_session):
+    """broadcast_rows_limit=0 forces the exchange DF-attach plan; results
+    must match the default broadcast plan row-for-row."""
+    import pyarrow.parquet as pq
+
+    from epstein_pipeline_ray.stages.ranking import tfidf_top_terms
+
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas().head(200)
+    a = tfidf_top_terms(_ds(df), k=5).to_pandas()
+    b = tfidf_top_terms(_ds(df), k=5, broadcast_rows_limit=0).to_pandas()
+    assert _canon(a).equals(_canon(b))
+
+
+def test_tfidf_empty_and_blank_docs(ray_session):
+    from epstein_pipeline_ray.stages.ranking import tfidf_top_terms
+
+    docs = [
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "   \n\t"},
+        {"doc_id": 3, "text": "only words here"},
+    ]
+    got = tfidf_top_terms(_ds(docs), k=5).to_pandas()
+    # token-less docs contribute no rows (same as the SQL twin's unnest)
+    assert set(got.doc_id) == {3}
+    assert len(got) == 3
