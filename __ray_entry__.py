@@ -313,6 +313,16 @@ def q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, k=5)
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Cross-document duplicated-span signal (hash-counting approximation
+    of Lee et al. 2022 suffix-array substring dedup): per doc, distinct
+    word 5-grams that occur in >=2 docs corpus-wide."""
+    from epstein_pipeline_ray.stages.ranking import dup_ngram_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_stats(docs, n=5, min_df=2)
+
+
 def q_quality(sf_dir: str):
     from epstein_pipeline_ray.stages.textops import with_quality
 
@@ -1437,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "token_counts": q_token_counts,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dup_ngrams": q_dup_ngrams,
         "quality": q_quality,
         "gopher_quality": q_gopher,
         "langid": q_langid,
@@ -1694,6 +1705,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 5
+        """,
+        # dup-ngram twin: grams are built with DuckDB's 1-based INCLUSIVE
+        # list slice (w[i:i+4] = 5 tokens) over the same ASCII token split;
+        # docs with <5 tokens emit no grams on either side.
+        "dup_ngrams": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(regexp_extract_all(text, '[a-zA-Z0-9]+'),
+                                      x -> lower(x)) AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, unnest(
+                    [array_to_string(w[i:i+4], ' ')
+                     for i in range(1, greatest(len(w) - 3, 1))]) AS gram
+                FROM toks
+            ),
+            df AS (SELECT gram, count(*)::BIGINT AS df FROM grams GROUP BY 1),
+            per_doc AS (
+                SELECT g.doc_id,
+                       count(*)::BIGINT AS n_grams,
+                       sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+                FROM grams g JOIN df USING (gram)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_grams, n_dup,
+                   round(n_dup::DOUBLE / n_grams, 6) AS dup_ratio
+            FROM per_doc
         """,
         "quality": """
             WITH t AS (

@@ -70,13 +70,102 @@ def term_frequencies(docs: Dataset, id_col: str = "doc_id",
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def document_frequencies(tf: Dataset, num_partitions: int | None = None) -> Dataset:
+def document_frequencies(tf: Dataset, term_col: str = "term",
+                         num_partitions: int | None = None) -> Dataset:
     """``(term, df)`` — documents containing each term. The TF table is
     already (doc, term)-distinct, so DF is a plain pre-aggregated row
     count per term."""
     from epstein_pipeline_ray.stages.relational import grouped_stats
 
-    return grouped_stats(tf.select_columns(["term"]), ["term"], count_alias="df")
+    return grouped_stats(tf.select_columns([term_col]), [term_col],
+                         count_alias="df")
+
+
+def distinct_ngrams(docs: Dataset, n: int = 5, id_col: str = "doc_id",
+                    text_col: str = "text") -> Dataset:
+    """Explode each document into its DISTINCT word ``n``-grams:
+    ``(id, gram)`` with grams as space-joined lowercased ASCII tokens.
+    Documents with fewer than ``n`` tokens emit nothing (same as the SQL
+    twin's empty comprehension)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
+        ids_in = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_ids: list = []
+        out_grams: list[str] = []
+        for i, t in zip(ids_in, texts):
+            if not t:
+                continue
+            toks = [m.group(0).lower() for m in WORD_RE.finditer(t)]
+            if len(toks) < n:
+                continue
+            grams = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+            out_ids.extend([i] * len(grams))
+            out_grams.extend(grams)
+        return pa.table({
+            id_col: pa.array(out_ids, id_type),
+            "gram": pa.array(out_grams, pa.string()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_ngram_stats(docs: Dataset, n: int = 5, min_df: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    broadcast_rows_limit: int = 2_000_000,
+                    num_partitions: int | None = None) -> Dataset:
+    """Cross-document duplicated-span signal: for each document, how many
+    of its distinct word ``n``-grams also occur in at least ``min_df``
+    documents corpus-wide — the hash-counting approximation (CCNet/Gopher
+    family) of Lee et al. 2022's suffix-array exact-substring dedup.
+    Output: ``(id, n_grams, n_dup, dup_ratio)``.
+
+    Scale shape: gram DF is a pre-aggregated groupby over the
+    (doc, gram)-distinct explode; DF rides back to the gram rows through
+    attach_column's size switch; the per-doc rollup is two-phase
+    (pa.TableGroupBy partials per batch, then a tiny keyed aggregate) so
+    the final exchange moves one partial row per (doc, batch), never raw
+    gram rows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    grams = distinct_ngrams(docs, n, id_col, text_col)
+    df = document_frequencies(grams, term_col="gram",
+                              num_partitions=num_partitions)
+    tagged = attach_column(grams, df, "gram", "gram", "df", "df",
+                           broadcast_rows_limit=broadcast_rows_limit,
+                           num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater_equal(batch["df"], min_df), pa.int64())
+        t = pa.table({
+            id_col: batch[id_col],
+            "__g": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "__d": dup,
+        })
+        g = pa.TableGroupBy(t, [id_col]).aggregate([("__g", "sum"), ("__d", "sum")])
+        return g
+
+    partials = tagged.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    out = partials.groupby(id_col).aggregate(
+        Sum("__g_sum", alias_name="n_grams"), Sum("__d_sum", alias_name="n_dup"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ng = np.asarray(batch["n_grams"].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        nd = np.asarray(batch["n_dup"].to_numpy(zero_copy_only=False),
+                        dtype=np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_grams": pc.cast(batch["n_grams"], pa.int64()),
+            "n_dup": pc.cast(batch["n_dup"], pa.int64()),
+            "dup_ratio": pa.array(sql_round(nd / ng, 6), pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def tfidf_top_terms(docs: Dataset, k: int = 5, id_col: str = "doc_id",
@@ -93,7 +182,7 @@ def tfidf_top_terms(docs: Dataset, k: int = 5, id_col: str = "doc_id",
 
     tf = term_frequencies(docs, id_col, text_col)
     n_docs = float(docs.count())
-    df = document_frequencies(tf, num_partitions)
+    df = document_frequencies(tf, num_partitions=num_partitions)
     scored = attach_column(tf, df, "term", "term", "df", "df",
                            broadcast_rows_limit=broadcast_rows_limit,
                            num_partitions=num_partitions)

@@ -61,6 +61,39 @@ def test_tfidf_plan_equality_forced_exchange(ray_session):
     assert _canon(a).equals(_canon(b))
 
 
+def test_dup_ngrams_hand_computed(ray_session):
+    from epstein_pipeline_ray.stages.ranking import dup_ngram_stats
+
+    shared = "the quick brown fox jumps"          # exactly one 5-gram
+    docs = [
+        {"doc_id": 1, "text": shared + " over the lazy dog"},
+        {"doc_id": 2, "text": "INTRO " + shared},
+        {"doc_id": 3, "text": "totally unrelated words in this one"},
+        {"doc_id": 4, "text": "too short"},        # <5 tokens: no rows
+    ]
+    got = dup_ngram_stats(_ds(docs), n=5, min_df=2).to_pandas()
+    by = got.set_index("doc_id")
+    # doc 1: 9 tokens -> 5 distinct grams; only the shared one is dup
+    assert by.loc[1, "n_grams"] == 5 and by.loc[1, "n_dup"] == 1
+    # doc 2: 6 tokens -> 2 grams ("intro the quick brown fox" + shared)
+    assert by.loc[2, "n_grams"] == 2 and by.loc[2, "n_dup"] == 1
+    assert by.loc[3, "n_dup"] == 0
+    assert 4 not in by.index
+    assert by.loc[2, "dup_ratio"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_dup_ngrams_plan_equality_forced_exchange(ray_session):
+    import pyarrow.parquet as pq
+
+    from epstein_pipeline_ray.stages.ranking import dup_ngram_stats
+
+    df = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas().head(200)
+    a = dup_ngram_stats(_ds(df)).to_pandas()
+    b = dup_ngram_stats(_ds(df), broadcast_rows_limit=0).to_pandas()
+    assert _canon(a).equals(_canon(b))
+
+
 def test_tfidf_empty_and_blank_docs(ray_session):
     from epstein_pipeline_ray.stages.ranking import tfidf_top_terms
 
