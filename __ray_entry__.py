@@ -1429,6 +1429,66 @@ def q_plist_meta(sf_dir: str):
     )
 
 
+def _noisy_turns(sf_dir: str):
+    from epstein_pipeline_ray.sources.derive import noisy_turns_from_documents
+
+    return noisy_turns_from_documents(sf_dir)
+
+
+def q_conv_health(sf_dir: str):
+    """Per-conversation well-formedness report (role-alternation
+    violations, timestamp regressions, turn_idx gaps, tool-turn counts)
+    over the noisy derived turn table — the transcript analog of the
+    reference's row-level schema validator (validators/schema.py). Text
+    never enters the exchange."""
+    from epstein_pipeline_ray.stages.transcript_ops import conv_health
+
+    return conv_health(_noisy_turns(sf_dir))
+
+
+def q_collapse_repeats(sf_dir: str):
+    """Consecutive duplicate-turn collapse (stutter removal): drops each
+    turn whose (role, text) equals the previous turn's within its
+    conversation — turn-level keyed dedup (reference G12 analog)."""
+    from epstein_pipeline_ray.stages.transcript_ops import collapse_repeat_turns
+
+    out = collapse_repeat_turns(_noisy_turns(sf_dir))
+    return out.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+
+def q_token_budget(sf_dir: str):
+    """Context-window truncation: keep each conversation's turn prefix
+    whose cumulative whitespace-token count stays within 40 tokens
+    (map-side Arrow token counts → running-sum window → vectorized
+    prefix filter)."""
+    from epstein_pipeline_ray.stages.transcript_ops import truncate_to_token_budget
+
+    return truncate_to_token_budget(_noisy_turns(sf_dir), budget=40)
+
+
+def q_tool_transitions(sf_dir: str):
+    """Agent tool-flow analytics: corpus-wide (previous tool → tool)
+    bigram counts over each conversation's tool-bearing turn
+    subsequence (map-side filter, keyed exchange, pre-aggregated count
+    exchange)."""
+    from epstein_pipeline_ray.stages.transcript_ops import tool_transitions
+
+    return tool_transitions(_noisy_turns(sf_dir))
+
+
+def q_value_distinct_kmv_exact(sf_dir: str):
+    """The KMV sketch in its exact regime: k = 10^6 exceeds every
+    group's distinct-value count at test scale, so no sketch ever fills
+    and the estimate IS the exact distinct count — the same machinery
+    value_distinct_kmv runs at k=256 gets a full COUNT(DISTINCT) DuckDB
+    oracle (the MG/heavy_event_values★ pattern); sub-k accuracy +
+    merge-invariance stay property-tested in test_joins.py."""
+    from epstein_pipeline_ray.stages.relational import kmv_distinct_per_group
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return kmv_distinct_per_group(ev, "event_type", "value", k=1_000_000)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_clusters": q_transcript_clusters,
@@ -1476,7 +1536,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_event_values": q_heavy_event_values,
         "type_value_p90_sampled": q_type_value_p90_sampled,
         "value_distinct_kmv": q_value_distinct_kmv,
+        "value_distinct_kmv_exact": q_value_distinct_kmv_exact,
         "value_distinct_hll": q_value_distinct_hll,
+        "conv_health": q_conv_health,
+        "collapse_repeats": q_collapse_repeats,
+        "token_budget": q_token_budget,
+        "tool_transitions": q_tool_transitions,
         "scrub_pii": q_scrub_pii,
         "user_running_value": q_user_running_value,
         "minhash_docs": q_minhash_docs,
@@ -1538,6 +1603,36 @@ def _entities_typed_sql() -> str:
         for name, pat in sorted(ENTITY_PATTERNS.items())
     ]
     return fixture + " UNION ALL ".join(parts)
+
+
+# SQL rebuild of sources/derive.noisy_turns_from_documents — every planted
+# noise rule is integer arithmetic on (doc_id, window index i), j is the
+# source window (i-1 on stutter turns), and ts is represented by the
+# order-preserving per-conversation offset ts_off.
+_NOISY_TURNS_CTE = """nw AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            nkeep AS (
+                SELECT doc_id, ws, i,
+                       CASE WHEN i > 0 AND (doc_id + i) % 19 = 0
+                            THEN i - 1 ELSE i END AS j
+                FROM nw,
+                     LATERAL unnest(generate_series(
+                         0, (len(ws) + 9) // 10 - 1)) AS u(i)
+                WHERE NOT (i > 0 AND (doc_id * 7 + i) % 13 = 0)),
+            nturns AS (
+                SELECT printf('doc-%08d', doc_id) AS conv_id,
+                       i::INT AS turn_idx,
+                       CASE WHEN (doc_id + j) % 11 = 0 THEN 'assistant'
+                            WHEN j % 2 = 0 THEN 'user'
+                            ELSE 'assistant' END AS role,
+                       array_to_string(ws[(j*10+1)::INT:(j*10+10)::INT], ' ')
+                           AS text,
+                       (['', 'search', 'code', 'browse', ''])[
+                           ((doc_id*31 + i) % 5 + 1)::INT] AS tool,
+                       (doc_id*90000000 + i*5000000
+                        - CASE WHEN (doc_id + i) % 17 = 0
+                               THEN 9000000 ELSE 0 END)::BIGINT AS ts_off
+                FROM nkeep)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1965,6 +2060,71 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id),
                              ts)::DOUBLE AS delta_us
             FROM events
+        """,
+        # transcript hygiene family: the noisy turn derivation
+        # (sources/derive.noisy_turns_from_documents) is pure integer
+        # arithmetic on (doc_id, window index), rebuilt verbatim here —
+        # ts enters only through order-preserving per-conv offsets.
+        "conv_health": f"""
+            WITH {_NOISY_TURNS_CTE},
+            l AS (
+              SELECT conv_id, tool,
+                     (role = lag(role) OVER w) AS rep,
+                     (ts_off < lag(ts_off) OVER w) AS reg,
+                     (turn_idx - lag(turn_idx) OVER w > 1) AS gap
+              FROM nturns
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id,
+                   count(*) AS n_turns,
+                   count(*) FILTER (rep) AS n_role_repeats,
+                   count(*) FILTER (reg) AS n_ts_regressions,
+                   count(*) FILTER (gap) AS n_idx_gaps,
+                   count(*) FILTER (tool <> '') AS n_tool_turns
+            FROM l GROUP BY conv_id
+        """,
+        "collapse_repeats": f"""
+            WITH {_NOISY_TURNS_CTE},
+            l AS (SELECT conv_id, turn_idx, role, text,
+                         lag(role) OVER w AS prole,
+                         lag(text) OVER w AS ptext
+                  FROM nturns
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx, role, text
+            FROM l
+            WHERE prole IS NULL OR prole <> role OR ptext <> text
+        """,
+        "token_budget": f"""
+            WITH {_NOISY_TURNS_CTE},
+            c AS (SELECT conv_id, turn_idx,
+                         (CASE WHEN text = '' THEN 0
+                               ELSE len(string_split(text, ' ')) END)::BIGINT
+                             AS n_tokens
+                  FROM nturns),
+            s AS (SELECT conv_id, turn_idx, n_tokens,
+                         round((sum(n_tokens) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING))::DOUBLE, 6)
+                             AS cum_tokens
+                  FROM c)
+            SELECT conv_id, turn_idx, n_tokens, cum_tokens
+            FROM s WHERE cum_tokens <= 40
+        """,
+        "tool_transitions": f"""
+            WITH {_NOISY_TURNS_CTE},
+            f AS (SELECT conv_id, turn_idx, tool FROM nturns
+                  WHERE tool <> ''),
+            l AS (SELECT lag(tool) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS tool_from,
+                         tool AS tool_to
+                  FROM f)
+            SELECT tool_from, tool_to, count(*) AS n
+            FROM l WHERE tool_from IS NOT NULL
+            GROUP BY tool_from, tool_to
+        """,
+        "value_distinct_kmv_exact": """
+            SELECT event_type,
+                   round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
+            FROM events GROUP BY event_type
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value

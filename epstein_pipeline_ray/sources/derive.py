@@ -75,3 +75,72 @@ def turns_from_documents(sf_dir: str, seed: int = 42) -> Dataset:
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def noisy_turns_from_documents(sf_dir: str) -> Dataset:
+    """documents.parquet → a turn table with PLANTED conversational noise
+    (role-alternation violations, timestamp regressions, turn_idx gaps,
+    consecutive repeated turns, sparse tool annotations) so the
+    transcript-hygiene operators (stages/transcript_ops.py) have real
+    work to do. Every rule is pure integer arithmetic on (doc_id, i), so
+    the DERIVATION ITSELF is expressible in ANSI SQL — the DuckDB twin
+    in ``__ray_entry__._noisy_turns_cte`` rebuilds the identical table
+    and the hygiene queries get full value-hash oracles.
+
+    Per document (one conversation ``doc-%08d``; words = text split on
+    single spaces, 10-word turn windows, i = 0-based window index):
+      role  : 'assistant' if (doc_id+i) % 11 == 0 else alternating; a
+              stutter turn (below) copies turn i-1's role instead, so
+              the repeat is a true consecutive (role, text) duplicate
+      text  : window i-1 repeated when i > 0 and (doc_id+i) % 19 == 0
+              (the stutter; % 19 never fires on adjacent i, so the
+              copied role is always i-1's final role)
+      tool  : ['', 'search', 'code', 'browse', ''][(doc_id*31+i) % 5]
+      ts    : EPOCH + doc_id*90e6 + i*5e6, minus 9e6 when (doc_id+i) % 17
+              == 0  (out-of-order timestamps)
+      drop  : the row vanishes when i > 0 and (doc_id*7+i) % 13 == 0
+              (turn_idx gaps; turn 0 always survives)
+    """
+    _TOOLS = ["", "search", "code", "browse", ""]
+
+    def derive(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {c: [] for c in TURNS_SCHEMA.names}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            words = (text or "").split(" ")
+            windows = [
+                " ".join(words[i : i + _TURN_WORDS])
+                for i in range(0, len(words), _TURN_WORDS)
+            ]
+            conv = f"doc-{doc_id:08d}"
+            for i, w in enumerate(windows):
+                if i > 0 and (doc_id * 7 + i) % 13 == 0:
+                    continue
+                rows["conv_id"].append(conv)
+                rows["turn_idx"].append(i)
+                stutter = i > 0 and (doc_id + i) % 19 == 0
+                j = i - 1 if stutter else i
+                if (doc_id + j) % 11 == 0:
+                    rows["role"].append("assistant")
+                else:
+                    rows["role"].append("user" if j % 2 == 0 else "assistant")
+                rows["text"].append(windows[i - 1] if stutter else w)
+                rows["tool"].append(_TOOLS[(doc_id * 31 + i) % 5])
+                ts = _EPOCH_US + doc_id * 90_000_000 + i * 5_000_000
+                if (doc_id + i) % 17 == 0:
+                    ts -= 9_000_000
+                rows["ts"].append(ts)
+        return pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+                "role": pa.array(rows["role"], pa.string()),
+                "text": pa.array(rows["text"], pa.large_string()),
+                "tool": pa.array(rows["tool"], pa.string()),
+                "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            },
+            schema=TURNS_SCHEMA,
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,116 @@
+"""Transcript hygiene operators (stages/transcript_ops.py): hand-computed
+truths on a tiny fixture, planted-noise liveness on the derived sf0.001
+corpus, and prefix/idempotency invariants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from epstein_pipeline_ray.sources.derive import noisy_turns_from_documents
+from epstein_pipeline_ray.stages.transcript_ops import (
+    collapse_repeat_turns,
+    conv_health,
+    tool_transitions,
+    truncate_to_token_budget,
+    with_token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fixture() -> pa.Table:
+    # conv A: role repeat at t2, ts regression at t3, idx gap 3->5,
+    #         stutter (role+text repeat) at t5, tools on t0/t2/t5
+    # conv B: clean two-turn exchange, one tool
+    rows = [
+        ("A", 0, "user", "hello there", "search", 100),
+        ("A", 1, "assistant", "hi", "", 200),
+        ("A", 2, "assistant", "extra", "code", 300),   # role repeat
+        ("A", 3, "user", "go on", "", 250),            # ts regression
+        ("A", 5, "assistant", "sure thing", "", 400),  # idx gap
+        ("A", 6, "assistant", "sure thing", "code", 500),  # stutter
+        ("B", 0, "user", "one two three", "browse", 100),
+        ("B", 1, "assistant", "four", "", 200),
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.large_string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+def test_conv_health_hand_truth(ray_session):
+    out = conv_health(rd.from_arrow(_fixture())).to_pandas()
+    out = out.set_index("conv_id").sort_index()
+    a = out.loc["A"]
+    assert a.n_turns == 6
+    assert a.n_role_repeats == 2      # t2 after t1, t6 after t5
+    assert a.n_ts_regressions == 1    # t3
+    assert a.n_idx_gaps == 1          # 3->5; 5->6 is +1
+    assert a.n_tool_turns == 3
+    b = out.loc["B"]
+    assert (b.n_turns, b.n_role_repeats, b.n_ts_regressions,
+            b.n_idx_gaps, b.n_tool_turns) == (2, 0, 0, 0, 1)
+
+
+def test_collapse_hand_truth_and_idempotent(ray_session):
+    ds = rd.from_arrow(_fixture())
+    once = collapse_repeat_turns(ds).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    # only the stutter (A, t6) goes; the non-adjacent 'sure thing' stays
+    assert len(once) == 7
+    assert (once.conv_id + ":" + once.turn_idx.astype(str)).tolist() == [
+        "A:0", "A:1", "A:2", "A:3", "A:5", "B:0", "B:1"]
+    twice = collapse_repeat_turns(rd.from_arrow(pa.Table.from_pandas(
+        once, preserve_index=False))).to_pandas()
+    assert len(twice) == len(once)
+
+
+def test_token_budget_prefix_rule(ray_session):
+    ds = rd.from_arrow(_fixture())
+    kept = truncate_to_token_budget(ds, budget=4, key="conv_id").to_pandas()
+    kept = kept.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # A: 2 + 1 + 1 = 4 <= 4, next (t3: 2) would exceed -> 3 turns kept
+    # B: 3 + 1 = 4 -> both kept
+    assert kept.groupby("conv_id").size().to_dict() == {"A": 3, "B": 2}
+    # kept set is a PREFIX: max kept turn_idx has no dropped turn below it
+    assert kept[kept.conv_id == "A"].turn_idx.tolist() == [0, 1, 2]
+    assert kept[kept.conv_id == "A"].cum_tokens.tolist() == [2.0, 3.0, 4.0]
+
+
+def test_with_token_counts_empty_text(ray_session):
+    t = pa.table({"text": pa.array(["", "a", "a b"], pa.large_string())})
+    out = with_token_counts(rd.from_arrow(t)).to_pandas()
+    assert out.n_tokens.tolist() == [0, 1, 2]
+
+
+def test_tool_transitions_hand_truth(ray_session):
+    out = tool_transitions(rd.from_arrow(_fixture())).to_pandas()
+    got = {(r.tool_from, r.tool_to): r.n for r in out.itertuples()}
+    # A tools in order: search(t0) -> code(t2) -> code(t6); B: browse only
+    assert got == {("search", "code"): 1, ("code", "code"): 1}
+
+
+def test_planted_noise_is_live_at_sf(ray_session):
+    """The derived corpus actually exercises every rule: each health
+    counter is positive somewhere, the collapse drops rows, and the
+    budget truncates rows."""
+    turns = noisy_turns_from_documents(SF).materialize()
+    n_raw = turns.count()
+    health = conv_health(turns).to_pandas()
+    for c in ["n_role_repeats", "n_ts_regressions", "n_idx_gaps",
+              "n_tool_turns"]:
+        assert health[c].sum() > 0, c
+    n_collapsed = collapse_repeat_turns(turns).count()
+    assert 0 < n_collapsed < n_raw
+    n_kept = truncate_to_token_budget(turns, budget=40).count()
+    assert 0 < n_kept < n_raw
+    trans = tool_transitions(turns).to_pandas()
+    assert trans.n.sum() > 0
+    assert set(trans.tool_from) <= {"search", "code", "browse"}
