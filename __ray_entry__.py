@@ -1476,6 +1476,23 @@ def q_tool_transitions(sf_dir: str):
     return tool_transitions(_noisy_turns(sf_dir))
 
 
+def q_substring_pairs(sf_dir: str):
+    """Exact substring-level dedup (Lee et al. ACL'22 EXACTSUBSTR): all
+    doc pairs sharing a verbatim >= 60-char normalized substring —
+    winnowing candidates at the guarantee window (full recall) +
+    suffix-automaton confirm (full precision), over docs with planted
+    per-group shared spans (sources/derive.spanned_docs_from_documents).
+    The DuckDB twin enumerates every 60-char window and self-joins
+    (LCS >= 60 iff a shared 60-char window exists), so the oracle also
+    covers the corpus's own natural duplicate docs."""
+    from epstein_pipeline_ray.sources.derive import spanned_docs_from_documents
+    from epstein_pipeline_ray.stages.substring_dedup import exact_substring_pairs
+
+    docs = spanned_docs_from_documents(sf_dir)
+    pairs = exact_substring_pairs(docs, min_len=60, k=8)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
 def q_value_distinct_kmv_exact(sf_dir: str):
     """The KMV sketch in its exact regime: k = 10^6 exceeds every
     group's distinct-value count at test scale, so no sketch ever fills
@@ -1538,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distinct_kmv": q_value_distinct_kmv,
         "value_distinct_kmv_exact": q_value_distinct_kmv_exact,
         "value_distinct_hll": q_value_distinct_hll,
+        "substring_pairs": q_substring_pairs,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2125,6 +2143,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
             FROM events GROUP BY event_type
+        """,
+        # exact substring dedup: rebuild the planted-span derivation, then
+        # "pairs with LCS >= 60" == "pairs sharing some 60-char window" —
+        # enumerate every normalized 60-char window and self-join. Covers
+        # planted spans AND the corpus's natural duplicates.
+        "substring_pairs": f"""
+            WITH sd AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text ||
+                         CASE WHEN doc_id % 7 = 2
+                              THEN ' ' || printf(
+                                  'seg%dw0 seg%dw1 seg%dw2 seg%dw3 seg%dw4'
+                                  || ' seg%dw5 seg%dw6 seg%dw7 seg%dw8 seg%dw9',
+                                  {", ".join(["doc_id // 70"] * 10)})
+                              ELSE '' END),
+                         '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            w AS (SELECT DISTINCT doc_id, substr(t, i, 60) AS win
+                  FROM sd,
+                       LATERAL unnest(generate_series(1, length(t) - 59))
+                           AS u(i)
+                  WHERE length(t) >= 60)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
         """,
         "top_events_per_user": """
             SELECT event_id, user_id, value

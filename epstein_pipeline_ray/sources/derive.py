@@ -144,3 +144,36 @@ def noisy_turns_from_documents(sf_dir: str) -> Dataset:
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def spanned_docs_from_documents(sf_dir: str) -> Dataset:
+    """documents.parquet → the same docs with PLANTED verbatim shared
+    spans for the exact-substring dedup operator
+    (stages/substring_dedup.py): every doc with doc_id % 7 == 2 gets
+    ``' seg{g}w0 seg{g}w1 … seg{g}w9'`` appended, g = doc_id // 70, so
+    all planted docs of one g-group share that >= 69-char span verbatim
+    and docs of different groups share nothing long (the group tag is
+    interleaved into every word — cross-group common substrings stay
+    within-word fragments). Pure integer arithmetic on doc_id → the
+    true pair set is SQL-expressible (same-group planted pairs) and the
+    substring_pairs query gets a full DuckDB oracle.
+    """
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for doc_id, text in zip(ids, texts):
+            if doc_id % 7 == 2:
+                g = doc_id // 70
+                span = " ".join(f"seg{g}w{t}" for t in range(10))
+                out.append((text or "") + " " + span)
+            else:
+                out.append(text or "")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(out, pa.string()),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

@@ -820,10 +820,15 @@ def winnow_pairs(
         if batch.num_rows < 2:
             return _WINNOW_PAIR_SCHEMA.empty_table()
         keys = np.asarray(batch["fp"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # the exchange runs with sort_blocks=False (cheaper: no wide-row
+        # sort) so equal fps arrive interleaved across map shards — sort
+        # the two columns we need here, or run detection misses pairs
+        order = np.argsort(keys, kind="stable")
+        keys, ids = keys[order], ids[order]
         I, J = run_candidate_pairs(keys, max_bucket_size, "winnow")
         if I.size == 0:
             return _WINNOW_PAIR_SCHEMA.empty_table()
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
         keep = ids[I] != ids[J]
         if not keep.any():
             return _WINNOW_PAIR_SCHEMA.empty_table()
