@@ -1493,6 +1493,27 @@ def q_substring_pairs(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def q_turn_dedup_global(sf_dir: str):
+    """Corpus-wide turn-level exact dedup, keep-first by (conv_id,
+    turn_idx) — sub-document exact dedup (C4 span / SlimPajama line
+    dedup) at transcript-turn granularity; each keeper reports how many
+    copies it displaced."""
+    from epstein_pipeline_ray.stages.transcript_ops import global_turn_dedup
+
+    out = global_turn_dedup(_noisy_turns(sf_dir))
+    return out.select_columns(["conv_id", "turn_idx", "text", "n_dups"])
+
+
+def q_soft_dedup(sf_dir: str):
+    """Soft deduplication (He et al. ACL'24): weight = 1 / exact-group
+    size over normalized text instead of dropping duplicates; blank
+    docs follow the exact-pass never-group convention."""
+    from epstein_pipeline_ray.stages.exact import soft_dedup_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return soft_dedup_weights(docs)
+
+
 def q_value_distinct_kmv_exact(sf_dir: str):
     """The KMV sketch in its exact regime: k = 10^6 exceeds every
     group's distinct-value count at test scale, so no sketch ever fills
@@ -1556,6 +1577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distinct_kmv_exact": q_value_distinct_kmv_exact,
         "value_distinct_hll": q_value_distinct_hll,
         "substring_pairs": q_substring_pairs,
+        "turn_dedup_global": q_turn_dedup_global,
+        "soft_dedup": q_soft_dedup,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2143,6 +2166,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
             FROM events GROUP BY event_type
+        """,
+        "turn_dedup_global": f"""
+            WITH {_NOISY_TURNS_CTE},
+            r AS (SELECT conv_id, turn_idx, text,
+                         row_number() OVER (PARTITION BY text
+                                            ORDER BY conv_id, turn_idx) AS rk,
+                         count(*) OVER (PARTITION BY text) AS cnt
+                  FROM nturns)
+            SELECT conv_id, turn_idx, text, cnt - 1 AS n_dups
+            FROM r WHERE rk = 1
+        """,
+        "soft_dedup": f"""
+            WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN t = '' THEN 'b' || doc_id::VARCHAR
+                              ELSE 'n' || t END AS grp
+                  FROM n)
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY grp) AS n_copies,
+                   round(CAST(1 AS DOUBLE)
+                         / count(*) OVER (PARTITION BY grp), 6) AS weight
+            FROM g
         """,
         # exact substring dedup: rebuild the planted-span derivation, then
         # "pairs with LCS >= 60" == "pairs sharing some 60-char window" —

@@ -132,3 +132,55 @@ def hash_representatives(docs_hashed: Dataset, num_partitions: int | None = None
         docs_hashed, rep_ids, "conv_id", mode="semi",
         broadcast_rows_limit=broadcast_ids_limit, num_partitions=num_partitions,
     )
+
+
+def soft_dedup_weights(docs: Dataset, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       num_partitions: int | None = None) -> Dataset:
+    """Soft deduplication: instead of DROPPING duplicates, weight every
+    doc by the inverse size of its exact-duplicate group (normalized
+    text), so duplicated content is down-sampled rather than removed —
+    the reweighting alternative to hard dedup (He et al., "SoftDedup",
+    ACL 2024). Composable as a sampling-weight column for training-data
+    assembly.
+
+    Blank-normalized docs follow the engine's exact-pass convention
+    (they never group — ADVICE r1): each keeps n_copies=1, weight=1.0.
+    Plan: content hash map-side → ids-only keyed exchange on the hash →
+    vectorized run sizes per block. Output: (id, n_copies:int64,
+    weight:float64 rounded 6).
+    """
+    import pandas as pd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    hashed = with_content_hash(docs.select_columns([id_col, text_col]),
+                               text_col=text_col)
+    pruned = hashed.select_columns([id_col, "content_hash"])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.table({id_col: block[id_col],
+                             "n_copies": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.float64())})
+        df = df.sort_values(["content_hash"], kind="mergesort").reset_index(drop=True)
+        h = df["content_hash"].to_numpy()
+        first = np.zeros(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = h[1:] != h[:-1]
+        run_id = np.cumsum(first) - 1
+        sizes = np.bincount(run_id)
+        n_copies = sizes[run_id]
+        blank = h == EMPTY_TEXT_HASH
+        n_copies = np.where(blank, 1, n_copies).astype(np.int64)
+        return pa.table({
+            id_col: pa.Array.from_pandas(df[id_col]),
+            "n_copies": pa.array(n_copies, pa.int64()),
+            "weight": pa.array(sql_round(1.0 / n_copies.astype(np.float64), 6),
+                               pa.float64()),
+        })
+
+    return map_key_blocks(pruned, ["content_hash"], per_block, num_partitions,
+                          sort_blocks=False)

@@ -211,3 +211,46 @@ def tool_transitions(ds: Dataset, key: str = "conv_id",
 
     trans = map_key_blocks(tooled, [key], per_block, num_partitions)
     return grouped_stats(trans, ["tool_from", "tool_to"], count_alias="n")
+
+
+def global_turn_dedup(ds: Dataset, key: str = "conv_id",
+                      order_col: str = "turn_idx",
+                      text_col: str = "text",
+                      num_partitions: int | None = None) -> Dataset:
+    """Corpus-wide turn-level exact dedup, keep-first: a turn survives
+    iff no lexicographically earlier (conv_id, turn_idx) carries the
+    same text — sub-document exact dedup (the C4 three-sentence-span /
+    SlimPajama line-dedup idea, Raffel 2020 §2.2) at transcript-turn
+    granularity, catching repeated system prompts, boilerplate tool
+    echoes and template turns across conversations.
+
+    One keyed exchange hash-partitioned on the text value (every copy of
+    a text lands in one partition); per block: sort by (text, conv,
+    order), vectorized first-of-run keep. Adds ``n_dups`` — how many
+    copies were dropped in favor of this keeper. SQL twin: row_number()
+    and count(*) windows over PARTITION BY text.
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = ds.schema().names
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.Table.from_pandas(
+                df.assign(n_dups=pd.Series([], dtype="int64")),
+                preserve_index=False)
+        df = df.sort_values([text_col, key, order_col],
+                            kind="mergesort").reset_index(drop=True)
+        text = df[text_col].to_numpy()
+        first = np.zeros(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = text[1:] != text[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.concatenate([starts, [len(df)]]))
+        out = df.loc[first, cols].reset_index(drop=True)
+        out["n_dups"] = (lens - 1).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return map_key_blocks(ds, [text_col], per_block, num_partitions,
+                          sort_blocks=False)

@@ -114,3 +114,39 @@ def test_planted_noise_is_live_at_sf(ray_session):
     trans = tool_transitions(turns).to_pandas()
     assert trans.n.sum() > 0
     assert set(trans.tool_from) <= {"search", "code", "browse"}
+
+
+def test_global_turn_dedup_keep_first(ray_session):
+    # 'dup text' appears in A(t1), B(t0), B(t3) -> keeper is A:1 (lexico-
+    # graphically first conv), n_dups=2; everything unique keeps n_dups=0
+    rows = [
+        ("A", 0, "u0"), ("A", 1, "dup text"), ("B", 0, "dup text"),
+        ("B", 1, "u1"), ("B", 3, "dup text"), ("C", 0, "u2"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+    })
+    from epstein_pipeline_ray.stages.transcript_ops import global_turn_dedup
+    out = global_turn_dedup(rd.from_arrow(t)).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(out) == 4
+    keep = {(r.conv_id, r.turn_idx): r.n_dups for r in out.itertuples()}
+    assert keep == {("A", 0): 0, ("A", 1): 2, ("B", 1): 0, ("C", 0): 0}
+
+
+def test_soft_dedup_weights(ray_session):
+    import pyarrow as pa
+    from epstein_pipeline_ray.stages.exact import soft_dedup_weights
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        # 1 and 3 normalize equal; 5 and 6 blank -> never group
+        "text": pa.array(["Hello  World", "unique one", "hello world",
+                          "unique two", "", "   "], pa.string()),
+    })
+    out = soft_dedup_weights(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_copies"] == 2 and out.loc[3, "n_copies"] == 2
+    assert out.loc[1, "weight"] == 0.5
+    for d in (2, 4, 5, 6):
+        assert out.loc[d, "n_copies"] == 1 and out.loc[d, "weight"] == 1.0
