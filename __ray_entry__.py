@@ -1489,7 +1489,7 @@ def q_substring_pairs(sf_dir: str):
     from epstein_pipeline_ray.stages.substring_dedup import exact_substring_pairs
 
     docs = spanned_docs_from_documents(sf_dir)
-    pairs = exact_substring_pairs(docs, min_len=60, k=8)
+    pairs = exact_substring_pairs(docs, min_len=60)
     return pairs.select_columns(["id_a", "id_b"])
 
 
@@ -1512,6 +1512,29 @@ def q_soft_dedup(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return soft_dedup_weights(docs)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing bookkeeping (concat-then-chunk at
+    seq_len=512): each doc's packed-sample coordinates via the
+    distributed two-phase prefix sum (stages/packing.py); bucket_width
+    64 forces the multi-bucket path at test scale."""
+    from epstein_pipeline_ray.stages.packing import pack_sequences
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(docs, seq_len=512, bucket_width=64)
+
+
+def q_self_repetition(sf_dir: str):
+    """Looped-generation detector: fraction of repeated 30-char windows
+    per conversation rollup (stutter turns + natural word repetition
+    make it live); exact string windows, so the substr/count-distinct
+    twin is exact."""
+    from epstein_pipeline_ray.sources.turns import rollup_convs
+    from epstein_pipeline_ray.stages.textops import with_self_repetition
+
+    convs = rollup_convs(_noisy_turns(sf_dir))
+    return with_self_repetition(convs, window=30, id_col="conv_id")
 
 
 def q_value_distinct_kmv_exact(sf_dir: str):
@@ -1579,6 +1602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
+        "pack_sequences": q_pack_sequences,
+        "self_repetition": q_self_repetition,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2166,6 +2191,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
             FROM events GROUP BY event_type
+        """,
+        "pack_sequences": """
+            WITH c AS (SELECT doc_id,
+                              (CASE WHEN text = '' THEN 0
+                                    ELSE len(string_split(text, ' ')) END)::BIGINT
+                                  AS n_tokens
+                       FROM documents),
+            s AS (SELECT doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT AS cb
+                  FROM c)
+            SELECT doc_id, n_tokens,
+                   cb // 512 AS sample_idx,
+                   cb % 512 AS sample_offset,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (cb + n_tokens - 1) // 512 - cb // 512 + 1 END
+                       AS n_samples_spanned
+            FROM s
+        """,
+        "self_repetition": f"""
+            WITH {_NOISY_TURNS_CTE},
+            conv AS (SELECT conv_id,
+                            string_agg(text, chr(10) ORDER BY turn_idx) AS t
+                     FROM nturns GROUP BY conv_id),
+            w AS (SELECT conv_id, substr(t, i, 30) AS win
+                  FROM conv,
+                       LATERAL unnest(generate_series(1, length(t) - 29))
+                           AS u(i)
+                  WHERE length(t) >= 30)
+            SELECT conv_id,
+                   round(1 - (count(DISTINCT win))::DOUBLE / count(*), 6)
+                       AS rep_ratio
+            FROM w GROUP BY conv_id
         """,
         "turn_dedup_global": f"""
             WITH {_NOISY_TURNS_CTE},

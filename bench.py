@@ -129,6 +129,10 @@ def run_bench() -> dict:
         "person_audit",
         "decontaminate",
         "c4_filter",
+        "substring_pairs",
+        "turn_dedup_global",
+        "self_repetition",
+        "pack_sequences",
     ):
         q = entrymod.queries()[name]
         best = None

@@ -309,3 +309,43 @@ def scrub_pii(docs: Dataset, text_col: str = "text",
         return batch.append_column(count_col, pa.array(total, pa.int64()))
 
     return docs.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_self_repetition(docs: Dataset, window: int = 30,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> Dataset:
+    """Looped-generation / self-repetition signal: per doc, the fraction
+    of its ``window``-char sliding windows that are repeats of an
+    earlier window in the SAME doc — rep_ratio = 1 - distinct/total
+    (the character-window analog of Gopher's duplicate-line fraction,
+    Rae 2021 §A1.1; on conversation rollups it flags transcripts whose
+    model looped or re-emitted tool output). Docs shorter than
+    ``window`` are dropped (no windows to judge). Embarrassingly
+    parallel map_batches — no exchange; exact string windows so the
+    DuckDB substr/count-distinct twin is an exact oracle.
+
+    Output: (id, rep_ratio:float64 rounded 6).
+    """
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        texts = batch[text_col].to_pylist()
+        keep_idx: list[int] = []
+        ratios: list[float] = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_win = len(t) - window + 1
+            if n_win < 1:
+                continue
+            distinct = len({t[j:j + window] for j in range(n_win)})
+            keep_idx.append(i)
+            ratios.append(1.0 - distinct / n_win)
+        return pa.table({
+            id_col: ids.take(pa.array(keep_idx, pa.int64())),
+            "rep_ratio": pa.array(sql_round(np.asarray(ratios, np.float64), 6),
+                                  pa.float64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,61 @@
+"""Sequence packing (stages/packing.py): hand truths, bucket-width
+invariance, straddle accounting; self-repetition signal truths."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from epstein_pipeline_ray.stages.packing import pack_sequences
+from epstein_pipeline_ray.stages.textops import with_self_repetition
+
+
+def _docs(tokens_per_doc: list[int]) -> "rd.Dataset":
+    texts = [" ".join(["w"] * n) if n else "" for n in tokens_per_doc]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_pack_hand_truth(ray_session):
+    # tokens: 3, 4, 0, 6 with seq_len 5
+    # cum_before: 0, 3, 7, 7
+    out = pack_sequences(_docs([3, 4, 0, 6]), seq_len=5,
+                         bucket_width=2).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert out.n_tokens.tolist() == [3, 4, 0, 6]
+    assert out.sample_idx.tolist() == [0, 0, 1, 1]
+    assert out.sample_offset.tolist() == [0, 3, 2, 2]
+    # doc1 spans tokens 3..6 -> samples 0 and 1; doc3 spans 7..12 -> 1,2
+    assert out.n_samples_spanned.tolist() == [1, 2, 0, 2]
+
+
+def test_pack_bucket_width_invariance(ray_session):
+    rng = np.random.default_rng(7)
+    toks = rng.integers(0, 40, size=300).tolist()
+    a = pack_sequences(_docs(toks), seq_len=128,
+                       bucket_width=7).to_pandas().sort_values("doc_id")
+    b = pack_sequences(_docs(toks), seq_len=128,
+                       bucket_width=100_000).to_pandas().sort_values("doc_id")
+    for c in ["n_tokens", "sample_idx", "sample_offset", "n_samples_spanned"]:
+        assert a[c].tolist() == b[c].tolist(), c
+    # total token conservation: last doc's end == sum of tokens
+    last = a.iloc[-1]
+    assert (last.sample_idx * 128 + last.sample_offset + last.n_tokens
+            == sum(toks))
+
+
+def test_self_repetition_truths(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "a" * 40,              # all 30-windows identical -> 1 - 1/11
+            "short",               # < 30 chars -> dropped
+            "abcdefghijklmnopqrstuvwxyz0123",  # 30 chars, 1 window, distinct
+        ], pa.string()),
+    })
+    out = with_self_repetition(rd.from_arrow(t), window=30).to_pandas()
+    out = out.set_index("doc_id")
+    assert 1 not in out.index
+    assert abs(out.loc[0, "rep_ratio"] - round(1 - 1 / 11, 6)) < 1e-12
+    assert out.loc[2, "rep_ratio"] == 0.0

@@ -56,7 +56,7 @@ def test_planted_block_found_with_exact_offsets(ray_session):
         "unrelated filler text with nothing shared at all beyond words",
         "more unrelated padding that goes on for quite a while longer",
     ]
-    out = exact_substring_pairs(_docs(texts), min_len=60, k=8).to_pandas()
+    out = exact_substring_pairs(_docs(texts), min_len=60).to_pandas()
     assert len(out) == 1
     r = out.iloc[0]
     assert (r.id_a, r.id_b) == (0, 1)
@@ -69,7 +69,7 @@ def test_planted_block_found_with_exact_offsets(ray_session):
 def test_clean_corpus_no_pairs(ray_session):
     texts = [f"document number {i} talks about subject {i * 7} only" * 3
              for i in range(12)]
-    out = exact_substring_pairs(_docs(texts), min_len=60, k=8)
+    out = exact_substring_pairs(_docs(texts), min_len=60)
     assert out.count() == 0
 
 
@@ -79,7 +79,7 @@ def test_confirm_raw_offsets_index_raw_text(ray_session):
     raw_block = BLOCK.upper()
     texts = ["PREFIX ONE " + raw_block + " SUFFIX",
              "OTHER START " + raw_block + " TRAILING BIT"]
-    out = exact_substring_pairs(_docs(texts), min_len=60, k=8,
+    out = exact_substring_pairs(_docs(texts), min_len=60,
                                 confirm_raw=True).to_pandas()
     assert len(out) == 1
     r = out.iloc[0]
@@ -96,7 +96,7 @@ def test_remove_duplicate_spans_keep_first(ray_session):
         "innocent bystander document with its own unique content here ok",
     ]
     docs = _docs(texts)
-    pairs = exact_substring_pairs(docs, min_len=60, k=8, confirm_raw=True)
+    pairs = exact_substring_pairs(docs, min_len=60, confirm_raw=True)
     cleaned = remove_duplicate_spans(docs, pairs).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     # doc 0 (lowest id of every pair) keeps the canonical copy
@@ -109,7 +109,7 @@ def test_remove_duplicate_spans_keep_first(ray_session):
     assert cleaned.loc[3, "text"] == texts[3]
     # after removal no >=60-char shared substring remains
     again = exact_substring_pairs(
-        _docs(cleaned["text"].tolist()), min_len=60, k=8, confirm_raw=True)
+        _docs(cleaned["text"].tolist()), min_len=60, confirm_raw=True)
     assert again.count() == 0
 
 
