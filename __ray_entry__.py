@@ -1514,6 +1514,28 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_user_trailing_window(sf_dir: str):
+    """RANGE-frame sliding window: per event, the count/sum of the same
+    user's events in the trailing hour (peer rows at the boundary ts
+    included — the SQL RANGE convention); vectorized two-pointer via one
+    collision-free encoded searchsorted per block."""
+    from epstein_pipeline_ray.stages.relational import with_trailing_window_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return with_trailing_window_agg(ev, "user_id", "ts", "value",
+                                    3_600_000_000)
+
+
+def q_assign_split(sf_dir: str):
+    """Deterministic leakage-free train/val/test split on the group key
+    (LCG bucket arithmetic, overflow-free at 10^12-scale ids) — every
+    turn of a conversation lands on one side."""
+    from epstein_pipeline_ray.stages.relational import assign_split
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return assign_split(docs)
+
+
 def q_pack_sequences(sf_dir: str):
     """Training-sequence packing bookkeeping (concat-then-chunk at
     seq_len=512): each doc's packed-sample coordinates via the
@@ -1604,6 +1626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup": q_soft_dedup,
         "pack_sequences": q_pack_sequences,
         "self_repetition": q_self_repetition,
+        "assign_split": q_assign_split,
+        "user_trailing_window": q_user_trailing_window,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2191,6 +2215,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
             FROM events GROUP BY event_type
+        """,
+        "user_trailing_window": """
+            SELECT event_id, user_id, ts, value,
+                   count(*) OVER w AS w_count,
+                   round(sum(value) OVER w, 6) AS w_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
+        """,
+        "assign_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 5 THEN 'val'
+                        WHEN b < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id % 2147483648) * 1103515245 + 12345)
+                             % 2147483648 % 100 AS b
+                  FROM documents)
         """,
         "pack_sequences": """
             WITH c AS (SELECT doc_id,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -181,6 +182,52 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_hygiene(args) -> int:
+    """Transcript hygiene sweep over a turn Parquet: well-formedness
+    report, optional stutter collapse + token-budget truncation
+    (stages/transcript_ops.py)."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.transcript_ops import (
+        collapse_repeat_turns,
+        conv_health,
+        truncate_to_token_budget,
+    )
+
+    turns = rd.read_parquet(args.input)
+    health = conv_health(turns)
+    health.write_parquet(os.path.join(args.output, "health"))
+    summary = {"convs": health.count()}
+    if args.collapse:
+        turns = collapse_repeat_turns(turns)
+        summary["turns_after_collapse"] = turns.count()
+        turns.write_parquet(os.path.join(args.output, "turns"))
+    if args.token_budget:
+        kept = truncate_to_token_budget(turns, budget=args.token_budget)
+        summary["turns_within_budget"] = kept.count()
+        kept.write_parquet(os.path.join(args.output, "budgeted"))
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Training-sequence packing coordinates (stages/packing.py)."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.packing import pack_sequences
+
+    docs = rd.read_parquet(args.input)
+    out = pack_sequences(docs, seq_len=args.seq_len, id_col=args.id_col,
+                         text_col=args.text_col)
+    out.write_parquet(args.output)
+    total_tokens = int(out.sum("n_tokens") or 0)
+    n_samples = (total_tokens + args.seq_len - 1) // args.seq_len
+    print(json.dumps({"docs": out.count(), "samples": n_samples}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     _ray_up()
     import ray.data as rd
@@ -281,6 +328,23 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--bench", default=None,
                     help="benchmark Parquet (text) for decontamination")
     pp.set_defaults(fn=cmd_prep)
+
+    h = sub.add_parser("hygiene",
+                       help="transcript hygiene: health report, stutter "
+                            "collapse, token-budget truncation")
+    h.add_argument("--input", required=True)
+    h.add_argument("--output", required=True)
+    h.add_argument("--collapse", action="store_true")
+    h.add_argument("--token-budget", type=int, default=0)
+    h.set_defaults(fn=cmd_hygiene)
+
+    pk = sub.add_parser("pack", help="training-sequence packing coordinates")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--text-col", default="text")
+    pk.set_defaults(fn=cmd_pack)
 
     v = sub.add_parser("validate", help="corpus integrity report")
     v.add_argument("--input", required=True)

@@ -799,3 +799,100 @@ def grouped_quantile(ds: Dataset, key: str, value_col: str, q: float,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return map_key_blocks(pruned, [key], per_block, num_partitions)
+
+
+def assign_split(ds: Dataset, id_col: str = "doc_id",
+                 val_pct: int = 5, test_pct: int = 5,
+                 out_col: str = "split") -> Dataset:
+    """Deterministic leakage-free train/val/test assignment by integer
+    key: bucket = ((id % 2^31) * 1103515245 + 12345) % 2^31 % 100 (LCG
+    mixing, pure int64 arithmetic — overflow-free in both numpy and a
+    SQL BIGINT, unlike a 2654435761 multiply at 10^12-scale ids), then
+    val for bucket < val_pct, test for the next test_pct, train
+    otherwise. Splitting on the GROUP key (conv/doc id, not row id)
+    keeps every turn of a conversation on one side — the leakage rule a
+    transcript pipeline needs. Embarrassingly parallel map_batches; the
+    mixing step decorrelates the split from id order so range-partitioned
+    corpora don't put one shard entirely in val.
+
+    String keys need a pre-hash to int (not SQL-mirrorable here); the
+    driver query runs on integer doc ids.
+    """
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        h = ((ids % 2147483648) * 1103515245 + 12345) % 2147483648
+        b = h % 100
+        split = np.where(b < val_pct, "val",
+                         np.where(b < val_pct + test_pct, "test",
+                                  "train")).astype(object)
+        return batch.append_column(out_col, pa.array(split, pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_trailing_window_agg(ds: Dataset, key: str, ts_col: str,
+                             value_col: str, window_us: int,
+                             num_partitions: int | None = None) -> Dataset:
+    """RANGE-frame sliding window: for every event, the count and sum of
+    the same entity's events in the trailing ``window_us`` microseconds
+    (inclusive of the current row and of ties at the boundary) — the
+    rate-limit / burst-detection window the ROWS-frame family
+    (with_running_sum, with_prev_delta) cannot express. One keyed
+    exchange + a vectorized two-pointer per key-sorted block: the left
+    edge per row is a searchsorted over the same block (O(n log n),
+    no per-row Python). SQL twin:
+    ``count(*)/sum(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW)``.
+
+    Output: input columns + w_count:int64 + w_sum:float64 (rounded 6).
+    Rows tied on ts within a key get identical frame results, matching
+    the SQL RANGE peer-row convention.
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = ds.schema().names
+
+    def per_block(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.Table.from_pandas(
+                df.assign(w_count=pd.Series([], dtype="int64"),
+                          w_sum=pd.Series([], dtype="float64")),
+                preserve_index=False)
+        df = df.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        keys = df[key].to_numpy()
+        ts = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        val = df[value_col].to_numpy(np.float64)
+        new = np.concatenate([[True], keys[1:] != keys[:-1]])
+        gstart = np.flatnonzero(new)
+        gid = np.cumsum(new) - 1
+        csum = np.concatenate([[0.0], np.cumsum(val)])
+        n = len(df)
+        # RANGE frame: identical ts rows are peers — every row's frame
+        # ends at the LAST row of its ts run and starts at the first row
+        # with ts >= ts - window (within the key group). Vectorized as ONE
+        # searchsorted over a collision-free (group, ts-offset) encoding;
+        # if the encoding cannot fit int64 (huge ts span x many groups),
+        # fall back to a per-group loop.
+        rel = ts - ts.min()
+        k_enc = int(rel.max()) + window_us + 2
+        n_groups = int(gid[-1]) + 1
+        if k_enc > 0 and n_groups < (2**62) // k_enc:
+            enc = gid * k_enc + rel
+            left = np.searchsorted(enc, enc - window_us, side="left")
+            right = np.searchsorted(enc, enc, side="right")
+        else:
+            left = np.empty(n, dtype=np.int64)
+            right = np.empty(n, dtype=np.int64)
+            for s, e in zip(gstart, np.concatenate([gstart[1:], [n]])):
+                seg = ts[s:e]
+                left[s:e] = s + np.searchsorted(seg, seg - window_us, "left")
+                right[s:e] = s + np.searchsorted(seg, seg, side="right")
+        df["w_count"] = (right - left).astype(np.int64)
+        df["w_sum"] = sql_round(csum[right] - csum[left], 6)
+        return pa.Table.from_pandas(df[cols + ["w_count", "w_sum"]],
+                                    preserve_index=False)
+
+    return map_key_blocks(ds, [key], per_block, num_partitions)

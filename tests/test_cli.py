@@ -141,3 +141,42 @@ def test_cli_audit_persons_and_prep(tmp_path):
     assert res["chunks"] >= 1
     got = pq.read_table(pout).to_pydict()
     assert set(got["doc_id"]) == {1}  # lorem page dropped by the C4 stage
+
+
+def test_cli_hygiene_and_pack(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "conv_id": pa.array(["a"] * 4 + ["b"] * 2, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+        "role": ["user", "assistant", "assistant", "assistant", "user",
+                 "assistant"],
+        "text": ["w1 w2 w3", "reply here", "reply here", "more text",
+                 "hello there", "general kenobi"],
+        "tool": ["", "code", "code", "", "", "search"],
+        "ts": pa.array([0, 1, 2, 3, 0, 1], pa.timestamp("us")),
+    })
+    src = str(tmp_path / "turns.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "hyg")
+    r = _run(["hygiene", "--input", src, "--output", out, "--collapse",
+              "--token-budget", "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["convs"] == 2
+    # (a,2) is a (role,text) stutter of (a,1) -> collapsed
+    assert summary["turns_after_collapse"] == 5
+    assert 0 < summary["turns_within_budget"] < 5
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b c", "d e", "f g h i"], pa.string()),
+    })
+    dsrc = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dsrc)
+    pout = str(tmp_path / "pack")
+    r = _run(["pack", "--input", dsrc, "--output", pout, "--seq-len", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    # 9 tokens at seq_len 4 -> samples 0..2
+    assert stats == {"docs": 3, "samples": 3}

@@ -59,3 +59,38 @@ def test_self_repetition_truths(ray_session):
     assert 1 not in out.index
     assert abs(out.loc[0, "rep_ratio"] - round(1 - 1 / 11, 6)) < 1e-12
     assert out.loc[2, "rep_ratio"] == 0.0
+
+
+def test_assign_split_deterministic_and_balanced(ray_session):
+    from epstein_pipeline_ray.stages.relational import assign_split
+    ids = pa.table({"doc_id": pa.array(range(20000), pa.int64())})
+    out = assign_split(rd.from_arrow(ids)).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.03 < frac.get("val", 0) < 0.07
+    assert 0.03 < frac.get("test", 0) < 0.07
+    assert frac.get("train", 0) > 0.85
+    # deterministic: same assignment on a re-run
+    again = assign_split(rd.from_arrow(ids)).to_pandas()
+    assert (out.sort_values("doc_id")["split"].to_numpy()
+            == again.sort_values("doc_id")["split"].to_numpy()).all()
+    # not id-range correlated: first 1000 ids are not all one split
+    head = set(out[out.doc_id < 1000]["split"])
+    assert head == {"train", "val", "test"}
+
+
+def test_trailing_window_hand_truth_and_fallback(ray_session):
+    from epstein_pipeline_ray.stages.relational import with_trailing_window_agg
+    # user A at t=0,50,100,170 with window 100: frames (inclusive left)
+    #   t0:[0] t50:[0,50] t100:[0,50,100] t170:[100,170]
+    # tie pair for user B at t=10,10 -> peers share the frame
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "user_id": pa.array(["A", "A", "A", "A", "B", "B"], pa.string()),
+        "ts": pa.array([0, 50, 100, 170, 10, 10], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0], pa.float64()),
+    })
+    out = with_trailing_window_agg(
+        rd.from_arrow(t), "user_id", "ts", "value", 100).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert out.w_count.tolist() == [1, 2, 3, 2, 2, 2]
+    assert out.w_sum.tolist() == [1.0, 3.0, 7.0, 12.0, 48.0, 48.0]
