@@ -1514,6 +1514,17 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_lm_nll(sf_dir: str):
+    """CCNet-style perplexity filter (Wenzek 2020): per-doc mean negative
+    log-likelihood under the corpus's own add-one bigram model — model
+    trained AND applied as exchange joins (stages/lm_score.py), never a
+    driver dict."""
+    from epstein_pipeline_ray.stages.lm_score import ngram_lm_nll
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_lm_nll(docs)
+
+
 def q_user_trailing_window(sf_dir: str):
     """RANGE-frame sliding window: per event, the count/sum of the same
     user's events in the trailing hour (peer rows at the boundary ts
@@ -1628,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "self_repetition": q_self_repetition,
         "assign_split": q_assign_split,
         "user_trailing_window": q_user_trailing_window,
+        "lm_nll": q_lm_nll,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2215,6 +2227,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
             FROM events GROUP BY event_type
+        """,
+        "lm_nll": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+            uni AS (SELECT w, count(*) AS c
+                    FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+            v AS (SELECT count(*) AS v FROM uni),
+            big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                    FROM toks,
+                         LATERAL unnest(generate_series(1, len(ws) - 1))
+                             AS u(i)),
+            bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+            j AS (SELECT big.doc_id,
+                         ln((bc.c2 + 1)::DOUBLE / (uni.c + v.v)::DOUBLE)
+                             AS lp
+                  FROM big JOIN bc USING (w1, w2)
+                           JOIN uni ON big.w1 = uni.w
+                           CROSS JOIN v)
+            SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 6) AS nll
+            FROM j GROUP BY doc_id
         """,
         "user_trailing_window": """
             SELECT event_id, user_id, ts, value,

@@ -94,3 +94,27 @@ def test_trailing_window_hand_truth_and_fallback(ray_session):
     out = out.sort_values("event_id").reset_index(drop=True)
     assert out.w_count.tolist() == [1, 2, 3, 2, 2, 2]
     assert out.w_sum.tolist() == [1.0, 3.0, 7.0, 12.0, 48.0, 48.0]
+
+
+def test_lm_nll_hand_truth_and_plan_equality(ray_session):
+    import math
+    from epstein_pipeline_ray.stages.lm_score import ngram_lm_nll
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b", "a b", "z"], pa.string()),
+    })
+    out = ngram_lm_nll(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    # corpus tokens: a,b,a,b,a,b,z -> V=3; c(a)=3, c(b)=3
+    # bigrams: (a,b)x3, (b,a)x1
+    # P(b|a)=(3+1)/(3+3)=2/3 ; P(a|b)=(1+1)/(3+3)=1/3
+    lp_ab, lp_ba = math.log(2/3), math.log(1/3)
+    want0 = -(2 * lp_ab + lp_ba) / 3
+    want1 = -lp_ab
+    assert abs(out.loc[0, "nll"] - round(want0, 6)) < 1e-9
+    assert abs(out.loc[1, "nll"] - round(want1, 6)) < 1e-9
+    assert 2 not in out.index  # single-token doc: no bigrams
+    assert out.loc[0, "n_bigrams"] == 3
+    # forced-limit-0: exchange-join plan must equal the broadcast plan
+    alt = ngram_lm_nll(rd.from_arrow(t), broadcast_rows_limit=0).to_pandas()
+    alt = alt.set_index("doc_id")
+    assert alt.sort_index().equals(out.sort_index())
