@@ -1514,6 +1514,49 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance resampling weights (Xie 2023): mean bigram
+    log-ratio of a target-domain model (docs with doc_id % 3 == 0) vs
+    the raw-corpus model; both models trained and applied as
+    size-switched exchange joins."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.lm_score import dsir_log_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def target(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        mod3 = pc.subtract(ids, pc.multiply(
+            pc.divide(ids, pa.scalar(3, pa.int64())), pa.scalar(3, pa.int64())))
+        return batch.filter(pc.equal(mod3, pa.scalar(0, pa.int64())))
+
+    tgt = docs.map_batches(target, batch_format="pyarrow", zero_copy_batch=True)
+    return dsir_log_ratio(docs, tgt)
+
+
+def q_quality_logit(sf_dir: str):
+    """Classifier-style quality scoring: fixed logistic layer over the
+    rounded Gopher signals (QUALITY_LOGIT_WEIGHTS — the SQL twin is
+    generated from the same dict, so weights cannot drift)."""
+    from epstein_pipeline_ray.stages.textops import with_quality_logit
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_quality_logit(docs).select_columns(["doc_id", "quality_score"])
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Embedding-clustering assignment step: every vector to its
+    max-cosine centroid (first 8 vectors as centroids, ties -> smaller
+    centroid id) — one broadcast + matmul/argmax per batch."""
+    from epstein_pipeline_ray.stages.embed import kmeans_assign
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = vecs.filter(lambda r: r["vec_id"] < 8).to_pandas().sort_values("vec_id")
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return kmeans_assign(vecs, cents, qdf["vec_id"].tolist())
+
+
 def q_lm_nll(sf_dir: str):
     """CCNet-style perplexity filter (Wenzek 2020): per-doc mean negative
     log-likelihood under the corpus's own add-one bigram model — model
@@ -1640,6 +1683,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assign_split": q_assign_split,
         "user_trailing_window": q_user_trailing_window,
         "lm_nll": q_lm_nll,
+        "kmeans_assign": q_kmeans_assign,
+        "quality_logit": q_quality_logit,
+        "dsir_weights": q_dsir_weights,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -1735,6 +1781,92 @@ _NOISY_TURNS_CTE = """nw AS (
                         - CASE WHEN (doc_id + i) % 17 = 0
                                THEN 9000000 ELSE 0 END)::BIGINT AS ts_off
                 FROM nkeep)"""
+
+
+_GOPHER_SIGNALS_SQL = r"""
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS trimmed,
+                       CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(
+                                 regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+'))
+                       END::BIGINT AS n_words,
+                       str_split(coalesce(text, ''), chr(10)) AS lines,
+                       regexp_split_to_array(
+                            regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_words,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+                        length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
+                        / n_words, 6) END AS mean_word_len,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE round((
+                          (length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) / 3
+                        + (length(text) - length(replace(text, '…', '')))
+                       )::DOUBLE / n_words, 6) END AS symbol_word_ratio,
+                   round(len(list_filter(lines, x -> regexp_matches(
+                        ltrim(x, ' ' || chr(9) || chr(13)), '^[-*•]')))::DOUBLE
+                        / len(lines), 6) AS bullet_ratio,
+                   round(len(list_filter(lines, x -> regexp_matches(
+                        rtrim(x, ' ' || chr(9) || chr(13)), '(\.\.\.|…)$')))::DOUBLE
+                        / len(lines), 6) AS ellipsis_line_ratio,
+                   round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+                        AS dup_line_frac,
+                   CASE WHEN n_words < 2 THEN 0.0 ELSE round(
+                        1.0 - len(list_distinct(list_transform(
+                              generate_series(1, n_words - 1),
+                              i -> toks[i] || chr(31) || toks[i + 1])))::DOUBLE
+                        / (n_words - 1), 6) END AS dup_2gram_frac,
+                   CASE WHEN n_words = 0 THEN 0.0 ELSE round(
+                        len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+                        / n_words, 6) END AS frac_alpha_words,
+                   (  CASE WHEN regexp_matches(lower(text), '(^|\s)the(\s|$)')  THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)be(\s|$)')   THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)to(\s|$)')   THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)of(\s|$)')   THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)and(\s|$)')  THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)that(\s|$)') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)have(\s|$)') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '(^|\s)with(\s|$)') THEN 1 ELSE 0 END
+                   )::BIGINT AS stop_word_hits
+                FROM t
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_ratio, ellipsis_line_ratio, dup_line_frac,
+                   dup_2gram_frac, frac_alpha_words, stop_word_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_ratio <= 0.9
+                    AND ellipsis_line_ratio <= 0.3
+                    AND frac_alpha_words >= 0.8
+                    AND stop_word_hits >= 2) AS gopher_pass
+            FROM s
+"""
+
+
+def _quality_logit_sql() -> str:
+    """SQL twin of with_quality_logit, generated from the SAME weight
+    dict the engine uses (textops.QUALITY_LOGIT_WEIGHTS)."""
+    from epstein_pipeline_ray.stages.textops import QUALITY_LOGIT_WEIGHTS as W
+
+    logit = (
+        f"{W['frac_alpha_words']!r} * frac_alpha_words"
+        f" + {W['stop_word_hits']!r} * stop_word_hits"
+        f" + {W['symbol_word_ratio']!r} * symbol_word_ratio"
+        f" + {W['dup_line_frac']!r} * dup_line_frac"
+        f" + {W['dup_2gram_frac']!r} * dup_2gram_frac"
+        f" + {W['n_words_capped_milli']!r} / 1000.0"
+        f"   * least(n_words, 1000)::DOUBLE"
+        f" + {W['bias']!r}"
+    )
+    return f"""
+        WITH g AS ({_GOPHER_SIGNALS_SQL})
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({logit}))), 6) AS quality_score
+        FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1945,67 +2077,8 @@ def oracle_sql() -> dict[str, str]:
         # RE2-ASCII on both sides; line trim set is ' \t\r' on both sides;
         # '...' counting is non-overlapping via the replace trick (matches
         # pc.count_substring). gopher_pass evaluates the ROUNDED ratios.
-        "gopher_quality": r"""
-            WITH t AS (
-                SELECT doc_id, coalesce(text, '') AS text,
-                       regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g') AS trimmed,
-                       CASE WHEN length(regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g')) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(
-                                 regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+'))
-                       END::BIGINT AS n_words,
-                       str_split(coalesce(text, ''), chr(10)) AS lines,
-                       regexp_split_to_array(
-                            regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS toks
-                FROM documents
-            ), s AS (
-                SELECT doc_id, n_words,
-                   CASE WHEN n_words = 0 THEN 0.0 ELSE round(
-                        length(regexp_replace(text, '\s', '', 'g'))::DOUBLE
-                        / n_words, 6) END AS mean_word_len,
-                   CASE WHEN n_words = 0 THEN 0.0 ELSE round((
-                          (length(text) - length(replace(text, '#', '')))
-                        + (length(text) - length(replace(text, '...', ''))) / 3
-                        + (length(text) - length(replace(text, '…', '')))
-                       )::DOUBLE / n_words, 6) END AS symbol_word_ratio,
-                   round(len(list_filter(lines, x -> regexp_matches(
-                        ltrim(x, ' ' || chr(9) || chr(13)), '^[-*•]')))::DOUBLE
-                        / len(lines), 6) AS bullet_ratio,
-                   round(len(list_filter(lines, x -> regexp_matches(
-                        rtrim(x, ' ' || chr(9) || chr(13)), '(\.\.\.|…)$')))::DOUBLE
-                        / len(lines), 6) AS ellipsis_line_ratio,
-                   round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
-                        AS dup_line_frac,
-                   CASE WHEN n_words < 2 THEN 0.0 ELSE round(
-                        1.0 - len(list_distinct(list_transform(
-                              generate_series(1, n_words - 1),
-                              i -> toks[i] || chr(31) || toks[i + 1])))::DOUBLE
-                        / (n_words - 1), 6) END AS dup_2gram_frac,
-                   CASE WHEN n_words = 0 THEN 0.0 ELSE round(
-                        len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
-                        / n_words, 6) END AS frac_alpha_words,
-                   (  CASE WHEN regexp_matches(lower(text), '(^|\s)the(\s|$)')  THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)be(\s|$)')   THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)to(\s|$)')   THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)of(\s|$)')   THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)and(\s|$)')  THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)that(\s|$)') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)have(\s|$)') THEN 1 ELSE 0 END
-                    + CASE WHEN regexp_matches(lower(text), '(^|\s)with(\s|$)') THEN 1 ELSE 0 END
-                   )::BIGINT AS stop_word_hits
-                FROM t
-            )
-            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
-                   bullet_ratio, ellipsis_line_ratio, dup_line_frac,
-                   dup_2gram_frac, frac_alpha_words, stop_word_hits,
-                   (n_words BETWEEN 50 AND 100000
-                    AND mean_word_len BETWEEN 3 AND 10
-                    AND symbol_word_ratio <= 0.1
-                    AND bullet_ratio <= 0.9
-                    AND ellipsis_line_ratio <= 0.3
-                    AND frac_alpha_words >= 0.8
-                    AND stop_word_hits >= 2) AS gopher_pass
-            FROM s
-        """,
+        "gopher_quality": _GOPHER_SIGNALS_SQL,
+        "quality_logit": _quality_logit_sql(),
         "scrub_pii": r"""
             WITH t0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
             t1 AS (SELECT doc_id,
@@ -2227,6 +2300,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
             FROM events GROUP BY event_type
+        """,
+        "dsir_weights": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents),
+            big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                    FROM toks,
+                         LATERAL unnest(generate_series(1, len(ws) - 1))
+                             AS u(i)),
+            tbig AS (SELECT * FROM big WHERE doc_id % 3 = 0),
+            uni_r AS (SELECT w, count(*) AS c
+                      FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+            uni_t AS (SELECT w, count(*) AS c
+                      FROM (SELECT unnest(ws) AS w FROM toks
+                            WHERE doc_id % 3 = 0) GROUP BY w),
+            v_r AS (SELECT count(*) AS v FROM uni_r),
+            v_t AS (SELECT count(*) AS v FROM uni_t),
+            bc_r AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            bc_t AS (SELECT w1, w2, count(*) AS c FROM tbig GROUP BY w1, w2),
+            j AS (SELECT big.doc_id,
+                         ln((coalesce(bc_t.c, 0) + 1)::DOUBLE
+                            / (coalesce(uni_t.c, 0) + v_t.v)::DOUBLE)
+                       - ln((bc_r.c + 1)::DOUBLE
+                            / (uni_r.c + v_r.v)::DOUBLE) AS dlp
+                  FROM big
+                  LEFT JOIN bc_t ON big.w1 = bc_t.w1 AND big.w2 = bc_t.w2
+                  LEFT JOIN uni_t ON big.w1 = uni_t.w
+                  JOIN bc_r ON big.w1 = bc_r.w1 AND big.w2 = bc_r.w2
+                  JOIN uni_r ON big.w1 = uni_r.w
+                  CROSS JOIN v_r CROSS JOIN v_t)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(dlp), 6) AS log_importance
+            FROM j GROUP BY doc_id
+        """,
+        "kmeans_assign": """
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         list_cosine_similarity(e.embedding::DOUBLE[], c.ce)
+                             AS cs,
+                         row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(
+                                 e.embedding::DOUBLE[], c.ce) DESC,
+                                      c.cid ASC) AS rk
+                  FROM embeddings e CROSS JOIN c)
+            SELECT vec_id, cid AS centroid_id, round(cs, 6) AS cos
+            FROM s WHERE rk = 1
         """,
         "lm_nll": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws

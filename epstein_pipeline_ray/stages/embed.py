@@ -504,3 +504,42 @@ def matryoshka_truncate(
 
     return vectors.select_columns([id_col, emb_col]).map_batches(
         trunc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_assign(
+    vectors: Dataset,
+    centroids: np.ndarray,
+    centroid_ids: list,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """One k-means assignment step over an embedding column: every
+    vector goes to its max-cosine centroid (ties → smaller centroid id)
+    — the embedding-clustering building block (the IVF quantizer's
+    assignment phase as a standalone, SQL-verifiable operator; the
+    iterative trainer with bounded-sample init lives in ann_ivf).
+    Centroid matrix is broadcast once via ray.put; per batch ONE
+    matmul + argmax. Output: (id, centroid_id, cos:float64 rounded 6).
+    """
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    cn = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    order = np.argsort(np.asarray(centroid_ids))  # tie-break: smaller id wins
+    cn = cn[order]
+    cid_sorted = np.asarray(centroid_ids)[order]
+    c_ref = ray.put((cn, cid_sorted))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c, cids = ray.get(c_ref)
+        emb = _normalize_rows(_stack_embeddings(batch, emb_col))
+        sims = emb @ c.T  # (n, k)
+        best = np.argmax(sims, axis=1)  # first max → smallest id (sorted)
+        return pa.table({
+            id_col: batch[id_col],
+            "centroid_id": pa.array(cids[best], pa.int64()),
+            "cos": pa.array(
+                sql_round(sims[np.arange(len(best)), best], 6), pa.float64()),
+        })
+
+    return vectors.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -349,3 +349,49 @@ def with_self_repetition(docs: Dataset, window: int = 30,
 
     return docs.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Fixed stand-in weights for the reference's ML quality classifier
+# (SURVEY A5 — no models ship in this container): a deterministic logistic
+# layer over the Gopher signal battery. The SQL twin is built from THIS
+# dict (__ray_entry__), so engine and oracle can never drift.
+QUALITY_LOGIT_WEIGHTS: dict[str, float] = {
+    "frac_alpha_words": 2.5,
+    "stop_word_hits": 0.5,
+    "symbol_word_ratio": -6.0,
+    "dup_line_frac": -2.0,
+    "dup_2gram_frac": -1.5,
+    "n_words_capped_milli": 2.0,   # 0.002 * min(n_words, 1000)
+    "bias": -2.0,
+}
+
+
+def with_quality_logit(docs: Dataset, text_col: str = "text") -> Dataset:
+    """Classifier-style quality score: sigmoid of a fixed linear layer
+    over the (rounded) Gopher signals — the scoring machinery of a
+    fasttext/logistic quality filter with deterministic weights
+    (QUALITY_LOGIT_WEIGHTS). Computing on the ROUNDED signals keeps the
+    engine and the SQL twin bit-aligned. Output: signals +
+    quality_score:float64 rounded 6."""
+    w = QUALITY_LOGIT_WEIGHTS
+
+    def add(batch: pa.Table) -> pa.Table:
+        g = {name: np.asarray(batch[name].to_numpy(zero_copy_only=False),
+                              np.float64)
+             for name in ("frac_alpha_words", "stop_word_hits",
+                          "symbol_word_ratio", "dup_line_frac",
+                          "dup_2gram_frac", "n_words")}
+        logit = (w["frac_alpha_words"] * g["frac_alpha_words"]
+                 + w["stop_word_hits"] * g["stop_word_hits"]
+                 + w["symbol_word_ratio"] * g["symbol_word_ratio"]
+                 + w["dup_line_frac"] * g["dup_line_frac"]
+                 + w["dup_2gram_frac"] * g["dup_2gram_frac"]
+                 + w["n_words_capped_milli"] / 1000.0
+                   * np.minimum(g["n_words"], 1000.0)
+                 + w["bias"])
+        score = 1.0 / (1.0 + np.exp(-logit))
+        return batch.append_column(
+            "quality_score", pa.array(sql_round(score, 6), pa.float64()))
+
+    return with_gopher_signals(docs, text_col=text_col).map_batches(
+        add, batch_format="pyarrow", zero_copy_batch=True)

@@ -118,3 +118,52 @@ def test_lm_nll_hand_truth_and_plan_equality(ray_session):
     alt = ngram_lm_nll(rd.from_arrow(t), broadcast_rows_limit=0).to_pandas()
     alt = alt.set_index("doc_id")
     assert alt.sort_index().equals(out.sort_index())
+
+
+def test_dsir_prefers_target_like_docs(ray_session):
+    from epstein_pipeline_ray.stages.lm_score import dsir_log_ratio
+    # target domain: "alpha beta"-style; raw adds "zulu yankee" docs
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "alpha beta alpha beta", "alpha beta gamma",   # target-like
+            "zulu yankee zulu yankee", "zulu yankee xray",
+            "alpha beta alpha", "zulu yankee zulu",
+        ], pa.string()),
+    })
+    ds = rd.from_arrow(docs)
+    tgt = rd.from_arrow(docs.slice(0, 2))  # docs 0,1 define the domain
+    out = dsir_log_ratio(ds, tgt).to_pandas().set_index("doc_id")
+    # target-like docs score strictly higher than off-domain docs
+    assert out.loc[[0, 1, 4], "log_importance"].min() > \
+        out.loc[[2, 3, 5], "log_importance"].max()
+
+
+def test_kmeans_assign_self_and_ties(ray_session):
+    from epstein_pipeline_ray.stages.embed import kmeans_assign
+    vecs = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                               [0.9, 0.1], [0.5, 0.5]],
+                              pa.list_(pa.float64())),
+    })
+    import numpy as np
+    out = kmeans_assign(rd.from_arrow(vecs),
+                        np.array([[1.0, 0.0], [0.0, 1.0]]),
+                        [0, 1]).to_pandas().set_index("vec_id")
+    assert out.loc[0, "centroid_id"] == 0 and out.loc[0, "cos"] == 1.0
+    assert out.loc[1, "centroid_id"] == 1
+    assert out.loc[2, "centroid_id"] == 0
+    # exact tie (0.5, 0.5): smaller centroid id wins
+    assert out.loc[3, "centroid_id"] == 0
+
+
+def test_quality_logit_monotone_in_quality(ray_session):
+    from epstein_pipeline_ray.stages.textops import with_quality_logit
+    good = ("the quick brown fox and the lazy dog have decided that " * 10)[:-1]
+    bad = "### ### ### 123 456 789 ### $$$ %%% ^^^ &&& *** ((( )))"
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([good, bad], pa.string())})
+    out = with_quality_logit(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "quality_score"] > out.loc[1, "quality_score"]
+    assert 0.0 <= out["quality_score"].min() <= out["quality_score"].max() <= 1.0
