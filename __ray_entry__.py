@@ -1514,6 +1514,16 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_kmeans_fit(sf_dir: str):
+    """Full spherical k-means (3 Lloyd rounds, k=8, deterministic
+    smallest-id init, per-round rounding) — SemDeDup-style embedding
+    clustering; the DuckDB twin is the exactly-unrolled kmeans_sql."""
+    from epstein_pipeline_ray.stages.embed import kmeans_fit
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fit(vecs, k=8, iters=3)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance resampling weights (Xie 2023): mean bigram
     log-ratio of a target-domain model (docs with doc_id % 3 == 0) vs
@@ -1686,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": q_kmeans_assign,
         "quality_logit": q_quality_logit,
         "dsir_weights": q_dsir_weights,
+        "kmeans_fit": q_kmeans_fit,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -1870,6 +1881,7 @@ def _quality_logit_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from epstein_pipeline_ray.stages.embed import kmeans_sql
     from epstein_pipeline_ray.stages.graph_algo import pagerank_sql
 
     terms_values = ", ".join(f"('{t}')" for t in _TERMS)
@@ -2333,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(dlp), 6) AS log_importance
             FROM j GROUP BY doc_id
         """,
+        "kmeans_fit": kmeans_sql(k=8, iters=3),
         "kmeans_assign": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 8),

@@ -543,3 +543,117 @@ def kmeans_assign(
 
     return vectors.select_columns([id_col, emb_col]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_fit(
+    vectors: Dataset,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 6,
+) -> Dataset:
+    """Full spherical k-means (Lloyd) as an iterative broadcast/partial
+    loop — the SemDeDup-style embedding clustering used to curate
+    training corpora. Deterministic init (the k smallest-id vectors),
+    max-cosine assignment with the cosine ROUNDED to 9 digits before
+    the argmax (ties → smaller centroid id), new centroids as the
+    component mean of assigned RAW vectors rounded to ``round_digits``
+    per round — the pagerank convention that keeps an unrolled SQL twin
+    (kmeans_sql) bit-aligned across engines. Empty clusters keep their
+    previous centroid.
+
+    Per round: one broadcast (k×dim floats), one map-side partial
+    (per-batch per-cluster component sums — k×dim per batch, never the
+    vectors), one tiny driver reduce. Nothing corpus-sized ever leaves
+    the workers. Output: (id, centroid_id:int64) final assignment.
+    """
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    init = vectors.filter(lambda r: r[id_col] < k).to_pandas().sort_values(id_col)
+    cents = np.stack([np.asarray(v, np.float64) for v in init[emb_col]])
+    cids = init[id_col].to_numpy(np.int64)
+
+    def _assign_best(batch: pa.Table, c: np.ndarray) -> np.ndarray:
+        emb = _stack_embeddings(batch, emb_col)
+        sims = _normalize_rows(emb) @ _normalize_rows(c).T
+        return np.argmax(sql_round(sims, 9), axis=1)  # first max = min cid
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            best = _assign_best(batch, c)
+            emb = _stack_embeddings(batch, emb_col)
+            sums = np.zeros_like(c)
+            np.add.at(sums, best, emb)
+            cnt = np.bincount(best, minlength=c.shape[0]).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(cnt, pa.int64()),
+            })
+
+        parts = vectors.select_columns([id_col, emb_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        sums = np.zeros_like(cents)
+        cnt = np.zeros(cents.shape[0], dtype=np.int64)
+        for cid, s, n in zip(parts["cid"], parts["s"], parts["n"]):
+            sums[cid] += np.asarray(s, np.float64)
+            cnt[cid] += n
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = sql_round(sums[nz] / cnt[nz, None], round_digits)
+        cents = new
+
+    c_ref = ray.put(cents)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        best = _assign_best(batch, ray.get(c_ref))
+        return pa.table({id_col: batch[id_col],
+                         "centroid_id": pa.array(cids[best], pa.int64())})
+
+    return vectors.select_columns([id_col, emb_col]).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_sql(k: int = 8, iters: int = 3, round_digits: int = 6,
+               table: str = "embeddings", id_col: str = "vec_id",
+               emb_col: str = "embedding") -> str:
+    """The exactly-unrolled DuckDB twin of :func:`kmeans_fit` (the
+    pagerank_sql pattern): one assignment + one centroid-mean CTE pair
+    per iteration, cosine rounded to 9 digits before the rank, centroid
+    components avg-rounded to ``round_digits``, empty clusters kept via
+    a LEFT JOIN coalesce."""
+    e = f"{emb_col}::DOUBLE[]"
+    ctes = [f"""c0 AS (SELECT {id_col} AS cid, {e} AS ce
+               FROM {table} WHERE {id_col} < {k})"""]
+    for i in range(1, iters + 1):
+        prev, cur = f"c{i-1}f" if i > 1 else "c0", f"c{i}"
+        ctes.append(f"""a{i} AS (
+            SELECT t.{id_col}, t.{e} AS te, c.cid,
+                   row_number() OVER (
+                       PARTITION BY t.{id_col}
+                       ORDER BY round(list_cosine_similarity({e}, c.ce), 9)
+                                DESC, c.cid) AS rk
+            FROM {table} t CROSS JOIN {prev} c)""")
+        ctes.append(f"""s{i} AS (
+            SELECT cid, u.d AS dim, round(avg(te[u.d]), {round_digits}) AS v
+            FROM a{i}, LATERAL unnest(generate_series(1, len(te))) AS u(d)
+            WHERE rk = 1 GROUP BY cid, u.d)""")
+        ctes.append(f"""{cur} AS (
+            SELECT cid, list(v ORDER BY dim) AS ce FROM s{i} GROUP BY cid)""")
+        ctes.append(f"""c{i}f AS (
+            SELECT c0.cid, coalesce({cur}.ce, p.ce) AS ce
+            FROM c0 LEFT JOIN {cur} USING (cid)
+                    JOIN {prev} p ON c0.cid = p.cid)""")
+    final = f"""af AS (
+        SELECT t.{id_col}, c.cid,
+               row_number() OVER (
+                   PARTITION BY t.{id_col}
+                   ORDER BY round(list_cosine_similarity({e}, c.ce), 9)
+                            DESC, c.cid) AS rk
+        FROM {table} t CROSS JOIN c{iters}f c)"""
+    return ("WITH " + ",\n".join(ctes + [final])
+            + f"\nSELECT {id_col}, cid AS centroid_id FROM af WHERE rk = 1")

@@ -167,3 +167,28 @@ def test_quality_logit_monotone_in_quality(ray_session):
     out = with_quality_logit(rd.from_arrow(t)).to_pandas().set_index("doc_id")
     assert out.loc[0, "quality_score"] > out.loc[1, "quality_score"]
     assert 0.0 <= out["quality_score"].min() <= out["quality_score"].max() <= 1.0
+
+
+def test_kmeans_fit_separates_blobs_and_keeps_empty_centroids(ray_session):
+    import numpy as np
+    from epstein_pipeline_ray.stages.embed import kmeans_fit
+    rng = np.random.default_rng(3)
+    # two tight blobs on orthogonal axes + k=3 (third centroid starves)
+    a = rng.normal([10, 0, 0], 0.1, size=(20, 3))
+    b = rng.normal([0, 10, 0], 0.1, size=(20, 3))
+    vecs = np.vstack([
+        [[10, 0, 0]], [[0, 10, 0]], [[5.0, 5.0, 0.1]],  # ids 0,1,2 = init
+        a, b,
+    ])
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    out = kmeans_fit(rd.from_arrow(t), k=3, iters=4).to_pandas()
+    lbl = out.set_index("vec_id")["centroid_id"]
+    a_ids = list(range(3, 23))
+    b_ids = list(range(23, 43))
+    assert set(lbl[a_ids]) == {0}
+    assert set(lbl[b_ids]) == {1}
+    assert lbl[0] == 0 and lbl[1] == 1
