@@ -1514,6 +1514,16 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas 2023): near-dup pairs within k-means clusters —
+    the clustering confines the quadratic cosine scan to k independent
+    per-cluster scans."""
+    from epstein_pipeline_ray.stages.embed import semantic_dedup_pairs
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup_pairs(vecs, k=8, iters=3, threshold=0.4)
+
+
 def q_kmeans_fit(sf_dir: str):
     """Full spherical k-means (3 Lloyd rounds, k=8, deterministic
     smallest-id init, per-round rounding) — SemDeDup-style embedding
@@ -1697,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_logit": q_quality_logit,
         "dsir_weights": q_dsir_weights,
         "kmeans_fit": q_kmeans_fit,
+        "semdedup": q_semdedup,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2346,6 +2357,17 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "kmeans_fit": kmeans_sql(k=8, iters=3),
+        "semdedup": f"""
+            WITH labels AS (SELECT * FROM ({kmeans_sql(k=8, iters=3)})),
+            v AS (SELECT l.vec_id, l.centroid_id,
+                         e.embedding::DOUBLE[] AS ve
+                  FROM labels l JOIN embeddings e USING (vec_id))
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.ve, b.ve), 6) AS cos
+            FROM v a JOIN v b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.ve, b.ve) >= 0.4
+        """,
         "kmeans_assign": """
             WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
                        FROM embeddings WHERE vec_id < 8),

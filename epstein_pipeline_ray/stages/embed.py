@@ -657,3 +657,71 @@ def kmeans_sql(k: int = 8, iters: int = 3, round_digits: int = 6,
         FROM {table} t CROSS JOIN c{iters}f c)"""
     return ("WITH " + ",\n".join(ctes + [final])
             + f"\nSELECT {id_col}, cid AS centroid_id FROM af WHERE rk = 1")
+
+
+def semantic_dedup_pairs(
+    vectors: Dataset,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space
+    (kmeans_fit), then emit near-duplicate pairs ONLY within each
+    cluster — the clustering turns the quadratic all-pairs cosine scan
+    into k independent within-cluster scans (the paper's core trick for
+    web scale). Keep-first pruning = drop every id_b downstream.
+
+    Plan: cluster labels attached to the vectors by a size-switched
+    join → ONE keyed exchange on centroid_id → per-cluster matrix
+    cosine (a handful of matmuls per block — clusters, not rows).
+    At 100 TB, cluster population is bounded by raising k (the paper
+    uses k ~ sqrt(N)); pairs are (id_a < id_b, cos rounded 6).
+    """
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    labels = kmeans_fit(vectors, k=k, iters=iters, id_col=id_col,
+                        emb_col=emb_col)
+    tagged = attach_column(vectors.select_columns([id_col, emb_col]), labels,
+                           id_col, id_col, "centroid_id", "centroid_id",
+                           num_partitions=num_partitions)
+
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("cos", pa.float64())])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return out_schema.empty_table()
+        df = block.to_pandas().sort_values(["centroid_id", id_col],
+                                           kind="mergesort").reset_index(drop=True)
+        cid = df["centroid_id"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        emb = _normalize_rows(np.stack(
+            [np.asarray(v, np.float64) for v in df[emb_col]]))
+        starts = np.concatenate(
+            [[0], np.nonzero(cid[1:] != cid[:-1])[0] + 1]).astype(np.int64)
+        ends = np.concatenate([starts[1:], [len(df)]])
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):  # one iteration per CLUSTER (k total)
+            if e - s < 2:
+                continue
+            m = emb[s:e] @ emb[s:e].T
+            iu, ju = np.triu_indices(e - s, k=1)
+            hit = m[iu, ju] >= threshold
+            out_a.append(ids[s:e][iu[hit]])
+            out_b.append(ids[s:e][ju[hit]])
+            out_c.append(m[iu, ju][hit])
+        if not out_a:
+            return out_schema.empty_table()
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cos": pa.array(sql_round(np.concatenate(out_c), 6), pa.float64()),
+        }, schema=out_schema)
+
+    return map_key_blocks(tagged, ["centroid_id"], per_block, num_partitions,
+                          sort_blocks=False)

@@ -192,3 +192,30 @@ def test_kmeans_fit_separates_blobs_and_keeps_empty_centroids(ray_session):
     assert set(lbl[a_ids]) == {0}
     assert set(lbl[b_ids]) == {1}
     assert lbl[0] == 0 and lbl[1] == 1
+
+
+def test_semdedup_subset_of_exact_and_finds_blob_dups(ray_session):
+    import numpy as np
+    from epstein_pipeline_ray.stages.embed import (
+        cosine_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+    rng = np.random.default_rng(11)
+    a = rng.normal([10, 0, 0], 0.05, size=(15, 3))
+    b = rng.normal([0, 10, 0], 0.05, size=(15, 3))
+    vecs = np.vstack([[[10, 0, 0]], [[0, 10, 0]], a, b])
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(t)
+    sem = semantic_dedup_pairs(ds, k=2, iters=3, threshold=0.99).to_pandas()
+    full = cosine_neardup_pairs(ds, threshold=0.99).to_pandas()
+    sem_pairs = set(zip(sem.id_a, sem.id_b))
+    full_pairs = set(zip(full.id_a, full.id_b))
+    assert sem_pairs <= full_pairs
+    # tight blobs: every within-blob pair is near-dup and same-cluster,
+    # so SemDeDup recovers the full set here
+    assert sem_pairs == full_pairs
+    assert len(sem_pairs) > 50
