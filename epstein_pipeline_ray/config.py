@@ -78,6 +78,10 @@ class DedupConfig:
     sort_pairs_by_score: bool = True
     # extension knobs
     verify_mode: str = "parity"  # 'parity' | 'extended'
+    # extended-tier LCS backend: 'automaton' (per-pair suffix automaton,
+    # default) or 'suffix_array' (prefix-doubling SA + Kasai LCP — the
+    # backend the north rule names; answers are identical, pytest-pinned)
+    substring_backend: str = "automaton"
     simhash_max_hamming: int = 8
     substring_min_overlap: float = 0.5
     # scale knobs

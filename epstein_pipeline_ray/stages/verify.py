@@ -78,6 +78,18 @@ def extended_verify(pairs: Dataset, docs: Dataset, cfg: DedupConfig,
     max_ham = cfg.simhash_max_hamming
     min_overlap = cfg.substring_min_overlap
 
+    if cfg.substring_backend == "suffix_array":
+        from epstein_pipeline_ray.functions.suffix_array import (
+            lcs_via_suffix_array,
+        )
+
+        def overlap_ratio(a: str, b: str) -> float:
+            if not a or not b:
+                return 0.0
+            return lcs_via_suffix_array(a, b) / min(len(a), len(b))
+    else:
+        overlap_ratio = substring_overlap_ratio
+
     def verify(batch: pa.Table) -> pa.Table:
         keep = np.ones(batch.num_rows, dtype=bool)
         methods = batch["method"].to_pylist()
@@ -106,7 +118,7 @@ def extended_verify(pairs: Dataset, docs: Dataset, cfg: DedupConfig,
             if int(hamming64(np.array([ha]), np.array([hb]))[0]) <= max_ham:
                 continue
             na, nb = normalize_text(ta), normalize_text(tb)
-            if substring_overlap_ratio(na, nb) >= min_overlap:
+            if overlap_ratio(na, nb) >= min_overlap:
                 continue
             keep[i] = False
         from epstein_pipeline_ray.state import metrics

@@ -137,3 +137,50 @@ def test_winnow_pairs_interleaved_fp_rows_regression(ray_session):
     want = {(a, b) for a in sharers for b in sharers if a < b}
     have = set(zip(got.id_a, got.id_b))
     assert want <= have
+
+
+def test_suffix_array_kernels_match_brute_force():
+    import random
+    from epstein_pipeline_ray.functions.suffix_array import (
+        lcp_array,
+        lcs_via_suffix_array,
+        suffix_array,
+    )
+    random.seed(5)
+    for _ in range(120):
+        s = "".join(random.choice("abc") for _ in range(random.randint(0, 35)))
+        codes = np.frombuffer(s.encode("utf-32-le"),
+                              dtype=np.uint32).astype(np.int64)
+        sa = suffix_array(codes)
+        assert sa.tolist() == sorted(range(len(s)), key=lambda i: s[i:])
+        lcp = lcp_array(codes, sa)
+        for i in range(1, len(s)):
+            x, y = s[sa[i]:], s[sa[i - 1]:]
+            m = 0
+            while m < min(len(x), len(y)) and x[m] == y[m]:
+                m += 1
+            assert lcp[i] == m
+
+
+@given(st.text(alphabet="ab", max_size=50), st.text(alphabet="ab", max_size=50))
+@settings(max_examples=150, deadline=None)
+def test_suffix_array_lcs_equals_automaton(a, b):
+    from epstein_pipeline_ray.functions.suffix_array import lcs_via_suffix_array
+    assert lcs_via_suffix_array(a, b) == longest_common_substring_len(a, b)
+
+
+def test_verify_extended_backend_equivalence(ray_session):
+    """Both LCS backends must keep/reject the same pairs through the
+    extended verify tier."""
+    from epstein_pipeline_ray.config import DedupConfig
+    from epstein_pipeline_ray.pipelines.dedup import dedup_turns
+
+    from epstein_pipeline_ray.sources.synth import turns_table
+    turns = rd.from_arrow(turns_table(n_convs=120, seed=9))
+    outs = []
+    for backend in ("automaton", "suffix_array"):
+        cfg = DedupConfig(verify_mode="extended", substring_backend=backend)
+        res = dedup_turns(turns, cfg=cfg)
+        df = res.pairs.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        outs.append(df[["id_a", "id_b", "method"]])
+    assert outs[0].equals(outs[1])
