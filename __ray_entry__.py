@@ -1514,6 +1514,20 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination (fixed-size OR-mergeable membership
+    side — the 100-TB path where even the deduped hash array won't
+    broadcast). Rows-only: bloom false positives are not
+    SQL-expressible; the exact sibling is decontaminate★ and the
+    no-false-negative containment is pytest-pinned (test_decontam)."""
+    from epstein_pipeline_ray.stages.decontam import decontaminate_bloom
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] % 50 == 0)
+    return decontaminate_bloom(docs, bench, n=8)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas 2023): near-dup pairs within k-means clusters —
     the clustering confines the quadratic cosine scan to k independent
@@ -1708,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "kmeans_fit": q_kmeans_fit,
         "semdedup": q_semdedup,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,

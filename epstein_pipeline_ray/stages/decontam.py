@@ -99,3 +99,81 @@ def decontaminate(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate_bloom(
+    docs: Dataset,
+    bench: Dataset,
+    n: int = 8,
+    fpr: float = 1e-6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> Dataset:
+    """Bloom-filter variant of :func:`decontaminate` for when even the
+    deduplicated benchmark hash ARRAY is too big to broadcast: each
+    benchmark block builds a fixed-size partial bloom in its own task,
+    partials OR-merge (order-free), and docs probe the single bit
+    array. GUARANTEE: no false negatives — every doc `decontaminate`
+    flags is flagged here too (pytest-pinned containment). ``fpr`` is
+    the PER-PROBE false-positive rate; a doc fires if ANY of its
+    n-grams probes positive, so the doc-level false-flag rate is
+    ~ fpr x n-grams-per-doc — the 1e-6 default keeps it ~1e-3 for
+    kilotoken docs at ~29 bits/item of filter. Output:
+    (id_col, contaminated_bloom:bool).
+    """
+    from epstein_pipeline_ray.functions.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_params,
+        bloom_probe,
+    )
+
+    refs = bench.select_columns([bench_text_col]).to_arrow_refs()
+
+    @ray.remote
+    def _count(t) -> int:
+        if not t.num_rows:
+            return 0
+        col = t[bench_text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = _doc_ngram_hashes(normalize_array(col).to_pylist(), n)
+        return int(sum(h.size for h in hs))
+
+    n_items = sum(ray.get([_count.remote(r) for r in refs])) or 1
+    m_bits, k = bloom_params(n_items, fpr)
+
+    @ray.remote
+    def _partial(t, m_bits: int, k: int):
+        if not t.num_rows:
+            return np.zeros(m_bits // 8, dtype=np.uint8)
+        col = t[bench_text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = _doc_ngram_hashes(normalize_array(col).to_pylist(), n)
+        allh = (np.unique(np.concatenate(hs))
+                if hs else np.empty(0, np.uint64))
+        return bloom_build(allh, m_bits, k)
+
+    parts = ray.get([_partial.remote(r, m_bits, k) for r in refs])
+    bits_ref = ray.put(bloom_merge(parts) if parts
+                       else np.zeros(m_bits // 8, dtype=np.uint8))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = _doc_ngram_hashes(normalize_array(col).to_pylist(), n)
+        flagged = np.zeros(len(hs), dtype=bool)
+        for i, h in enumerate(hs):
+            if h.size:
+                flagged[i] = bool(bloom_probe(bits, h, k).any())
+        return pa.table({
+            id_col: batch[id_col],
+            "contaminated_bloom": pa.array(flagged),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True)

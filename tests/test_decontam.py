@@ -77,3 +77,43 @@ def test_c4_line_filter_rules(ray_session):
     assert bool(out.loc[1, "has_lorem"]) and not bool(out.loc[1, "has_brace"])
     assert bool(out.loc[2, "has_brace"])
     assert out.loc[4, "n_kept"] == 0 and out.loc[4, "clean_text"] == ""
+
+
+def test_bloom_kernels_no_false_negatives_and_fpr():
+    import numpy as np
+    from epstein_pipeline_ray.functions.bloom import (
+        bloom_build, bloom_merge, bloom_params, bloom_probe)
+    rng = np.random.default_rng(2)
+    items = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    m, k = bloom_params(len(items), fpr=0.01)
+    # merge-invariance: build in 7 partials vs one shot
+    parts = [bloom_build(c, m, k) for c in np.array_split(items, 7)]
+    bits = bloom_merge(parts)
+    assert (bits == bloom_build(items, m, k)).all()
+    # no false negatives
+    assert bloom_probe(bits, items, k).all()
+    # FPR near target on fresh items
+    fresh = rng.integers(0, 2**63, size=20000, dtype=np.uint64)
+    fresh = np.setdiff1d(fresh, items)
+    fpr = bloom_probe(bits, fresh, k).mean()
+    assert fpr < 0.03
+
+
+def test_bloom_decontaminate_contains_exact(ray_session):
+    import ray.data as rd
+    from epstein_pipeline_ray.stages.decontam import (
+        decontaminate, decontaminate_bloom)
+    SF = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bench = rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .filter(lambda r: r["doc_id"] % 50 == 0)
+    exact = decontaminate(docs, bench, n=8).to_pandas()
+    bloom = decontaminate_bloom(docs, bench, n=8).to_pandas()
+    m = exact.merge(bloom, on="doc_id")
+    # guarantee: everything the exact set flags, the bloom flags
+    assert (m.loc[m.contaminated, "contaminated_bloom"]).all()
+    # and the doc-level false-flag rate is tiny at the 1e-6 per-probe fpr
+    extra = int((m.contaminated_bloom & ~m.contaminated).sum())
+    assert extra <= max(2, int(0.01 * len(m)))
