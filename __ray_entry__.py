@@ -1514,6 +1514,16 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_bm25(sf_dir: str):
+    """Okapi BM25 scores against the shared query term set (the
+    reference's FTS5 BM25 search engine-native; Lucene IDF), one keyed
+    exchange after map-side query filtering."""
+    from epstein_pipeline_ray.stages.ranking import bm25_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_scores(docs, _TERMS)
+
+
 def q_decontaminate_bloom(sf_dir: str):
     """Bloom-filter decontamination (fixed-size OR-mergeable membership
     side — the 100-TB path where even the deduped hash array won't
@@ -1723,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": q_kmeans_fit,
         "semdedup": q_semdedup,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "bm25": q_bm25,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2372,6 +2383,35 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "kmeans_fit": kmeans_sql(k=8, iters=3),
+        "bm25": f"""
+            WITH tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id,
+                             lower(unnest(regexp_extract_all(
+                                 text, '[a-zA-Z0-9]+'))) AS term
+                      FROM documents)
+                GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf
+                   GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                             (SELECT sum(tf) FROM tf)::DOUBLE
+                             / (SELECT count(*) FROM documents) AS avgdl),
+            q AS (SELECT unnest({_TERMS!r}) AS term),
+            dfq AS (SELECT tf.term, count(*)::DOUBLE AS df
+                    FROM tf JOIN q USING (term) GROUP BY tf.term),
+            s AS (SELECT tf.doc_id,
+                         ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * dl.dl / stats.avgdl))
+                             AS part
+                  FROM tf JOIN q USING (term)
+                          JOIN dfq ON tf.term = dfq.term
+                          JOIN dl USING (doc_id)
+                          CROSS JOIN stats)
+            SELECT doc_id, round(sum(part), 6) AS bm25
+            FROM s GROUP BY doc_id
+        """,
         "semdedup": f"""
             WITH labels AS (SELECT * FROM ({kmeans_sql(k=8, iters=3)})),
             v AS (SELECT l.vec_id, l.centroid_id,

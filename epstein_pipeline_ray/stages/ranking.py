@@ -198,3 +198,79 @@ def tfidf_top_terms(docs: Dataset, k: int = 5, id_col: str = "doc_id",
     return topk_per_group(
         scored.select_columns([id_col, "term", "tf", "tfidf"]),
         id_col, "tfidf", k, tie_col="term", num_partitions=num_partitions)
+
+
+def bm25_scores(docs: Dataset, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int | None = None,
+                broadcast_rows_limit: int = 2_000_000) -> Dataset:
+    """Okapi BM25 scores of every matching doc against a query term set
+    — the engine-native version of the reference's BM25-backed FTS5
+    search (exporters/sqlite_export.py:88-117), Lucene IDF convention
+    ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Plan: TF explode (per-doc-bounded) → doc lengths via grouped_stats
+    partials, attached back by the size-switched join → map-side filter
+    to query-term rows ONLY (the tiny query set rides the task closure)
+    → per-row partial scores with the |query|-bounded IDF dict broadcast
+    → per-doc sum through one keyed exchange, rounded once. Output:
+    (id, bm25:float64 rounded 6) for docs containing >= 1 query term.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    qset = sorted(set(query_terms))
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    dl = grouped_stats(tf.select_columns([id_col, "tf"]), [id_col],
+                       sum_cols=["tf"])  # sum_tf (ints; round-4 no-op)
+    n_docs = float(docs.count())
+    total_tokens = float(tf.sum("tf") or 0)
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+
+    def only_query_terms(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"],
+                                     value_set=pa.array(qset, pa.string())))
+
+    tfq = tf.map_batches(only_query_terms, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    # per-query-term document frequency: <= |query| rows, driver-bounded
+    dfq = grouped_stats(tfq.select_columns(["term"]), ["term"],
+                        count_alias="df").to_pandas()
+    idf = {t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+           for t, d in zip(dfq["term"], dfq["df"])}
+    idf_ref = ray.put(idf)
+
+    scored = attach_column(tfq, dl, id_col, id_col, "sum_tf", "__dl",
+                           broadcast_rows_limit=broadcast_rows_limit,
+                           num_partitions=num_partitions)
+
+    def part(batch: pa.Table) -> pa.Table:
+        w = ray.get(idf_ref)
+        tfv = np.asarray(batch["tf"].to_numpy(zero_copy_only=False), np.float64)
+        dlv = np.asarray(batch["__dl"].to_numpy(zero_copy_only=False), np.float64)
+        iv = np.array([w[t] for t in batch["term"].to_pylist()], np.float64)
+        s = iv * (tfv * (k1 + 1.0)) / (tfv + k1 * (1.0 - b + b * dlv / avgdl))
+        return pa.table({id_col: batch[id_col],
+                         "part": pa.array(s, pa.float64())})
+
+    parts = scored.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_doc(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return pa.table({id_col: block[id_col],
+                             "bm25": pa.array([], pa.float64())})
+        g = df.groupby(id_col, sort=True)["part"].sum().reset_index()
+        return pa.table({
+            id_col: pa.Array.from_pandas(g[id_col]),
+            "bm25": pa.array(sql_round(g["part"].to_numpy(np.float64), 6),
+                             pa.float64()),
+        })
+
+    return map_key_blocks(parts, [id_col], per_doc, num_partitions,
+                          sort_blocks=False)

@@ -106,3 +106,29 @@ def test_tfidf_empty_and_blank_docs(ray_session):
     # token-less docs contribute no rows (same as the SQL twin's unnest)
     assert set(got.doc_id) == {3}
     assert len(got) == 3
+
+
+def test_bm25_hand_truth(ray_session):
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from epstein_pipeline_ray.stages.ranking import bm25_scores
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "spark spark flow",       # tf(spark)=2, dl=3
+            "spark other words here", # tf(spark)=1, dl=4
+            "nothing relevant at all",
+        ], pa.string()),
+    })
+    out = bm25_scores(rd.from_arrow(t), ["spark"], k1=1.2, b=0.75) \
+        .to_pandas().set_index("doc_id")
+    n, df = 3.0, 2.0
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    avgdl = 11 / 3
+    def sc(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert 2 not in out.index
+    assert abs(out.loc[0, "bm25"] - round(sc(2, 3), 6)) < 1e-9
+    assert abs(out.loc[1, "bm25"] - round(sc(1, 4), 6)) < 1e-9
+    assert out.loc[0, "bm25"] > out.loc[1, "bm25"]
