@@ -1514,6 +1514,25 @@ def q_soft_dedup(sf_dir: str):
     return soft_dedup_weights(docs)
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc Shannon character entropy (garbled-text / binary-junk
+    signal) — vectorized byte bincount per doc, grouped-by-character
+    DuckDB twin (identical on the ASCII corpus)."""
+    from epstein_pipeline_ray.stages.textops import with_char_entropy
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_char_entropy(docs)
+
+
+def q_corpus_sample(sf_dir: str):
+    """Deterministic global 25-row sample by LCG-mixed key (reproducible
+    eval/debug sample; partial top-k prune, tiny global sort)."""
+    from epstein_pipeline_ray.stages.relational import deterministic_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return deterministic_sample(docs, k=25)
+
+
 def q_bm25(sf_dir: str):
     """Okapi BM25 scores against the shared query term set (the
     reference's FTS5 BM25 search engine-native; Lucene IDF), one keyed
@@ -1734,6 +1753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "decontaminate_bloom": q_decontaminate_bloom,
         "bm25": q_bm25,
+        "char_entropy": q_char_entropy,
+        "corpus_sample": q_corpus_sample,
         "conv_health": q_conv_health,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
@@ -2383,6 +2404,25 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY doc_id
         """,
         "kmeans_fit": kmeans_sql(k=8, iters=3),
+        "char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS c
+              FROM documents WHERE text <> ''),
+            p AS (SELECT doc_id, c, count(*)::DOUBLE AS cnt
+                  FROM chars GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, sum(cnt) AS n FROM p GROUP BY doc_id)
+            SELECT p.doc_id,
+                   round(-sum((cnt / n) * ln(cnt / n)), 6) AS char_entropy
+            FROM p JOIN tot USING (doc_id) GROUP BY p.doc_id
+        """,
+        "corpus_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ((doc_id % 2147483648) * 1103515245 + 12345)
+                         % 2147483648 AS mix
+              FROM documents)
+            ORDER BY mix, doc_id LIMIT 25
+        """,
         "bm25": f"""
             WITH tf AS (
                 SELECT doc_id, term, count(*) AS tf

@@ -896,3 +896,32 @@ def with_trailing_window_agg(ds: Dataset, key: str, ts_col: str,
                                     preserve_index=False)
 
     return map_key_blocks(ds, [key], per_block, num_partitions)
+
+
+def deterministic_sample(ds: Dataset, k: int, id_col: str = "doc_id") -> Dataset:
+    """Global deterministic k-row sample: keep the k rows with the
+    smallest LCG-mixed key (the same overflow-safe mixing as
+    assign_split) — a reproducible corpus sample for eval/debug that
+    every engine can re-derive (SQL: ORDER BY mixed LIMIT k with id
+    tie-break). Rides top_k's partial-prune plan: each batch keeps its
+    own k candidates, then one tiny global sort."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        h = ((ids % 2147483648) * 1103515245 + 12345) % 2147483648
+        return batch.append_column("__mix", pa.array(h, pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.select_k_unstable(
+            batch, k=k, sort_keys=[("__mix", "ascending"), (id_col, "ascending")])
+        return batch.take(idx)
+
+    pruned = keyed.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = pruned.sort(["__mix", id_col]).limit(k)
+    return out.drop_columns(["__mix"])

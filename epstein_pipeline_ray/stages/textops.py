@@ -395,3 +395,37 @@ def with_quality_logit(docs: Dataset, text_col: str = "text") -> Dataset:
 
     return with_gopher_signals(docs, text_col=text_col).map_batches(
         add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_char_entropy(docs: Dataset, id_col: str = "doc_id",
+                      text_col: str = "text") -> Dataset:
+    """Shannon entropy of each doc's character distribution (nats) — the
+    classic garbled-text / binary-junk detector (low entropy = repeated
+    filler, high ≈ ln(alphabet) = random bytes; a standard companion to
+    the Gopher battery). Vectorized: one bincount over the UTF-8 bytes
+    per doc (exact for the ASCII corpus; the SQL twin groups by
+    character, identical on ASCII). Empty docs are dropped.
+
+    Output: (id, char_entropy:float64 rounded 6).
+    """
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        texts = batch[text_col].to_pylist()
+        keep: list[int] = []
+        ent: list[float] = []
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            counts = np.bincount(np.frombuffer(t.encode("utf-8"), np.uint8))
+            counts = counts[counts > 0].astype(np.float64)
+            p = counts / counts.sum()
+            keep.append(i)
+            ent.append(float(-(p * np.log(p)).sum()))
+        return pa.table({
+            id_col: ids.take(pa.array(keep, pa.int64())),
+            "char_entropy": pa.array(
+                sql_round(np.asarray(ent, np.float64), 6), pa.float64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True)

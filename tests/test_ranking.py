@@ -132,3 +132,32 @@ def test_bm25_hand_truth(ray_session):
     assert abs(out.loc[0, "bm25"] - round(sc(2, 3), 6)) < 1e-9
     assert abs(out.loc[1, "bm25"] - round(sc(1, 4), 6)) < 1e-9
     assert out.loc[0, "bm25"] > out.loc[1, "bm25"]
+
+
+def test_char_entropy_truths(ray_session):
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from epstein_pipeline_ray.stages.textops import with_char_entropy
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["aaaa", "abab", "", "abcd"], pa.string()),
+    })
+    out = with_char_entropy(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "char_entropy"] == 0.0
+    assert abs(out.loc[1, "char_entropy"] - round(math.log(2), 6)) < 1e-9
+    assert 2 not in out.index
+    assert abs(out.loc[3, "char_entropy"] - round(math.log(4), 6)) < 1e-9
+
+
+def test_deterministic_sample_reproducible(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from epstein_pipeline_ray.stages.relational import deterministic_sample
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64())})
+    a = deterministic_sample(rd.from_arrow(t), k=20).to_pandas()
+    b = deterministic_sample(rd.from_arrow(t), k=20).to_pandas()
+    assert len(a) == 20
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # not just the first 20 ids (mixing decorrelates from id order)
+    assert sorted(a.doc_id) != list(range(20))
