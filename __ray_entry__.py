@@ -1689,6 +1689,43 @@ def q_value_distinct_kmv_exact(sf_dir: str):
     return kmv_distinct_per_group(ev, "event_type", "value", k=1_000_000)
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-boilerplate line removal (CCNet paragraph dedup / RefinedWeb
+    line-wise corrections): any 12-word line appearing in >= 2 distinct
+    docs is dropped from every doc; per-doc counts + the rebuilt cleaned
+    text (two keyed exchanges, distinct-doc counts per line run)."""
+    from epstein_pipeline_ray.stages.corpus_dedup import line_dedup_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup_corpus(docs, width=12, min_docs=2)
+
+
+def q_containment(sf_dir: str):
+    """Asymmetric shingle-set containment near-dup join (the containment
+    variant of the set-similarity join family, Xiao WWW'08): ordered
+    pairs with |S(a) ∩ S(b)| / |S(a)| >= 0.8 over distinct 5-word
+    shingles — catches truncations/excerpts symmetric Jaccard misses.
+    Runs over documents plus SQL-rebuildable planted truncated copies
+    (sources/derive.truncated_docs_from_documents); exact
+    count-then-filter plan, no signatures."""
+    from epstein_pipeline_ray.sources.derive import truncated_docs_from_documents
+    from epstein_pipeline_ray.stages.corpus_dedup import containment_pairs
+
+    docs = truncated_docs_from_documents(sf_dir)
+    return containment_pairs(docs, threshold=0.8, ngram=5)
+
+
+def q_unimax(sf_dir: str):
+    """UniMax language-sampling allocation (Chung et al. ICLR'23):
+    water-fill a budget of 1.8x the corpus across languages with a
+    2-epoch per-language cap (closed-form level over the tiny
+    language-count table; window-function DuckDB twin)."""
+    from epstein_pipeline_ray.stages.mixing import unimax_allocation
+
+    docs = _read(sf_dir, "documents", ["lang"])
+    return unimax_allocation(docs, budget_frac=1.8, n_epochs=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "transcript_clusters": q_transcript_clusters,
@@ -1787,6 +1824,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_user": q_sample_per_user,
         "winnow_fps": q_winnow_fps,
         "winnow_pairs": q_winnow_pairs,
+        "line_dedup": q_line_dedup,
+        "containment": q_containment,
+        "unimax": q_unimax,
     }
 
 
@@ -3114,5 +3154,104 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY user_id ORDER BY event_id) AS rk
                 FROM events
             ) WHERE rk <= 3
+        """,
+        # line-dedup twin: lines are 12-word windows of the single-space
+        # word array (the noisy-turn window convention); a line in >= 2
+        # DISTINCT docs is boilerplate and removed everywhere; empty text
+        # yields one empty line on both sides
+        "line_dedup": """
+            WITH lw AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            l AS (
+                SELECT doc_id, i::INT AS line_idx,
+                       array_to_string(ws[(i*12+1)::INT:(i*12+12)::INT], ' ') AS line
+                FROM lw,
+                     LATERAL unnest(generate_series(0, (len(ws)+11)//12 - 1)) AS u(i)
+            ),
+            c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line),
+            f AS (SELECT l.doc_id, l.line_idx, l.line, (c.nd >= 2) AS dup
+                  FROM l JOIN c USING (line))
+            SELECT doc_id, count(*)::BIGINT AS n_lines,
+                   sum(dup::INT)::BIGINT AS n_removed,
+                   coalesce(array_to_string(
+                       list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
+                       '') AS clean_text
+            FROM f GROUP BY doc_id
+        """,
+        # containment twin: the planted truncated copies are rebuilt with
+        # the identical integer arithmetic (sources/derive.
+        # truncated_docs_from_documents), then the exact count-then-filter
+        # join the engine runs — postings join on shared 5-gram, group to
+        # |A ∩ B|, filter per direction. Docs with < 5 words never pair.
+        "containment": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000000,
+                       array_to_string(ws[1:((len(ws)*6)//10)::INT], ' ')
+                           || ' t' || doc_id || 'x t' || doc_id || 'y'
+                FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents)
+                WHERE doc_id % 9 = 3 AND len(ws) >= 14
+            ),
+            w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM base WHERE length(trim(text)) > 0
+            ),
+            t AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(ws[i:i+4], ' ')
+                                      for i in generate_series(1, len(ws)-4)]) AS toks
+                FROM w WHERE len(ws) >= 5
+            ),
+            e AS (SELECT doc_id, len(toks)::DOUBLE AS n, unnest(toks) AS tok FROM t),
+            p AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb,
+                       count(*)::BIGINT AS inter, any_value(a.n) AS na
+                FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT ida AS id_a, idb AS id_b, inter AS n_inter,
+                   round(inter / na, 6) AS containment
+            FROM p WHERE inter / na >= 0.8
+        """,
+        # UniMax twin: identical closed-form water-fill — ascending
+        # (cap, lang) cumulative sums, first-infeasible prefix rule,
+        # shared level for the uncapped tail; all double math mirrors the
+        # engine's numpy ops term-for-term
+        "unimax": """
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS nd FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT 1.8 * sum(nd) AS b, count(*)::BIGINT AS m FROM c),
+            o AS (
+                SELECT lang, nd, 2.0 * nd AS cap,
+                       sum(2.0 * nd) OVER (
+                           ORDER BY 2.0 * nd, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS csum,
+                       row_number() OVER (ORDER BY 2.0 * nd, lang) AS rn
+                FROM c
+            ),
+            k AS (
+                SELECT coalesce(min(o.rn), (SELECT m + 1 FROM tot)) - 1 AS k
+                FROM o, tot
+                WHERE NOT (cap * (m - rn + 1) <= b - (csum - cap))
+            ),
+            lvl AS (
+                SELECT CASE WHEN k.k >= tot.m THEN 1e308 ELSE
+                    (tot.b - coalesce(
+                        (SELECT csum FROM o WHERE rn = (SELECT k FROM k)), 0.0))
+                    / (tot.m - k.k) END AS level
+                FROM k, tot
+            )
+            SELECT lang, nd::BIGINT AS n_docs, round(cap, 6) AS cap,
+                   round(CASE WHEN rn <= k.k THEN cap
+                              ELSE least(cap, level) END, 6) AS quota,
+                   round(CASE WHEN rn <= k.k THEN cap
+                              ELSE least(cap, level) END / nd, 6) AS epochs
+            FROM o, k, lvl ORDER BY lang
         """,
     }

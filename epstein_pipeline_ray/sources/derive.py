@@ -177,3 +177,45 @@ def spanned_docs_from_documents(sf_dir: str) -> Dataset:
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def truncated_docs_from_documents(sf_dir: str) -> Dataset:
+    """documents.parquet → the same docs PLUS planted truncated copies
+    for the set-containment dedup operator
+    (stages/corpus_dedup.containment_pairs): every doc with
+    doc_id % 9 == 3 and >= 14 words also emits a copy under
+    doc_id + 100_000_000 holding its first ``(n_words * 6) // 10``
+    words followed by two copy-unique marker words (``t{id}x t{id}y``),
+    so the copy's shingle set is ALMOST contained in the original's
+    (the two markers create a handful of shingles the original lacks,
+    putting true containment strictly between the threshold and 1.0).
+    Pure integer arithmetic on doc_id → the DuckDB twin rebuilds the
+    identical table with an array slice and the containment query gets
+    a full value-hash oracle.
+    """
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id: list[int] = []
+        out_text: list[str] = []
+        for doc_id, text in zip(ids, texts):
+            t = text or ""
+            out_id.append(int(doc_id))
+            out_text.append(t)
+            if doc_id % 9 == 3:
+                words = t.split(" ")
+                if len(words) >= 14:
+                    keep = (len(words) * 6) // 10
+                    out_id.append(int(doc_id) + 100_000_000)
+                    out_text.append(
+                        " ".join(words[:keep])
+                        + f" t{doc_id}x t{doc_id}y"
+                    )
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        })
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

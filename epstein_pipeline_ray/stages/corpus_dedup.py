@@ -1,0 +1,336 @@
+"""Corpus-wide sub-document dedup operators.
+
+Two named-method operators over the ``documents`` table:
+
+* :func:`line_dedup_corpus` — boilerplate line removal (the CCNet
+  paragraph-dedup / RefinedWeb line-wise-correction idea, Wenzek 2020
+  §3.1, Penedo 2023 §3.3): a "line" occurring in at least ``min_docs``
+  DISTINCT documents is boilerplate and removed from every document.
+* :func:`containment_pairs` — asymmetric set-containment near-dup join
+  (the overlap/containment variant of the set-similarity join family,
+  Xiao et al. WWW'08): ordered pairs (a, b) where
+  ``|S(a) ∩ S(b)| / |S(a)| >= t`` over distinct word n-gram shingles —
+  catches documents that are truncations / excerpts of another document,
+  which symmetric Jaccard misses (a 60% prefix of a long doc has
+  J ≈ 0.6 but containment 1.0).
+
+Reference parity: the reference's dedup passes are whole-document only
+(reference processors/dedup.py); these extend the family to
+sub-document granularity, the gap its HOC corpus analyses flag
+(duplicated OCR boilerplate inside otherwise-distinct documents).
+
+Both are two-exchange plans: ids/hashes and the minimal payload ride
+the exchanges, all per-block math is vectorized, and flood keys are
+capped with metrics accounting (house convention, minhash_stage.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from epstein_pipeline_ray.functions.rounding import sql_round
+from epstein_pipeline_ray.stages.dedup_extra import _token_hash64
+from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+_LINE_ROWS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("line_idx", pa.int32()),
+    ("line", pa.large_string()),
+    ("lh", pa.int64()),
+])
+
+_LINE_FLAG_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("line_idx", pa.int32()),
+    ("line", pa.large_string()),
+    ("dup", pa.bool_()),
+])
+
+_LINE_OUT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_lines", pa.int64()),
+    ("n_removed", pa.int64()),
+    ("clean_text", pa.large_string()),
+])
+
+
+def line_dedup_corpus(
+    docs: Dataset,
+    width: int = 12,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Remove corpus-boilerplate lines: a line (= ``width``-word window
+    of the single-space word array, mirroring the noisy-turn window
+    convention so the DuckDB twin can rebuild it with an array slice)
+    that appears in >= ``min_docs`` distinct documents is dropped from
+    ALL documents. Returns one row per input doc:
+    ``(doc_id, n_lines, n_removed, clean_text)`` with ``clean_text`` =
+    the kept lines re-joined in order (empty string when everything was
+    boilerplate).
+
+    Plan: explode → exchange 1 keyed on the line hash (per block: sort
+    by (line, doc), distinct-doc counts via first-of-run flags — the
+    line string rides the row so 64-bit hash collisions cannot
+    mis-merge) → exchange 2 keyed on doc_id (sort by line_idx, rebuild).
+    Text crosses each exchange exactly once — corpus-proportional but
+    inherent to rebuilding the cleaned corpus; at 100 TB both exchanges
+    are hash-partitioned on keys with no driver materialization.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_line: list[str] = []
+        out_lh: list[int] = []
+        for doc_id, text in zip(ids, texts):
+            words = (text or "").split(" ")
+            for i in range(0, (len(words) + width - 1) // width):
+                line = " ".join(words[i * width: i * width + width])
+                out_id.append(int(doc_id))
+                out_idx.append(i)
+                out_line.append(line)
+                h = _token_hash64(line)
+                out_lh.append(h if h < (1 << 63) else h - (1 << 64))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "line_idx": pa.array(out_idx, pa.int32()),
+            "line": pa.array(out_line, pa.large_string()),
+            "lh": pa.array(out_lh, pa.int64()),
+        }, schema=_LINE_ROWS_SCHEMA)
+
+    lines = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def flag_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _LINE_FLAG_SCHEMA.empty_table()
+        df = block.to_pandas()
+        df = df.sort_values(["line", "doc_id"], kind="mergesort").reset_index(drop=True)
+        line = df["line"].to_numpy()
+        did = df["doc_id"].to_numpy()
+        new_line = np.ones(len(df), dtype=bool)
+        new_line[1:] = line[1:] != line[:-1]
+        new_doc = new_line.copy()
+        new_doc[1:] |= did[1:] != did[:-1]
+        # distinct docs per line run = count of new_doc flags in the run
+        run_id = np.cumsum(new_line) - 1
+        ndocs = np.bincount(run_id, weights=new_doc.astype(np.int64)).astype(np.int64)
+        dup = ndocs[run_id] >= min_docs
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "line_idx": pa.array(df["line_idx"].to_numpy(), pa.int32()),
+            "line": pa.array(df["line"], pa.large_string()),
+            "dup": pa.array(dup, pa.bool_()),
+        }, schema=_LINE_FLAG_SCHEMA)
+
+    flagged = map_key_blocks(lines, ["lh"], flag_block, num_partitions,
+                             sort_blocks=False)
+
+    def rebuild_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _LINE_OUT_SCHEMA.empty_table()
+        df = block.to_pandas()
+        df = df.sort_values(["doc_id", "line_idx"], kind="mergesort").reset_index(drop=True)
+        g = df.groupby("doc_id", sort=True)
+        out = g.agg(
+            n_lines=("line_idx", "size"),
+            n_removed=("dup", "sum"),
+        ).reset_index()
+        kept = (
+            df.loc[~df["dup"]]
+            .groupby("doc_id", sort=True)["line"]
+            .agg(" ".join)
+        )
+        out["clean_text"] = out["doc_id"].map(kept).fillna("")
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_lines": pa.array(out["n_lines"].to_numpy(np.int64), pa.int64()),
+            "n_removed": pa.array(out["n_removed"].to_numpy(np.int64), pa.int64()),
+            "clean_text": pa.array(out["clean_text"], pa.large_string()),
+        }, schema=_LINE_OUT_SCHEMA)
+
+    return map_key_blocks(flagged, [id_col], rebuild_block, num_partitions,
+                          sort_blocks=False)
+
+
+_PAIR_PARTIAL_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("cnt", pa.int64()),
+    ("na", pa.int32()),
+    ("nb", pa.int32()),
+])
+
+_CONTAIN_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("n_inter", pa.int64()),
+    ("containment", pa.float64()),
+])
+
+
+def _run_pairs(run_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (i < j) for rows sorted by run —
+    vectorized: element at in-run position p pairs with the p rows
+    before it."""
+    n = run_id.size
+    starts = np.flatnonzero(np.r_[True, run_id[1:] != run_id[:-1]])
+    run_start = starts[np.cumsum(np.r_[True, run_id[1:] != run_id[:-1]]) - 1]
+    pos = np.arange(n) - run_start
+    J = np.repeat(np.arange(n), pos)
+    # partner index = run_start[j] + (sequence number within j's block)
+    off = np.concatenate([[0], np.cumsum(pos)])
+    I = np.arange(J.size) - np.repeat(off[:-1], pos) + np.repeat(run_start, pos)
+    return I, J
+
+
+def containment_pairs(
+    docs: Dataset,
+    threshold: float = 0.8,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    max_posting: int = 8192,
+) -> Dataset:
+    """Ordered near-dup pairs by shingle-set CONTAINMENT: emit
+    ``(id_a, id_b, n_inter, containment)`` for every ordered pair with
+    ``containment = |S(a) ∩ S(b)| / |S(a)| >= threshold``, S = distinct
+    ``ngram``-word shingle hash set (lower().split() tokens, house
+    convention). Exact count-then-filter plan — no signatures, no
+    blobs:
+
+    1. map-side: each doc emits its distinct shingle hashes
+       ``(tok, id, n)``; docs with fewer than ``ngram`` words emit
+       nothing and never pair (the blank-doc convention).
+    2. exchange on ``tok``: each token's posting run emits its
+       canonical doc pairs, pre-aggregated per block to
+       ``(id_a, id_b, partial_cnt, na, nb)`` — the map-side combiner
+       that keeps the pair exchange proportional to MATCHING pairs.
+    3. exchange on ``(id_a, id_b)``: sum partials → exact
+       ``|A ∩ B|``; both containment directions are tested and
+       emitted independently.
+
+    Postings longer than ``max_posting`` are truncated with metrics
+    accounting (``containment.postings_capped`` — house skew-cap
+    convention; never fires on the sf corpora, so oracle parity holds).
+    Shingle identity is the 64-bit blake2b hash: a cross-doc collision
+    (~2^-64 per shingle pair) could overcount one intersection slot.
+    """
+    t = float(threshold)
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_tok: list[int] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        for doc_id, text in zip(ids, texts):
+            words = str(text or "").lower().split()
+            if len(words) < ngram:
+                continue
+            toks = {
+                _token_hash64(" ".join(words[j: j + ngram]))
+                for j in range(len(words) - ngram + 1)
+            }
+            n = len(toks)
+            for h in toks:
+                out_tok.append(h if h < (1 << 63) else h - (1 << 64))
+                out_id.append(int(doc_id))
+                out_n.append(n)
+        return pa.table({
+            "tok": pa.array(out_tok, pa.int64()),
+            "__id": pa.array(out_id, pa.int64()),
+            "n": pa.array(out_n, pa.int32()),
+        })
+
+    postings = docs.select_columns([id_col, text_col]).map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        tok = np.asarray(block["tok"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(block["__id"].to_numpy(zero_copy_only=False))
+        ns = np.asarray(block["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((ids, tok))
+        tok, ids, ns = tok[order], ids[order], ns[order]
+        new_run = np.r_[True, tok[1:] != tok[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        over = run_len > max_posting
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            pos_in_run = np.arange(tok.size) - np.repeat(
+                np.flatnonzero(new_run), run_len)
+            keep = pos_in_run < max_posting
+            metrics.inc("containment.postings_capped", int(over.sum()))
+            metrics.inc("containment.rows_capped", int((~keep).sum()))
+            tok, ids, ns, run_id = tok[keep], ids[keep], ns[keep], run_id[keep]
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return _PAIR_PARTIAL_SCHEMA.empty_table()
+        ia, ib = ids[I], ids[J]
+        na, nb = ns[I], ns[J]
+        swap = ia > ib
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        na2 = np.where(swap, nb, na)
+        nb2 = np.where(swap, na, nb)
+        # map-side combine: one row per (pair) with its shared-token count
+        key = (ia2.astype(np.int64) << 32) ^ ib2.astype(np.int64)
+        df = pd.DataFrame({"k": key, "id_a": ia2, "id_b": ib2,
+                           "na": na2, "nb": nb2})
+        g = df.groupby(["id_a", "id_b"], sort=False).agg(
+            cnt=("k", "size"), na=("na", "first"), nb=("nb", "first")
+        ).reset_index()
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            "na": pa.array(g["na"].to_numpy(np.int32), pa.int32()),
+            "nb": pa.array(g["nb"].to_numpy(np.int32), pa.int32()),
+        }, schema=_PAIR_PARTIAL_SCHEMA)
+
+    partials = map_key_blocks(postings, ["tok"], pair_block, num_partitions,
+                              sort_blocks=False)
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _CONTAIN_SCHEMA.empty_table()
+        df = block.to_pandas()
+        g = df.groupby(["id_a", "id_b"], sort=True).agg(
+            cnt=("cnt", "sum"), na=("na", "first"), nb=("nb", "first")
+        ).reset_index()
+        inter = g["cnt"].to_numpy(np.int64)
+        na = g["na"].to_numpy(np.float64)
+        nb = g["nb"].to_numpy(np.float64)
+        ida = g["id_a"].to_numpy(np.int64)
+        idb = g["id_b"].to_numpy(np.int64)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for contained, container, n_c in ((ida, idb, na), (idb, ida, nb)):
+            m = inter / n_c >= t
+            out_a.append(contained[m])
+            out_b.append(container[m])
+            out_i.append(inter[m])
+            out_c.append(sql_round(inter[m] / n_c[m], 6))
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "n_inter": pa.array(np.concatenate(out_i), pa.int64()),
+            "containment": pa.array(np.concatenate(out_c), pa.float64()),
+        }, schema=_CONTAIN_SCHEMA)
+
+    return map_key_blocks(partials, ["id_a", "id_b"], reduce_block,
+                          num_partitions, sort_blocks=False)

@@ -1,0 +1,191 @@
+"""Brute-force parity + edge cases for stages/corpus_dedup.py and
+stages/mixing.py (line-level boilerplate removal, shingle containment,
+UniMax allocation)."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def _brute_line_dedup(rows, width=12, min_docs=2):
+    def lines_of(t):
+        ws = (t or "").split(" ")
+        return [" ".join(ws[i * width: i * width + width])
+                for i in range((len(ws) + width - 1) // width)]
+
+    docline = {did: lines_of(t) for did, t in rows}
+    cnt = Counter()
+    for ls in docline.values():
+        for l in set(ls):
+            cnt[l] += 1
+    out = []
+    for did in sorted(docline):
+        ls = docline[did]
+        dup = [cnt[l] >= min_docs for l in ls]
+        out.append((did, len(ls), sum(dup),
+                    " ".join(l for l, d in zip(ls, dup) if not d)))
+    return pd.DataFrame(out, columns=["doc_id", "n_lines", "n_removed",
+                                      "clean_text"])
+
+
+def _brute_containment(rows, threshold=0.8, ngram=5):
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    sets = {}
+    for did, t in rows:
+        ws = str(t or "").lower().split()
+        if len(ws) < ngram:
+            continue
+        sets[did] = {" ".join(ws[j: j + ngram])
+                     for j in range(len(ws) - ngram + 1)}
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        if inter / len(sets[a]) >= threshold:
+            out.append((a, b, inter, float(sql_round(inter / len(sets[a]), 6))))
+        if inter / len(sets[b]) >= threshold:
+            out.append((b, a, inter, float(sql_round(inter / len(sets[b]), 6))))
+    return (pd.DataFrame(out, columns=["id_a", "id_b", "n_inter", "containment"])
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _synth_docs(n=60, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        nw = int(rng.integers(3, 40))
+        text = " ".join(WORDS[int(rng.integers(0, len(WORDS)))]
+                        for _ in range(nw))
+        rows.append((i, text))
+    # planted: exact dup, truncation, blank, short
+    rows.append((100, rows[0][1]))
+    base = rows[1][1]
+    rows.append((101, " ".join(base.split()[: max(6, len(base.split()) * 2 // 3)])))
+    rows.append((102, ""))
+    rows.append((103, "just three words"))
+    return rows
+
+
+def test_line_dedup_matches_brute(ray_session):
+    from epstein_pipeline_ray.stages.corpus_dedup import line_dedup_corpus
+
+    rows = _synth_docs()
+    got = (line_dedup_corpus(_docs_ds(rows), width=4, min_docs=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _brute_line_dedup(rows, width=4, min_docs=2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted exact dup removes every line of both copies
+    full = got.set_index("doc_id")
+    assert full.loc[100, "n_removed"] == full.loc[100, "n_lines"]
+    assert full.loc[100, "clean_text"] == ""
+
+
+def test_line_dedup_min_docs_3_and_within_doc_repeat(ray_session):
+    from epstein_pipeline_ray.stages.corpus_dedup import line_dedup_corpus
+
+    # the same line twice WITHIN one doc is 1 distinct doc — not
+    # boilerplate at min_docs=2
+    rows = [(1, "a b a b"), (2, "c d e f"), (3, "c d g h")]
+    got = (line_dedup_corpus(_docs_ds(rows), width=2, min_docs=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = _brute_line_dedup(rows, width=2, min_docs=2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.set_index("doc_id").loc[1, "n_removed"] == 0
+    assert got.set_index("doc_id").loc[2, "n_removed"] == 1  # shared "c d"
+
+
+def test_containment_matches_brute(ray_session):
+    from epstein_pipeline_ray.stages.corpus_dedup import containment_pairs
+
+    rows = _synth_docs()
+    got = (containment_pairs(_docs_ds(rows), threshold=0.6, ngram=3)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = _brute_containment(rows, threshold=0.6, ngram=3)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # planted truncation must be found contained in its source
+    assert ((got.id_a == 101) & (got.id_b == 1)).any()
+    # blank + sub-ngram docs never pair
+    assert not got.id_a.isin([102, 103]).any()
+    assert not got.id_b.isin([102, 103]).any()
+
+
+def test_containment_is_asymmetric(ray_session):
+    from epstein_pipeline_ray.stages.corpus_dedup import containment_pairs
+
+    # doc 2 = prefix of doc 1: containment(2→1) = 1.0 but 1 is NOT
+    # contained in 2 at t=0.9
+    long = " ".join(WORDS) + " " + " ".join(reversed(WORDS))
+    short = " ".join(long.split()[:12])
+    got = containment_pairs(_docs_ds([(1, long), (2, short)]),
+                            threshold=0.9, ngram=3).to_pandas()
+    assert set(map(tuple, got[["id_a", "id_b"]].to_numpy())) == {(2, 1)}
+    assert got.containment.iloc[0] == 1.0
+
+
+def test_containment_posting_cap_metric(ray_session):
+    from epstein_pipeline_ray.stages.corpus_dedup import containment_pairs
+
+    # identical docs with a forced tiny posting cap: pairs drop, metric fires
+    rows = [(i, " ".join(WORDS)) for i in range(6)]
+    got = containment_pairs(_docs_ds(rows), threshold=0.5, ngram=3,
+                            max_posting=2).to_pandas()
+    full = containment_pairs(_docs_ds(rows), threshold=0.5, ngram=3).to_pandas()
+    assert len(got) < len(full)
+    assert len(full) == 6 * 5  # all ordered pairs of 6 identical docs
+
+
+def test_unimax_matches_greedy_loop(ray_session):
+    from epstein_pipeline_ray.stages.mixing import unimax_allocation
+
+    rows = [(i, "x") for i in range(10)]
+    langs = ["en"] * 60 + ["de"] * 25 + ["fr"] * 10 + ["zh"] * 4 + ["eu"] * 1
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"lang": pa.array(langs, pa.string())}))
+    for frac, eps in ((0.4, 2), (1.8, 2), (5.0, 1), (0.05, 3)):
+        got = unimax_allocation(ds, budget_frac=frac, n_epochs=eps).to_pandas()
+        counts = Counter(langs)
+        B = frac * len(langs)
+        rem, mm = B, len(counts)
+        q = {}
+        for lang in sorted(counts, key=lambda l: (eps * counts[l], l)):
+            q[lang] = min(eps * counts[lang], rem / mm)
+            rem -= q[lang]
+            mm -= 1
+        for _, r in got.iterrows():
+            assert abs(r.quota - q[r.lang]) < 1e-6, (frac, eps, r.lang)
+        # budget conservation (up to the global cap) and epoch bound
+        assert got.quota.sum() <= B + 1e-6
+        assert (got.epochs <= eps + 1e-9).all()
+        assert abs(got.quota.sum() - min(B, eps * len(langs))) < 1e-6
+
+
+def test_unimax_all_capped(ray_session):
+    from epstein_pipeline_ray.stages.mixing import unimax_allocation
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"lang": pa.array(["a"] * 3 + ["b"] * 2)}))
+    got = unimax_allocation(ds, budget=1000.0, n_epochs=2).to_pandas()
+    assert (got.quota == got.cap).all()
+    assert (got.epochs == 2.0).all()
