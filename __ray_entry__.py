@@ -1715,6 +1715,33 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_domain_kl(sf_dir: str):
+    """Per-source unigram KL(P_source || P_corpus) — the domain-shift /
+    data-selection diagnostic (Moore-Lewis cross-entropy difference
+    family): map-side count partials, tiny per-domain totals broadcast,
+    one token-keyed exchange of counts (never text), exact-sum reduce."""
+    from epstein_pipeline_ray.stages.mixing import domain_kl
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return domain_kl(docs)
+
+
+def q_cluster_cap(sf_dir: str):
+    """Cluster-balanced diversity sampling (the SemDeDup-style per-
+    embedding-cluster cap, Abbas 2023): assign every vector to its
+    max-cosine centroid (first 8 vectors as centroids, the
+    kmeans_assign convention), keep <= 25 per cluster by deterministic
+    LCG-mixed-id rank — map-side per-cluster prune, then one keyed
+    exchange over the pruned survivors."""
+    from epstein_pipeline_ray.stages.mixing import cluster_balanced_sample
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = vecs.filter(lambda r: r["vec_id"] < 8).to_pandas().sort_values("vec_id")
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return cluster_balanced_sample(vecs, cents, qdf["vec_id"].tolist(),
+                                   per_cluster=25)
+
+
 def q_unimax(sf_dir: str):
     """UniMax language-sampling allocation (Chung et al. ICLR'23):
     water-fill a budget of 1.8x the corpus across languages with a
@@ -1827,6 +1854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "containment": q_containment,
         "unimax": q_unimax,
+        "domain_kl": q_domain_kl,
+        "cluster_cap": q_cluster_cap,
     }
 
 
@@ -3216,6 +3245,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT ida AS id_a, idb AS id_b, inter AS n_inter,
                    round(inter / na, 6) AS containment
             FROM p WHERE inter / na >= 0.8
+        """,
+        # domain-KL twin: identical counts and the identical
+        # p*ln(p/q) term, summed per source — association order differs
+        # (engine: per-block partials; SQL: hash-agg), a ~1e-15
+        # relative spread absorbed by the 6-dp rounding (the lm_nll
+        # precedent)
+        "domain_kl": """
+            WITH tk AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(
+                           trim(lower(text)), '\\s+')) AS tok
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            st AS (SELECT source, tok, count(*)::DOUBLE AS c
+                   FROM tk GROUP BY 1, 2),
+            ns AS (SELECT source, sum(c) AS n FROM st GROUP BY 1),
+            tt AS (SELECT tok, sum(c) AS ct FROM st GROUP BY 1),
+            n AS (SELECT sum(c) AS n FROM st),
+            terms AS (
+                SELECT st.source,
+                       (st.c / ns.n) * ln((st.c / ns.n) / (tt.ct / n.n)) AS term
+                FROM st JOIN ns USING (source) JOIN tt USING (tok) CROSS JOIN n
+            )
+            SELECT source, ns.n::BIGINT AS n_tokens,
+                   round(sum(term), 6) AS kl
+            FROM terms JOIN ns USING (source)
+            GROUP BY source, ns.n ORDER BY source
+        """,
+        # cluster-cap twin: the green kmeans_assign assignment (argmax
+        # cosine, ties -> smaller centroid id) + per-cluster LCG-mix
+        # rank (the corpus_sample mixing constant)
+        "cluster_cap": """
+            WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, c.cid,
+                         row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(
+                                 e.embedding::DOUBLE[], c.ce) DESC,
+                                      c.cid ASC) AS rk
+                  FROM embeddings e CROSS JOIN c),
+            a AS (SELECT vec_id, cid,
+                         ((vec_id % 2147483648) * 1103515245 + 12345)
+                             % 2147483648 AS mix
+                  FROM s WHERE rk = 1),
+            r AS (SELECT vec_id, cid AS centroid_id,
+                         row_number() OVER (
+                             PARTITION BY cid ORDER BY mix, vec_id) AS rr
+                  FROM a)
+            SELECT vec_id, centroid_id FROM r WHERE rr <= 25
         """,
         # UniMax twin: identical closed-form water-fill — ascending
         # (cap, lang) cumulative sums, first-infeasible prefix rule,

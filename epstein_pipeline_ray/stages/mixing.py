@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 from ray.data import Dataset
 
 from epstein_pipeline_ray.functions.rounding import sql_round
@@ -85,3 +86,146 @@ def unimax_allocation(
         "epochs": sql_round(epochs, 6),
     }).sort_values("lang").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def domain_kl(
+    docs: Dataset,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-domain unigram KL divergence KL(P_domain || P_corpus) — the
+    domain-shift diagnostic behind importance-weighted data selection
+    (Moore & Lewis ACL'10 cross-entropy difference; Xie 2023 DSIR uses
+    the same distribution-ratio machinery): how far each ``group_col``
+    value's word distribution sits from the corpus mixture. Returns
+    ``(source, n_tokens, kl)``.
+
+    Plan: map-side (source, token, cnt) partials pre-aggregated per
+    batch → the per-source token totals are a tiny grouped_stats
+    broadcast (one row per domain) → ONE exchange keyed on token (each
+    token block holds every domain's count for that token, so the
+    corpus total c_t is block-local) emitting per-block per-source
+    partial KL sums → a final tiny grouped sum. Token counts, never
+    text, cross the exchange.
+    """
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    def explode_counts(batch: pa.Table) -> pa.Table:
+        srcs = batch[group_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        cnt: dict[tuple[str, str], int] = {}
+        for s, t in zip(srcs, texts):
+            for w in str(t or "").lower().split():
+                k = (str(s), w)
+                cnt[k] = cnt.get(k, 0) + 1
+        if not cnt:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = list(cnt)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "tok": pa.array([k[1] for k in ks], pa.string()),
+            "cnt": pa.array([cnt[k] for k in ks], pa.int64()),
+        })
+
+    partials = docs.select_columns([group_col, text_col]).map_batches(
+        explode_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # tiny: one row per domain — the documented bounded small side
+    totals = grouped_stats(partials, ["source"], sum_cols=["cnt"]).to_pandas()
+    n_s = dict(zip(totals["source"], totals["sum_cnt"].astype(np.float64)))
+    n_total = float(totals["sum_cnt"].sum())
+    ns_ref = ray.put((n_s, n_total))
+
+    term_schema = pa.schema([("source", pa.string()), ("kl_part", pa.float64())])
+
+    def kl_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return term_schema.empty_table()
+        ns, n = ray.get(ns_ref)
+        df = block.to_pandas()
+        g = df.groupby(["tok", "source"], sort=True)["cnt"].sum().reset_index()
+        ct = g.groupby("tok", sort=False)["cnt"].transform("sum").to_numpy(np.float64)
+        c_st = g["cnt"].to_numpy(np.float64)
+        nsv = g["source"].map(ns).to_numpy(np.float64)
+        p = c_st / nsv
+        term = p * np.log(p / (ct / n))
+        out = pd.DataFrame({"source": g["source"], "term": term}) \
+            .groupby("source", sort=True)["term"].sum().reset_index()
+        return pa.table({
+            "source": pa.array(out["source"], pa.string()),
+            "kl_part": pa.array(out["term"].to_numpy(np.float64), pa.float64()),
+        }, schema=term_schema)
+
+    parts = map_key_blocks(partials, ["tok"], kl_block, num_partitions,
+                           sort_blocks=False)
+    # final reduce is a bounded table (exchange partitions × domains
+    # rows) — sum it directly; grouped_stats is unsuitable here because
+    # its sums round to 4 dp (the doc_stats convention)
+    pdf = parts.to_pandas()
+    out = (pdf.groupby("source", sort=True)["kl_part"].sum().reset_index()
+           if len(pdf) else pd.DataFrame({"source": [], "kl_part": []}))
+    out["n_tokens"] = out["source"].map(n_s).astype(np.int64)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "source": out["source"].astype(str),
+        "n_tokens": out["n_tokens"],
+        "kl": sql_round(out["kl_part"].to_numpy(np.float64), 6),
+    }), preserve_index=False)
+
+
+def cluster_balanced_sample(
+    vectors: Dataset,
+    centroids: np.ndarray,
+    centroid_ids: list,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Diversity-capped sampling: assign every vector to its max-cosine
+    centroid (embed.kmeans_assign), then keep at most ``per_cluster``
+    vectors per cluster by deterministic LCG-mixed-id rank (the
+    reproducible-sample convention of relational.deterministic_sample) —
+    the cluster-balanced selection step of SemDeDup-style diversity
+    pruning (Abbas 2023 §3: prune within embedding clusters so no
+    region of the space dominates the kept set).
+
+    Scale plan: each batch pre-prunes to ``per_cluster`` rows per
+    cluster PRESENT IN THE BATCH (map-side combiner), so the keyed
+    exchange moves at most per_cluster × clusters × batches rows; the
+    final per-cluster rank runs on blocks bounded by
+    per_cluster × upstream-batch-count, never the raw cluster size.
+    """
+    from epstein_pipeline_ray.stages.embed import kmeans_assign
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    assigned = kmeans_assign(vectors, centroids, centroid_ids,
+                             id_col=id_col, emb_col=emb_col)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_col, "centroid_id"])
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cid = np.asarray(batch["centroid_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        mix = ((ids % 2147483648) * 1103515245 + 12345) % 2147483648
+        order = np.lexsort((ids, mix, cid))
+        cs = cid[order]
+        new = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(new)
+        pos = np.arange(cs.size) - starts[np.cumsum(new) - 1]
+        keep = order[pos < per_cluster]
+        return pa.table({
+            id_col: pa.array(ids[keep], pa.int64()),
+            "centroid_id": pa.array(cid[keep], pa.int64()),
+        })
+
+    pruned = assigned.map_batches(prune, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return map_key_blocks(pruned, ["centroid_id"], prune, num_partitions,
+                          sort_blocks=False)

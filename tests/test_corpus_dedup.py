@@ -189,3 +189,75 @@ def test_unimax_all_capped(ray_session):
     got = unimax_allocation(ds, budget=1000.0, n_epochs=2).to_pandas()
     assert (got.quota == got.cap).all()
     assert (got.epochs == 2.0).all()
+
+
+def test_domain_kl_matches_brute(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.mixing import domain_kl
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(80):
+        src = f"s{i % 4}"
+        nw = int(rng.integers(1, 30))
+        rows.append((src, " ".join(
+            WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(nw))))
+    rows.append(("s0", ""))  # blank doc contributes nothing
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    got = domain_kl(ds, num_partitions=3).to_pandas()
+    cst, ns, ct = Counter(), Counter(), Counter()
+    for s, t in rows:
+        for w in str(t or "").lower().split():
+            cst[(s, w)] += 1
+            ns[s] += 1
+            ct[w] += 1
+    N = sum(ns.values())
+    kl = Counter()
+    for (s, w), c in cst.items():
+        p = c / ns[s]
+        kl[s] += p * np.log(p / (ct[w] / N))
+    want = pd.DataFrame(
+        sorted((s, ns[s], float(sql_round(kl[s], 6))) for s in ns),
+        columns=["source", "n_tokens", "kl"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # KL is non-negative and a uniform corpus has KL ~ 0 for a domain
+    # that mirrors the mixture
+    assert (got.kl >= 0).all()
+
+
+def test_cluster_balanced_sample_cap_and_determinism(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.embed import kmeans_assign
+    from epstein_pipeline_ray.stages.mixing import cluster_balanced_sample
+
+    rng = np.random.default_rng(3)
+    n, d, k = 120, 8, 4
+    emb = rng.normal(size=(n, d))
+    cents = rng.normal(size=(k, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float32())),
+    }))
+    got = (cluster_balanced_sample(ds, cents, list(range(k)), per_cluster=7)
+           .to_pandas().sort_values(["centroid_id", "vec_id"])
+           .reset_index(drop=True))
+    # oracle: full assignment + LCG rank
+    asg = kmeans_assign(ds, cents, list(range(k))).to_pandas()
+    asg["mix"] = ((asg.vec_id % 2147483648) * 1103515245 + 12345) % 2147483648
+    asg["rr"] = asg.sort_values(["mix", "vec_id"]).groupby("centroid_id").cumcount()
+    want = (asg[asg.rr < 7][["vec_id", "centroid_id"]]
+            .sort_values(["centroid_id", "vec_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.groupby("centroid_id").size().max() <= 7
+    # deterministic across runs
+    again = (cluster_balanced_sample(ds, cents, list(range(k)), per_cluster=7)
+             .to_pandas().sort_values(["centroid_id", "vec_id"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
