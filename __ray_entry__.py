@@ -1715,6 +1715,17 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_prefix_dedup(sf_dir: str):
+    """Conversation prefix dedup (branched agent traces sharing a leading
+    turn sequence): per conv, the longest k such that >= 2 distinct convs
+    share its first-k turn texts, and whether the WHOLE conv is such a
+    shared prefix (the rows a first-wins trace dedup drops). Exact
+    prefix-string exchange — see transcript_ops.conv_prefix_dedup."""
+    from epstein_pipeline_ray.stages.transcript_ops import conv_prefix_dedup
+
+    return conv_prefix_dedup(_noisy_turns(sf_dir))
+
+
 def q_domain_kl(sf_dir: str):
     """Per-source unigram KL(P_source || P_corpus) — the domain-shift /
     data-selection diagnostic (Moore-Lewis cross-entropy difference
@@ -1856,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unimax": q_unimax,
         "domain_kl": q_domain_kl,
         "cluster_cap": q_cluster_cap,
+        "prefix_dedup": q_prefix_dedup,
     }
 
 
@@ -3245,6 +3257,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT ida AS id_a, idb AS id_b, inter AS n_inter,
                    round(inter / na, 6) AS containment
             FROM p WHERE inter / na >= 0.8
+        """,
+        # prefix-dedup twin: cumulative windowed string_agg rebuilds the
+        # exact prefix strings (k = row_number among kept turns, the
+        # engine's position-among-kept convention); a prefix appearing
+        # under >= 2 distinct convs is shared
+        "prefix_dedup": f"""
+            WITH {_NOISY_TURNS_CTE},
+            p AS (
+                SELECT conv_id,
+                       string_agg(text, chr(31)) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pfx,
+                       row_number() OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS k
+                FROM nturns
+            ),
+            c AS (SELECT pfx, count(DISTINCT conv_id) AS nc
+                  FROM p GROUP BY pfx),
+            s AS (SELECT p.conv_id, max(p.k) AS spl
+                  FROM p JOIN c USING (pfx) WHERE c.nc >= 2
+                  GROUP BY p.conv_id),
+            b AS (SELECT conv_id, count(*)::INT AS n_turns
+                  FROM nturns GROUP BY conv_id)
+            SELECT b.conv_id, b.n_turns,
+                   coalesce(s.spl, 0)::INT AS shared_prefix_len,
+                   (coalesce(s.spl, 0) = b.n_turns) AS full_prefix_dup
+            FROM b LEFT JOIN s USING (conv_id)
         """,
         # domain-KL twin: identical counts and the identical
         # p*ln(p/q) term, summed per source — association order differs

@@ -254,3 +254,136 @@ def global_turn_dedup(ds: Dataset, key: str = "conv_id",
 
     return map_key_blocks(ds, [text_col], per_block, num_partitions,
                           sort_blocks=False)
+
+
+_PFX_ROWS_SCHEMA = pa.schema([
+    ("pfx", pa.large_string()),
+    ("conv_id", pa.string()),
+    ("k", pa.int32()),
+])
+
+_PFX_SHARED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("k", pa.int32()),
+])
+
+_PFX_MAX_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("shared_prefix_len", pa.int32()),
+])
+
+
+def conv_prefix_dedup(ds: Dataset, key: str = "conv_id",
+                      order_col: str = "turn_idx",
+                      text_col: str = "text",
+                      num_partitions: int | None = None) -> Dataset:
+    """Conversation PREFIX dedup — the branched-agent-trace case: many
+    logged conversations share an identical leading turn sequence (same
+    system prompt + same opening exchange, then diverge), so turn-level
+    and whole-conversation dedup both miss them. For every conversation
+    report ``(conv_id, n_turns, shared_prefix_len, full_prefix_dup)``:
+    ``shared_prefix_len`` = the longest k such that >= 2 DISTINCT
+    conversations share this conversation's first-k turn-text sequence
+    (0 when even the opening turn is unique); ``full_prefix_dup`` =
+    the conversation's ENTIRE turn sequence is such a shared prefix,
+    i.e. it duplicates the head of some other conversation (or an exact
+    whole-conversation twin) — the rows a first-wins trace dedup drops.
+
+    Plan: one conv-keyed exchange builds each conversation's cumulative
+    prefix strings (k = position among the conversation's kept turns in
+    ``order_col`` order, texts joined by US 0x1f); a prefix-keyed
+    exchange counts distinct conversations per EXACT prefix string (the
+    string itself is the key — no hash-collision caveat); a tiny
+    conv-keyed max + a size-switched attach assemble the report.
+    Prefix strings are O(turns²) bytes per conversation through one
+    exchange — fine for chat-length convs; for very long traces swap
+    the cumulative strings for a chained rolling hash (documented
+    trade, minhash_true_jaccard carries the analogous exact payload).
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    pruned = ds.select_columns([key, order_col, text_col])
+
+    def per_conv(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PFX_ROWS_SCHEMA.empty_table()
+        df = block.to_pandas().sort_values([key, order_col],
+                                           kind="mergesort")
+        convs = df[key].to_numpy()
+        texts = df[text_col].to_numpy()
+        out_p: list[str] = []
+        out_c: list[str] = []
+        out_k: list[int] = []
+        cur = None
+        acc = ""
+        k = 0
+        for c, t in zip(convs, texts):
+            if c != cur:
+                cur, acc, k = c, "", 0
+            acc = t if k == 0 else acc + "\x1f" + str(t)
+            k += 1
+            out_p.append(acc)
+            out_c.append(str(c))
+            out_k.append(k)
+        return pa.table({
+            "pfx": pa.array(out_p, pa.large_string()),
+            "conv_id": pa.array(out_c, pa.string()),
+            "k": pa.array(out_k, pa.int32()),
+        }, schema=_PFX_ROWS_SCHEMA)
+
+    prefix_rows = map_key_blocks(pruned, [key], per_conv, num_partitions,
+                                 sort_blocks=False)
+
+    def shared_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PFX_SHARED_SCHEMA.empty_table()
+        df = block.to_pandas().sort_values(["pfx", "conv_id"],
+                                           kind="mergesort")
+        pfx = df["pfx"].to_numpy()
+        conv = df["conv_id"].to_numpy()
+        new_run = np.r_[True, pfx[1:] != pfx[:-1]]
+        new_conv = new_run | np.r_[True, conv[1:] != conv[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        ndist = np.bincount(run_id, weights=new_conv.astype(np.int64))
+        keep = ndist[run_id] >= 2
+        return pa.table({
+            "conv_id": pa.array(conv[keep], pa.string()),
+            "k": pa.array(df["k"].to_numpy()[keep], pa.int32()),
+        }, schema=_PFX_SHARED_SCHEMA)
+
+    shared = map_key_blocks(prefix_rows, ["pfx"], shared_block,
+                            num_partitions, sort_blocks=False)
+
+    def max_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _PFX_MAX_SCHEMA.empty_table()
+        g = (block.to_pandas().groupby("conv_id", sort=True)["k"].max()
+             .reset_index())
+        return pa.table({
+            "conv_id": pa.array(g["conv_id"], pa.string()),
+            "shared_prefix_len": pa.array(g["k"].to_numpy(np.int32),
+                                          pa.int32()),
+        }, schema=_PFX_MAX_SCHEMA)
+
+    shared_max = map_key_blocks(shared, ["conv_id"], max_block,
+                                num_partitions, sort_blocks=False)
+
+    base = grouped_stats(pruned.select_columns([key]), [key])
+    joined = attach_column(base, shared_max, key, "conv_id",
+                           "shared_prefix_len", "shared_prefix_len")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["n"], pa.int32())
+        spl = pc.cast(pc.coalesce(batch["shared_prefix_len"],
+                                  pa.scalar(0, pa.int32())), pa.int32())
+        return pa.table({
+            "conv_id": batch[key],
+            "n_turns": n,
+            "shared_prefix_len": spl,
+            "full_prefix_dup": pc.equal(spl, n),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -261,3 +261,39 @@ def test_cluster_balanced_sample_cap_and_determinism(ray_session):
              .to_pandas().sort_values(["centroid_id", "vec_id"])
              .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_conv_prefix_dedup_matches_brute(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.transcript_ops import conv_prefix_dedup
+
+    # convs: a/b share 2-turn prefix then diverge; c duplicates a
+    # entirely; d is a PREFIX of a (full_prefix_dup); e unique
+    seqs = {
+        "a": ["sys", "hello", "branch one", "more"],
+        "b": ["sys", "hello", "branch two"],
+        "c": ["sys", "hello", "branch one", "more"],
+        "d": ["sys", "hello"],
+        "e": ["different opening"],
+    }
+    rows = [(c, i, t) for c, ts in seqs.items() for i, t in enumerate(ts)]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+    }))
+    got = (conv_prefix_dedup(ds).to_pandas()
+           .sort_values("conv_id").set_index("conv_id"))
+    assert got.loc["a", "shared_prefix_len"] == 4      # c is a twin
+    assert bool(got.loc["a", "full_prefix_dup"])       # a IS the shared prefix
+    assert got.loc["b", "shared_prefix_len"] == 2
+    assert not bool(got.loc["b", "full_prefix_dup"])
+    assert got.loc["c", "shared_prefix_len"] == 4
+    assert bool(got.loc["c", "full_prefix_dup"])
+    assert got.loc["d", "shared_prefix_len"] == 2
+    assert bool(got.loc["d", "full_prefix_dup"])       # head of a/b/c
+    assert got.loc["e", "shared_prefix_len"] == 0
+    assert not bool(got.loc["e", "full_prefix_dup"])
+    assert (got["n_turns"] == pd.Series(
+        {c: len(ts) for c, ts in seqs.items()})).all()
