@@ -1715,6 +1715,26 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_unimax_realize(sf_dir: str):
+    """Materialized UniMax mixture: per-doc integer repeat counts —
+    floor(quota+0.5) per language, full epochs for every doc plus one
+    extra copy for the lowest LCG-ranked remainder docs (one
+    language-keyed exchange)."""
+    from epstein_pipeline_ray.stages.mixing import unimax_realize
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return unimax_realize(docs, budget_frac=1.8, n_epochs=2)
+
+
+def q_render_chat(sf_dir: str):
+    """Chat-template rendering: each conversation's ordered turns
+    flattened to one 'role: text' training string (the SFT formatting
+    step feeding pack_sequences) over the noisy derived turn table."""
+    from epstein_pipeline_ray.stages.transcript_ops import render_conversations
+
+    return render_conversations(_noisy_turns(sf_dir))
+
+
 def q_prefix_dedup(sf_dir: str):
     """Conversation prefix dedup (branched agent traces sharing a leading
     turn sequence): per conv, the longest k such that >= 2 distinct convs
@@ -1868,6 +1888,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_kl": q_domain_kl,
         "cluster_cap": q_cluster_cap,
         "prefix_dedup": q_prefix_dedup,
+        "unimax_realize": q_unimax_realize,
+        "render_chat": q_render_chat,
     }
 
 
@@ -3257,6 +3279,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT ida AS id_a, idb AS id_b, inter AS n_inter,
                    round(inter / na, 6) AS containment
             FROM p WHERE inter / na >= 0.8
+        """,
+        # unimax-realize twin: the same water-fill (see the unimax twin)
+        # feeding integer targets floor(quota+0.5); per-language LCG
+        # rank hands the remainder's extra copy
+        "unimax_realize": """
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS nd FROM documents GROUP BY lang
+            ),
+            tot AS (SELECT 1.8 * sum(nd) AS b, count(*)::BIGINT AS m FROM c),
+            o AS (
+                SELECT lang, nd, 2.0 * nd AS cap,
+                       sum(2.0 * nd) OVER (
+                           ORDER BY 2.0 * nd, lang
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS csum,
+                       row_number() OVER (ORDER BY 2.0 * nd, lang) AS rn
+                FROM c
+            ),
+            k AS (
+                SELECT coalesce(min(o.rn), (SELECT m + 1 FROM tot)) - 1 AS k
+                FROM o, tot
+                WHERE NOT (cap * (m - rn + 1) <= b - (csum - cap))
+            ),
+            lvl AS (
+                SELECT CASE WHEN k.k >= tot.m THEN 1e308 ELSE
+                    (tot.b - coalesce(
+                        (SELECT csum FROM o WHERE rn = (SELECT k FROM k)), 0.0))
+                    / (tot.m - k.k) END AS level
+                FROM k, tot
+            ),
+            plan AS (
+                SELECT lang, nd,
+                       floor(CASE WHEN rn <= k.k THEN cap
+                                  ELSE least(cap, level) END + 0.5) AS target
+                FROM o, k, lvl
+            ),
+            pl AS (SELECT lang,
+                          floor(target / nd)::INT AS nfull,
+                          (target - floor(target / nd) * nd)::BIGINT AS rem
+                   FROM plan),
+            r AS (
+                SELECT d.doc_id, d.lang,
+                       (pl.nfull + CASE WHEN row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY ((d.doc_id % 2147483648) * 1103515245
+                                     + 12345) % 2147483648, d.doc_id)
+                           <= pl.rem THEN 1 ELSE 0 END)::INT AS n_copies
+                FROM documents d JOIN pl USING (lang)
+            )
+            SELECT doc_id, lang, n_copies FROM r WHERE n_copies >= 1
+        """,
+        # render-chat twin: ordered string_agg rebuilds the exact
+        # 'role: text' flattening
+        "render_chat": f"""
+            WITH {_NOISY_TURNS_CTE}
+            SELECT conv_id, count(*)::INT AS n_turns,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS text
+            FROM nturns GROUP BY conv_id
         """,
         # prefix-dedup twin: cumulative windowed string_agg rebuilds the
         # exact prefix strings (k = row_number among kept turns, the

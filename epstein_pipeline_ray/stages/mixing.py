@@ -36,6 +36,30 @@ from ray.data import Dataset
 from epstein_pipeline_ray.functions.rounding import sql_round
 
 
+def _waterfill(langs: np.ndarray, c: np.ndarray, B: float, n_epochs: float):
+    """The UniMax water-fill (see unimax_allocation): returns
+    (langs_sorted, counts_sorted, caps_sorted, quotas) in ascending
+    (cap, lang) order, quotas UNROUNDED."""
+    cap = float(n_epochs) * c
+    order = np.lexsort((langs, cap))
+    cap_s, c_s, langs_s = cap[order], c[order], langs[order]
+    m = cap_s.size
+    csum = np.cumsum(cap_s)
+    rn = np.arange(1, m + 1, dtype=np.float64)
+    # position rn fully servable at its cap given the budget left after
+    # fully serving everything before it, shared with everything after
+    feasible = cap_s * (m - rn + 1) <= B - (csum - cap_s)
+    # caps ascend, so feasibility is a prefix; k = first infeasible
+    # position (0-based count of fully-capped languages) — the DuckDB
+    # twin uses the identical first-False rule
+    infeas = np.flatnonzero(~feasible)
+    k = int(infeas[0]) if infeas.size else m
+    served = csum[k - 1] if k > 0 else 0.0
+    level = (B - served) / (m - k) if k < m else np.inf
+    quota = np.where(rn <= k, cap_s, np.minimum(cap_s, level))
+    return langs_s, c_s, cap_s, quota
+
+
 def unimax_allocation(
     docs: Dataset,
     budget: float | None = None,
@@ -60,23 +84,7 @@ def unimax_allocation(
     langs = counts[lang_col].astype(str).to_numpy()
     total = float(c.sum())
     B = float(budget) if budget is not None else budget_frac * total
-    cap = float(n_epochs) * c
-    order = np.lexsort((langs, cap))
-    cap_s, c_s, langs_s = cap[order], c[order], langs[order]
-    m = cap_s.size
-    csum = np.cumsum(cap_s)
-    rn = np.arange(1, m + 1, dtype=np.float64)
-    # position rn fully servable at its cap given the budget left after
-    # fully serving everything before it, shared with everything after
-    feasible = cap_s * (m - rn + 1) <= B - (csum - cap_s)
-    # caps ascend, so feasibility is a prefix; k = first infeasible
-    # position (0-based count of fully-capped languages) — the DuckDB
-    # twin uses the identical first-False rule
-    infeas = np.flatnonzero(~feasible)
-    k = int(infeas[0]) if infeas.size else m
-    served = csum[k - 1] if k > 0 else 0.0
-    level = (B - served) / (m - k) if k < m else np.inf
-    quota = np.where(rn <= k, cap_s, np.minimum(cap_s, level))
+    langs_s, c_s, cap_s, quota = _waterfill(langs, c, B, n_epochs)
     epochs = quota / c_s
     out = pd.DataFrame({
         "lang": langs_s,
@@ -228,4 +236,78 @@ def cluster_balanced_sample(
     pruned = assigned.map_batches(prune, batch_format="pyarrow",
                                   zero_copy_batch=True)
     return map_key_blocks(pruned, ["centroid_id"], prune, num_partitions,
+                          sort_blocks=False)
+
+
+_REALIZE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("lang", pa.string()),
+    ("n_copies", pa.int32()),
+])
+
+
+def unimax_realize(
+    docs: Dataset,
+    budget: float | None = None,
+    budget_frac: float = 0.4,
+    n_epochs: int = 2,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Materialize the UniMax mixture: turn each language's real-valued
+    quota into per-document integer repeat counts. The language's
+    integer target is ``floor(quota + 0.5)``; every doc gets
+    ``target // n_docs`` full epochs, and the ``target % n_docs``
+    lowest-ranked docs (deterministic LCG-mixed-id rank, the
+    corpus_sample convention) get one extra copy. Returns
+    ``(doc_id, lang, n_copies)`` for docs with ``n_copies >= 1`` —
+    the repeat plan a training loader consumes.
+
+    The water-fill runs on the tiny language table; the per-doc rank is
+    ONE exchange keyed on the language (each block = one language's
+    docs, vectorized rank over (mix, id))."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    counts = grouped_stats(docs.select_columns([lang_col]), [lang_col]).to_pandas()
+    c = counts["n"].to_numpy(np.float64)
+    langs = counts[lang_col].astype(str).to_numpy()
+    B = float(budget) if budget is not None else budget_frac * float(c.sum())
+    langs_s, c_s, _, quota = _waterfill(langs, c, B, n_epochs)
+    target = np.floor(quota + 0.5)
+    plan = {l: (int(t // n), int(t % n))
+            for l, t, n in zip(langs_s, target, c_s)}
+    plan_ref = ray.put(plan)
+
+    pruned = docs.select_columns([id_col, lang_col])
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _REALIZE_SCHEMA.empty_table()
+        pl = ray.get(plan_ref)
+        ids = np.asarray(block[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        lang = np.asarray(block[lang_col].to_pylist())
+        mix = ((ids % 2147483648) * 1103515245 + 12345) % 2147483648
+        order = np.lexsort((ids, mix, lang))
+        ls = lang[order]
+        new = np.r_[True, ls[1:] != ls[:-1]]
+        starts = np.flatnonzero(new)
+        pos = np.arange(ls.size) - starts[np.cumsum(new) - 1]
+        # per-language plan lookup vectorized over the few distinct langs
+        uls, inv = np.unique(ls, return_inverse=True)
+        full_u = np.array([pl[l][0] for l in uls], dtype=np.int32)
+        rem_u = np.array([pl[l][1] for l in uls], dtype=np.int64)
+        full = full_u[inv]
+        rem = rem_u[inv]
+        copies = full + (pos < rem).astype(np.int32)
+        keep = copies >= 1
+        return pa.table({
+            "doc_id": pa.array(ids[order][keep], pa.int64()),
+            "lang": pa.array(ls[keep], pa.string()),
+            "n_copies": pa.array(copies[keep], pa.int32()),
+        }, schema=_REALIZE_SCHEMA)
+
+    return map_key_blocks(pruned, [lang_col], rank_block, num_partitions,
                           sort_blocks=False)

@@ -387,3 +387,46 @@ def conv_prefix_dedup(ds: Dataset, key: str = "conv_id",
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+_RENDER_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("n_turns", pa.int32()),
+    ("text", pa.large_string()),
+])
+
+
+def render_conversations(ds: Dataset, key: str = "conv_id",
+                         order_col: str = "turn_idx",
+                         role_col: str = "role",
+                         text_col: str = "text",
+                         sep: str = "\n",
+                         num_partitions: int | None = None) -> Dataset:
+    """Chat-template rendering: flatten each conversation's ordered
+    turns into ONE training text (``role: text`` lines joined by
+    ``sep``) — the SFT formatting step between transcript hygiene and
+    sequence packing (pack_sequences consumes per-doc texts, this
+    produces them from turn tables). One conv-keyed exchange; the
+    per-block concat is a vectorized pandas join over key-sorted runs.
+    Returns ``(conv_id, n_turns, text)``."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([key, order_col, role_col, text_col])
+
+    def render_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _RENDER_SCHEMA.empty_table()
+        df = block.to_pandas().sort_values([key, order_col],
+                                           kind="mergesort")
+        line = df[role_col].astype(str) + ": " + df[text_col].astype(str)
+        g = (pd.DataFrame({key: df[key].to_numpy(), "line": line.to_numpy()})
+             .groupby(key, sort=True)["line"]
+             .agg(["size", sep.join]).reset_index())
+        return pa.table({
+            "conv_id": pa.array(g[key].astype(str), pa.string()),
+            "n_turns": pa.array(g["size"].to_numpy(np.int32), pa.int32()),
+            "text": pa.array(g["join"], pa.large_string()),
+        }, schema=_RENDER_SCHEMA)
+
+    return map_key_blocks(pruned, [key], render_block, num_partitions,
+                          sort_blocks=False)

@@ -297,3 +297,54 @@ def test_conv_prefix_dedup_matches_brute(ray_session):
     assert not bool(got.loc["e", "full_prefix_dup"])
     assert (got["n_turns"] == pd.Series(
         {c: len(ts) for c, ts in seqs.items()})).all()
+
+
+def test_unimax_realize_totals_and_epochs(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.mixing import (_waterfill,
+                                                    unimax_realize)
+
+    langs = ["en"] * 60 + ["de"] * 25 + ["fr"] * 10 + ["zh"] * 5
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(langs)), pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+    }))
+    got = unimax_realize(ds, budget_frac=1.8, n_epochs=2).to_pandas()
+    counts = {l: langs.count(l) for l in set(langs)}
+    ls, cs, _, quota = _waterfill(
+        np.array(sorted(counts)), np.array([counts[l] for l in sorted(counts)],
+                                           dtype=np.float64),
+        1.8 * len(langs), 2)
+    targets = {l: int(math.floor(q + 0.5)) for l, q in zip(ls, quota)}
+    per_lang = got.groupby("lang")["n_copies"].sum().to_dict()
+    assert per_lang == targets
+    # every doc appears at most ceil(target/n) and copies differ by <= 1
+    spread = got.groupby("lang")["n_copies"].agg(["min", "max"])
+    assert ((spread["max"] - spread["min"]) <= 1).all()
+    # deterministic
+    again = unimax_realize(ds, budget_frac=1.8, n_epochs=2).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_render_conversations_roundtrip(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.transcript_ops import render_conversations
+
+    rows = [("c1", 1, "assistant", "hello"), ("c1", 0, "user", "hi"),
+            ("c2", 0, "user", "solo")]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.large_string()),
+    }))
+    got = (render_conversations(ds).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert got.text.tolist() == ["user: hi\nassistant: hello", "user: solo"]
+    assert got.n_turns.tolist() == [2, 1]
