@@ -1715,6 +1715,18 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: for every unordered source
+    pair, the number of DISTINCT 12-word boilerplate lines (the
+    line_dedup derivation) present in both sources — the inter-domain
+    leakage report a mixture builder checks before weighting domains.
+    One line-hash-keyed exchange; final reduce is sources²-bounded."""
+    from epstein_pipeline_ray.stages.corpus_dedup import source_overlap
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return source_overlap(docs, width=12)
+
+
 def q_unimax_realize(sf_dir: str):
     """Materialized UniMax mixture: per-doc integer repeat counts —
     floor(quota+0.5) per language, full epochs for every doc plus one
@@ -1888,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_kl": q_domain_kl,
         "cluster_cap": q_cluster_cap,
         "prefix_dedup": q_prefix_dedup,
+        "source_overlap": q_source_overlap,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
     }
@@ -3241,6 +3254,24 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # source_overlap twin: same 12-word window derivation as
+        # line_dedup, distinct (line, source), self-join a.source <
+        # b.source — one row per unordered source pair sharing >= 1 line.
+        "source_overlap": """
+            WITH lw AS (
+                SELECT source, string_split(text, ' ') AS ws FROM documents
+            ),
+            l AS (
+                SELECT DISTINCT source,
+                       array_to_string(ws[(i*12+1)::INT:(i*12+12)::INT], ' ') AS line
+                FROM lw,
+                     LATERAL unnest(generate_series(0, (len(ws)+11)//12 - 1)) AS u(i)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM l a JOIN l b ON a.line = b.line AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # containment twin: the planted truncated copies are rebuilt with
         # the identical integer arithmetic (sources/derive.

@@ -334,3 +334,99 @@ def containment_pairs(
 
     return map_key_blocks(partials, ["id_a", "id_b"], reduce_block,
                           num_partitions, sort_blocks=False)
+
+
+_OVERLAP_PARTIAL_SCHEMA = pa.schema([
+    ("source_a", pa.string()),
+    ("source_b", pa.string()),
+    ("cnt", pa.int64()),
+])
+
+
+def source_overlap(
+    docs: Dataset,
+    width: int = 12,
+    text_col: str = "text",
+    group_col: str = "source",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Cross-domain contamination matrix: for every unordered source
+    pair, the number of DISTINCT boilerplate lines (``width``-word
+    windows, the :func:`line_dedup_corpus` derivation) present in both
+    sources — the inter-domain leakage report a mixture builder checks
+    before weighting domains (shared boilerplate counted into two
+    domains inflates both; CCNet/RefinedWeb line-dedup lineage,
+    Wenzek 2020 §3.1).
+
+    Plan: explode to (line, source) with a map-side per-batch distinct
+    combiner → one exchange keyed on the 64-bit line hash (per block:
+    distinct (line, source), runs over the LINE STRING so hash
+    collisions cannot mis-merge, unordered source pairs pre-aggregated
+    per block) → final reduce over a sources²-bounded partial table,
+    summed driver-side (the documented small-side exception)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        srcs = batch[group_col].to_pylist()
+        out_line: list[str] = []
+        out_src: list[str] = []
+        out_lh: list[int] = []
+        seen: set[tuple[str, str]] = set()
+        for text, src in zip(texts, srcs):
+            words = (text or "").split(" ")
+            for i in range(0, (len(words) + width - 1) // width):
+                line = " ".join(words[i * width: i * width + width])
+                key = (line, src)
+                if key in seen:
+                    continue
+                seen.add(key)
+                out_line.append(line)
+                out_src.append(src)
+                h = _token_hash64(line)
+                out_lh.append(h if h < (1 << 63) else h - (1 << 64))
+        return pa.table({
+            "lh": pa.array(out_lh, pa.int64()),
+            "line": pa.array(out_line, pa.large_string()),
+            "source": pa.array(out_src, pa.string()),
+        })
+
+    lines = docs.select_columns([text_col, group_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _OVERLAP_PARTIAL_SCHEMA.empty_table()
+        df = (block.to_pandas()
+              .drop_duplicates(["line", "source"])
+              .sort_values(["line", "source"], kind="mergesort")
+              .reset_index(drop=True))
+        ln = df["line"].to_numpy()
+        run_id = np.cumsum(np.r_[True, ln[1:] != ln[:-1]]) - 1
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return _OVERLAP_PARTIAL_SCHEMA.empty_table()
+        src = df["source"].to_numpy()
+        g = (pd.DataFrame({"source_a": src[I], "source_b": src[J]})
+             .groupby(["source_a", "source_b"], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.table({
+            "source_a": pa.array(g["source_a"], pa.string()),
+            "source_b": pa.array(g["source_b"], pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+        }, schema=_OVERLAP_PARTIAL_SCHEMA)
+
+    partials = map_key_blocks(lines, ["lh"], pair_block,
+                              num_partitions, sort_blocks=False)
+    pdf = partials.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n_shared": pa.array([], pa.int64())})
+    out = (pdf.groupby(["source_a", "source_b"], sort=True)["cnt"].sum()
+           .reset_index().rename(columns={"cnt": "n_shared"}))
+    return pa.table({
+        "source_a": pa.array(out["source_a"], pa.string()),
+        "source_b": pa.array(out["source_b"], pa.string()),
+        "n_shared": pa.array(out["n_shared"].to_numpy(np.int64), pa.int64()),
+    })

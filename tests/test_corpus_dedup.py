@@ -348,3 +348,48 @@ def test_render_conversations_roundtrip(ray_session):
            .sort_values("conv_id").reset_index(drop=True))
     assert got.text.tolist() == ["user: hi\nassistant: hello", "user: solo"]
     assert got.n_turns.tolist() == [2, 1]
+
+
+def _brute_source_overlap(rows, width):
+    # rows: (source, text)
+    per_src: dict[str, set[str]] = {}
+    for src, t in rows:
+        ws = (t or "").split(" ")
+        lines = {" ".join(ws[i * width: i * width + width])
+                 for i in range((len(ws) + width - 1) // width)}
+        per_src.setdefault(src, set()).update(lines)
+    out = []
+    for a, b in itertools.combinations(sorted(per_src), 2):
+        n = len(per_src[a] & per_src[b])
+        if n:
+            out.append((a, b, n))
+    return pd.DataFrame(out, columns=["source_a", "source_b", "n_shared"])
+
+
+def test_source_overlap_matches_brute(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.corpus_dedup import source_overlap
+
+    rows = [
+        ("web", "a b c d e f"),        # lines (w=2): "a b" "c d" "e f"
+        ("web", "a b x y"),            # within-source repeat of "a b"
+        ("books", "a b c d q r"),      # shares "a b" and "c d" with web
+        ("books", "z z"),
+        ("chat", "e f e f"),           # shares "e f" with web, once
+        ("lone", "n o p q"),           # shares nothing
+    ]
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+    }))
+    got = (source_overlap(ds, width=2).to_pandas()
+           .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+    want = _brute_source_overlap(rows, width=2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # shared lines are counted DISTINCT per pair: web/books share 2,
+    # web/chat share 1 despite chat repeating "e f" twice
+    idx = got.set_index(["source_a", "source_b"])["n_shared"]
+    assert idx[("books", "web")] == 2
+    assert idx[("chat", "web")] == 1
+    assert "lone" not in set(got.source_a) | set(got.source_b)
