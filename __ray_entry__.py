@@ -1715,6 +1715,21 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_cross_snapshot(sf_dir: str):
+    """Cross-snapshot near-dedup join: (new_id, old_id, n_inter,
+    jaccard) for every fresh-crawl × existing-corpus pair with
+    word-5-gram Jaccard >= 0.8 — incremental dedup of crawl N+1 against
+    crawl N without re-clustering the old side. The fresh crawl is a
+    SQL-rebuildable derivation (sources/derive.
+    snapshot_docs_from_documents); exact count-then-filter plan
+    restricted to cross-side pairs."""
+    from epstein_pipeline_ray.sources.derive import snapshot_docs_from_documents
+    from epstein_pipeline_ray.stages.corpus_dedup import cross_jaccard_pairs
+
+    new, old = snapshot_docs_from_documents(sf_dir)
+    return cross_jaccard_pairs(new, old, threshold=0.8, ngram=5)
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: for every unordered source
     pair, the number of DISTINCT 12-word boilerplate lines (the
@@ -1901,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_cap": q_cluster_cap,
         "prefix_dedup": q_prefix_dedup,
         "source_overlap": q_source_overlap,
+        "cross_snapshot": q_cross_snapshot,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
     }
@@ -3254,6 +3270,60 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # cross_snapshot twin: the fresh-crawl side is rebuilt with the
+        # identical integer arithmetic (sources/derive.
+        # snapshot_docs_from_documents), then the exact cross-side
+        # count-then-filter join — postings join on shared 5-gram
+        # restricted to new×old, |A ∩ B| / |A ∪ B| >= 0.8.
+        "cross_snapshot": """
+            WITH oldd AS (SELECT doc_id, text FROM documents),
+            ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            newd AS (
+                SELECT doc_id + 200000000 AS doc_id, text FROM documents
+                WHERE doc_id % 11 = 4
+                UNION ALL
+                SELECT doc_id + 200000000,
+                       array_to_string(ws[3:len(ws)::INT], ' ')
+                FROM ws WHERE doc_id % 11 = 7 AND len(ws) >= 12
+                UNION ALL
+                SELECT doc_id + 200000000,
+                       array_to_string(ws[1:((len(ws)*4)//10)::INT], ' ')
+                           || ' s' || doc_id || 'x s' || doc_id || 'y'
+                FROM ws WHERE doc_id % 11 = 9 AND len(ws) >= 14
+                UNION ALL
+                SELECT doc_id + 200000000,
+                       'f'||doc_id||'a f'||doc_id||'b f'||doc_id||'c f'
+                           ||doc_id||'d f'||doc_id||'e f'||doc_id||'f'
+                FROM documents WHERE doc_id % 11 = 2
+            ),
+            tok AS (
+                SELECT side, doc_id,
+                       list_distinct([array_to_string(w[i:i+4], ' ')
+                                      for i in generate_series(1, len(w)-4)]) AS toks
+                FROM (
+                    SELECT 0 AS side, doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                    FROM newd WHERE length(trim(text)) > 0
+                    UNION ALL
+                    SELECT 1, doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+')
+                    FROM oldd WHERE length(trim(text)) > 0
+                ) WHERE len(w) >= 5
+            ),
+            e AS (SELECT side, doc_id, len(toks)::BIGINT AS n,
+                         unnest(toks) AS tok FROM tok),
+            p AS (
+                SELECT a.doc_id AS new_id, b.doc_id AS old_id,
+                       count(*)::BIGINT AS inter,
+                       any_value(a.n) AS nn, any_value(b.n) AS no
+                FROM e a JOIN e b ON a.tok = b.tok
+                WHERE a.side = 0 AND b.side = 1
+                GROUP BY 1, 2
+            )
+            SELECT new_id, old_id, inter AS n_inter,
+                   round(inter / (nn + no - inter)::DOUBLE, 6) AS jaccard
+            FROM p WHERE inter / (nn + no - inter)::DOUBLE >= 0.8
         """,
         # source_overlap twin: same 12-word window derivation as
         # line_dedup, distinct (line, source), self-join a.source <

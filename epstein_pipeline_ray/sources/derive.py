@@ -219,3 +219,62 @@ def truncated_docs_from_documents(sf_dir: str) -> Dataset:
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def snapshot_docs_from_documents(sf_dir: str) -> tuple[Dataset, Dataset]:
+    """documents.parquet → (new_snapshot, old_snapshot) for the
+    cross-snapshot dedup operator
+    (stages/corpus_dedup.cross_jaccard_pairs). Old = the full corpus;
+    new = a deterministic "fresh crawl" under ids doc_id + 200_000_000:
+
+    * doc_id % 11 == 4 — verbatim recrawl (Jaccard 1.0 vs its source);
+    * doc_id % 11 == 7 and >= 12 words — first two words dropped
+      (shingle set a strict subset: J = (L-6)/(L-4) for an L-word doc,
+      straddling the 0.8 threshold exactly at L = 14 — 12/13-word docs
+      land BELOW it, longer docs above);
+    * doc_id % 11 == 9 and >= 14 words — first 40% of words plus two
+      copy-unique markers (J far below threshold — never pairs);
+    * doc_id % 11 == 2 — six copy-unique words (a genuinely-new doc).
+
+    Pure integer arithmetic on doc_id → the DuckDB twin rebuilds the
+    identical pair of tables and the cross_snapshot query gets a full
+    value-hash oracle.
+    """
+
+    def derive_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id: list[int] = []
+        out_text: list[str] = []
+        for doc_id, text in zip(ids, texts):
+            t = text or ""
+            r = doc_id % 11
+            nid = int(doc_id) + 200_000_000
+            if r == 4:
+                out_id.append(nid)
+                out_text.append(t)
+            elif r == 7:
+                words = t.split(" ")
+                if len(words) >= 12:
+                    out_id.append(nid)
+                    out_text.append(" ".join(words[2:]))
+            elif r == 9:
+                words = t.split(" ")
+                if len(words) >= 14:
+                    keep = (len(words) * 4) // 10
+                    out_id.append(nid)
+                    out_text.append(" ".join(words[:keep])
+                                    + f" s{doc_id}x s{doc_id}y")
+            elif r == 2:
+                out_id.append(nid)
+                out_text.append(" ".join(f"f{doc_id}{c}" for c in "abcdef"))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        })
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+    new = old.map_batches(derive_new, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return new, old

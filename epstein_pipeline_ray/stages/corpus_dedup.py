@@ -430,3 +430,161 @@ def source_overlap(
         "source_b": pa.array(out["source_b"], pa.string()),
         "n_shared": pa.array(out["n_shared"].to_numpy(np.int64), pa.int64()),
     })
+
+
+_XPAIR_PARTIAL_SCHEMA = pa.schema([
+    ("new_id", pa.int64()),
+    ("old_id", pa.int64()),
+    ("cnt", pa.int64()),
+    ("nn", pa.int32()),
+    ("no", pa.int32()),
+])
+
+_XPAIR_SCHEMA = pa.schema([
+    ("new_id", pa.int64()),
+    ("old_id", pa.int64()),
+    ("n_inter", pa.int64()),
+    ("jaccard", pa.float64()),
+])
+
+
+def cross_jaccard_pairs(
+    new_docs: Dataset,
+    old_docs: Dataset,
+    threshold: float = 0.8,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    max_posting: int = 8192,
+) -> Dataset:
+    """Cross-snapshot near-dedup join: ``(new_id, old_id, n_inter,
+    jaccard)`` for every NEW×OLD pair with word-``ngram``-shingle
+    Jaccard >= ``threshold`` — the crawl-N+1-vs-crawl-N dedup a corpus
+    builder runs between snapshots (dedup the fresh crawl against the
+    corpus already trained on, WITHOUT re-clustering the old side; the
+    incremental-dedup gap the reference's whole-corpus passes leave
+    open, reference processors/dedup.py:138-171 recomputes everything).
+
+    Same exact count-then-filter plan as :func:`containment_pairs`
+    (postings exchange on the shingle hash with a map-side pair
+    combiner, then a pair-keyed exchange summing exact |A ∩ B|), but
+    the per-token pairing is CROSS-SIDE ONLY: new×new and old×old pairs
+    are never emitted, so the pair exchange stays proportional to
+    cross-matching pairs even when either snapshot is internally
+    duplicate-heavy. Docs with fewer than ``ngram`` words never pair
+    (blank-doc convention); postings above ``max_posting`` rows are
+    truncated with metrics accounting (``cross_dedup.postings_capped``).
+    Shingle identity is the 64-bit blake2b hash (collision ~2^-64 may
+    overcount one intersection slot — documented, matches containment).
+    """
+    t = float(threshold)
+
+    def make_featurize(side: int):
+        def featurize(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            texts = batch[text_col].to_pylist()
+            out_tok: list[int] = []
+            out_id: list[int] = []
+            out_n: list[int] = []
+            out_s: list[int] = []
+            for doc_id, text in zip(ids, texts):
+                words = str(text or "").lower().split()
+                if len(words) < ngram:
+                    continue
+                toks = {
+                    _token_hash64(" ".join(words[j: j + ngram]))
+                    for j in range(len(words) - ngram + 1)
+                }
+                n = len(toks)
+                for h in toks:
+                    out_tok.append(h if h < (1 << 63) else h - (1 << 64))
+                    out_id.append(int(doc_id))
+                    out_n.append(n)
+                    out_s.append(side)
+            return pa.table({
+                "tok": pa.array(out_tok, pa.int64()),
+                "__id": pa.array(out_id, pa.int64()),
+                "n": pa.array(out_n, pa.int32()),
+                "side": pa.array(out_s, pa.int8()),
+            })
+        return featurize
+
+    postings = (
+        new_docs.select_columns([id_col, text_col])
+        .map_batches(make_featurize(0), batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .union(
+            old_docs.select_columns([id_col, text_col])
+            .map_batches(make_featurize(1), batch_format="pyarrow",
+                         zero_copy_batch=True))
+    )
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return _XPAIR_PARTIAL_SCHEMA.empty_table()
+        tok = np.asarray(block["tok"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(block["__id"].to_numpy(zero_copy_only=False))
+        ns = np.asarray(block["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sd = np.asarray(block["side"].to_numpy(zero_copy_only=False), dtype=np.int8)
+        # sort new-side rows first within each token run so cross pairs
+        # are exactly the (I in new-prefix, J in old-suffix) rectangle
+        order = np.lexsort((ids, sd, tok))
+        tok, ids, ns, sd = tok[order], ids[order], ns[order], sd[order]
+        new_run = np.r_[True, tok[1:] != tok[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        over = run_len > max_posting
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            pos_in_run = np.arange(tok.size) - np.repeat(
+                np.flatnonzero(new_run), run_len)
+            keep = pos_in_run < max_posting
+            metrics.inc("cross_dedup.postings_capped", int(over.sum()))
+            metrics.inc("cross_dedup.rows_capped", int((~keep).sum()))
+            tok, ids, ns, sd, run_id = (tok[keep], ids[keep], ns[keep],
+                                        sd[keep], run_id[keep])
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return _XPAIR_PARTIAL_SCHEMA.empty_table()
+        cross = sd[I] != sd[J]
+        I, J = I[cross], J[cross]
+        if I.size == 0:
+            return _XPAIR_PARTIAL_SCHEMA.empty_table()
+        # after the side-major sort, I is always the new side of the pair
+        g = (pd.DataFrame({"new_id": ids[I], "old_id": ids[J],
+                           "nn": ns[I], "no": ns[J]})
+             .groupby(["new_id", "old_id"], sort=False)
+             .agg(cnt=("nn", "size"), nn=("nn", "first"), no=("no", "first"))
+             .reset_index())
+        return pa.table({
+            "new_id": pa.array(g["new_id"].to_numpy(np.int64), pa.int64()),
+            "old_id": pa.array(g["old_id"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            "nn": pa.array(g["nn"].to_numpy(np.int32), pa.int32()),
+            "no": pa.array(g["no"].to_numpy(np.int32), pa.int32()),
+        }, schema=_XPAIR_PARTIAL_SCHEMA)
+
+    partials = map_key_blocks(postings, ["tok"], pair_block, num_partitions,
+                              sort_blocks=False)
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _XPAIR_SCHEMA.empty_table()
+        df = block.to_pandas()
+        g = df.groupby(["new_id", "old_id"], sort=True).agg(
+            cnt=("cnt", "sum"), nn=("nn", "first"), no=("no", "first")
+        ).reset_index()
+        inter = g["cnt"].to_numpy(np.int64)
+        union = g["nn"].to_numpy(np.int64) + g["no"].to_numpy(np.int64) - inter
+        jac = inter / union
+        m = jac >= t
+        return pa.table({
+            "new_id": pa.array(g["new_id"].to_numpy(np.int64)[m], pa.int64()),
+            "old_id": pa.array(g["old_id"].to_numpy(np.int64)[m], pa.int64()),
+            "n_inter": pa.array(inter[m], pa.int64()),
+            "jaccard": pa.array(sql_round(jac[m], 6), pa.float64()),
+        }, schema=_XPAIR_SCHEMA)
+
+    return map_key_blocks(partials, ["new_id", "old_id"], reduce_block,
+                          num_partitions, sort_blocks=False)

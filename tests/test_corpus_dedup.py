@@ -393,3 +393,66 @@ def test_source_overlap_matches_brute(ray_session):
     assert idx[("books", "web")] == 2
     assert idx[("chat", "web")] == 1
     assert "lone" not in set(got.source_a) | set(got.source_b)
+
+
+def _brute_cross_jaccard(new_rows, old_rows, threshold, ngram):
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def sset(t):
+        ws = str(t or "").lower().split()
+        if len(ws) < ngram:
+            return None
+        return {" ".join(ws[j: j + ngram]) for j in range(len(ws) - ngram + 1)}
+
+    news = {i: s for i, t in new_rows if (s := sset(t)) is not None}
+    olds = {i: s for i, t in old_rows if (s := sset(t)) is not None}
+    out = []
+    for ni, ns_ in sorted(news.items()):
+        for oi, os_ in sorted(olds.items()):
+            inter = len(ns_ & os_)
+            if inter == 0:
+                continue
+            j = inter / (len(ns_) + len(os_) - inter)
+            if j >= threshold:
+                out.append((ni, oi, inter, float(sql_round(np.array([j]), 6)[0])))
+    return pd.DataFrame(out, columns=["new_id", "old_id", "n_inter", "jaccard"])
+
+
+def test_cross_jaccard_matches_brute_and_is_cross_only(ray_session):
+    from epstein_pipeline_ray.stages.corpus_dedup import cross_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    old_rows = [
+        (1, base),
+        (2, base),                       # old-side internal exact dup
+        (3, "completely different words that share nothing with anything else here"),
+        (4, "tiny doc"),                 # under ngram — never pairs
+    ]
+    new_rows = [
+        (101, base),                     # exact recrawl → J=1.0 vs 1 AND 2
+        (102, " ".join(base.split(" ")[2:])),   # prefix-dropped near dup
+        (103, base),                     # identical to 101 — must NOT pair with it
+        (104, "fresh f104a f104b f104c f104d f104e"),
+        (105, "tiny doc"),
+    ]
+    got = (cross_jaccard_pairs(_xdocs_ds(new_rows), _xdocs_ds(old_rows),
+                               threshold=0.8, ngram=5)
+           .to_pandas().sort_values(["new_id", "old_id"])
+           .reset_index(drop=True))
+    want = _brute_cross_jaccard(new_rows, old_rows, 0.8, 5)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # cross-side only: identical NEW docs 101/103 never pair with each
+    # other, identical OLD docs 1/2 never pair — but each new recrawl
+    # pairs with BOTH old copies
+    assert set(map(tuple, got[["new_id", "old_id"]].to_numpy())) >= {
+        (101, 1), (101, 2), (103, 1), (103, 2)}
+    assert not ((got.new_id == 101) & (got.old_id == 103)).any()
+
+
+def _xdocs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
