@@ -1715,6 +1715,31 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_repetition(sf_dir: str):
+    """The two Gopher repetition signals gopher_quality omits (Rae 2021
+    §A1.1): top-2-gram char fraction (occurrences × gram chars over
+    normalized length, ties to the smallest gram) and dup-6-gram char
+    fraction (interval-union coverage — each char counted once).
+    Stateless vectorized map; exact 6-digit-rounded DuckDB twin."""
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.textstats import repetition_signals
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        sig = repetition_signals(batch["text"], top_n=2, dup_n=6)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "top_ngram_char_frac": pa.array(sig["top_ngram_char_frac"],
+                                            pa.float64()),
+            "dup_ngram_char_frac": pa.array(sig["dup_ngram_char_frac"],
+                                            pa.float64()),
+        })
+
+    return docs.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_cross_snapshot(sf_dir: str):
     """Cross-snapshot near-dedup join: (new_id, old_id, n_inter,
     jaccard) for every fresh-crawl × existing-corpus pair with
@@ -1917,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dedup": q_prefix_dedup,
         "source_overlap": q_source_overlap,
         "cross_snapshot": q_cross_snapshot,
+        "repetition": q_repetition,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
     }
@@ -3270,6 +3296,87 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # repetition twin: top-2-gram = count*length of the (count DESC,
+        # gram ASC)-first 2-gram; dup-6-gram = gaps-and-islands interval
+        # union over char spans of grams occurring >1 time (per-token
+        # char offsets via a running sum window).
+        "repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            base AS (
+                SELECT doc_id, ws, len(ws) AS nw,
+                       length(array_to_string(ws, ' '))::DOUBLE AS nchars
+                FROM w
+            ),
+            g2 AS (
+                SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+                FROM base, LATERAL unnest(generate_series(1, nw-1)) AS u(i)
+                WHERE nw >= 2
+            ),
+            c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+            t2 AS (
+                SELECT doc_id, c * length(gram) AS cov,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM c2
+            ),
+            topg AS (SELECT doc_id, cov FROM t2 WHERE rn = 1),
+            tok AS (
+                SELECT doc_id, i, ws[i] AS w, nw, ws
+                FROM base, LATERAL unnest(generate_series(1, nw)) AS u(i)
+            ),
+            o AS (
+                SELECT doc_id, i, nw, ws,
+                       coalesce(sum(length(w) + 1) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS st
+                FROM tok
+            ),
+            g6 AS (
+                SELECT doc_id, st,
+                       array_to_string(ws[i:i+5], ' ') AS gram
+                FROM o WHERE nw >= 6 AND i <= nw - 5
+            ),
+            d6 AS (
+                SELECT doc_id, st, st + length(gram) AS e,
+                       count(*) OVER (PARTITION BY doc_id, gram) AS c
+                FROM g6
+            ),
+            s AS (SELECT doc_id, st, e FROM d6 WHERE c > 1),
+            m AS (
+                SELECT doc_id, st, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY st
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_e
+                FROM s
+            ),
+            isl AS (
+                SELECT doc_id, st, e,
+                       sum(CASE WHEN prev_e IS NULL OR st > prev_e
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY st) AS gid
+                FROM m
+            ),
+            cov6 AS (
+                SELECT doc_id, sum(mx - mn) AS cov
+                FROM (SELECT doc_id, gid, min(st) AS mn, max(e) AS mx
+                      FROM isl GROUP BY 1, 2)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   round(coalesce(topg.cov / base.nchars, 0), 6)
+                       AS top_ngram_char_frac,
+                   round(coalesce(cov6.cov / base.nchars, 0), 6)
+                       AS dup_ngram_char_frac
+            FROM documents d
+            LEFT JOIN base USING (doc_id)
+            LEFT JOIN topg USING (doc_id)
+            LEFT JOIN cov6 USING (doc_id)
         """,
         # cross_snapshot twin: the fresh-crawl side is rebuilt with the
         # identical integer arithmetic (sources/derive.

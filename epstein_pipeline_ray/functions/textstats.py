@@ -332,3 +332,78 @@ def gopher_signals(texts: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
         "stop_word_hits": pa.array(hits, pa.int64()),
         "gopher_pass": pa.array(gopher_pass, pa.bool_()),
     }
+
+
+def repetition_signals(
+    texts: pa.Array | pa.ChunkedArray,
+    top_n: int = 2,
+    dup_n: int = 6,
+) -> dict[str, np.ndarray]:
+    """The two Gopher repetition signals gopher_signals omits (Rae 2021
+    §A1.1, the DataTrove/NeMo-Curator replication semantics):
+
+    * ``top_ngram_char_frac`` — characters attributable to the single
+      most frequent word ``top_n``-gram: occurrences × gram char length
+      over normalized-text length (single-space join of lower().split()
+      tokens). Ties break to the lexicographically smallest gram; may
+      exceed 1.0 for overlapping repeats (documented replication
+      behavior, kept for twin parity).
+    * ``dup_ngram_char_frac`` — fraction of normalized-text characters
+      covered by ANY word ``dup_n``-gram occurring more than once,
+      counting each character once (interval union over gram char
+      spans — the "taking care not to count characters more than once"
+      clause).
+
+    Docs with fewer than ``top_n`` / ``dup_n`` words score 0.0 on the
+    respective signal. Both fractions are 6-digit rounded (sql_round)
+    so the DuckDB twin agrees bit-for-bit. Per-doc-bounded work: the
+    inner loops are per-document numpy/Counter passes.
+    """
+    from collections import Counter
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    out_top = np.zeros(len(texts), dtype=np.float64)
+    out_dup = np.zeros(len(texts), dtype=np.float64)
+    for i, v in enumerate(texts):
+        t = v.as_py()
+        words = str(t or "").lower().split()
+        if not words:
+            continue
+        nchars = sum(len(w) for w in words) + len(words) - 1
+        if nchars <= 0:
+            continue
+        if len(words) >= top_n:
+            grams = [" ".join(words[j: j + top_n])
+                     for j in range(len(words) - top_n + 1)]
+            cnt = Counter(grams)
+            best_c, best_g = min(((-c, g) for g, c in cnt.items()))
+            out_top[i] = (-best_c) * len(best_g) / nchars
+        if len(words) >= dup_n:
+            lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                               count=len(words))
+            starts_all = np.concatenate([[0], np.cumsum(lens[:-1] + 1)])
+            grams = [" ".join(words[j: j + dup_n])
+                     for j in range(len(words) - dup_n + 1)]
+            cnt = Counter(grams)
+            dup_idx = np.fromiter(
+                (j for j, g in enumerate(grams) if cnt[g] > 1),
+                dtype=np.int64)
+            if dup_idx.size:
+                s = starts_all[dup_idx]
+                e = s + np.fromiter((len(grams[j]) for j in dup_idx),
+                                    dtype=np.int64, count=dup_idx.size)
+                # interval union: spans arrive start-sorted (one gram
+                # per position), islands split where start > running max
+                run_e = np.maximum.accumulate(e)
+                new_isl = np.r_[True, s[1:] > run_e[:-1]]
+                isl = np.cumsum(new_isl) - 1
+                mn = s[new_isl]
+                mx = np.maximum.reduceat(e, np.flatnonzero(new_isl))
+                out_dup[i] = float((mx - mn).sum()) / nchars
+    return {
+        "top_ngram_char_frac": sql_round(out_top, 6),
+        "dup_ngram_char_frac": sql_round(out_dup, 6),
+    }

@@ -174,3 +174,35 @@ def test_scrub_pii_edge_parity_with_oracle():
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert got.loc[2, "scrubbed"].startswith("[EMAIL] hides")
     assert got.n_masked.tolist() == [2, 2, 1, 0, 0, 2, 1]
+
+
+def test_repetition_signals_hand_pinned():
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.textstats import repetition_signals
+
+    texts = pa.array([
+        # top 2-gram "a a" x3 (overlapping), len 3, norm len 7 -> 9/7 > 1
+        "a a a a",
+        # dup 6-gram "the cat sat on the mat" at word 0 and 6: spans
+        # [0,22) and [23,45) -> 44/45; top 2-gram ties break to "cat sat"
+        "the cat sat on the mat the cat sat on the mat",
+        "unique words only here now",
+        "", None, "x",
+    ])
+    r = repetition_signals(texts, top_n=2, dup_n=6)
+    assert r["top_ngram_char_frac"].tolist() == [
+        1.285714, 0.311111, 0.307692, 0.0, 0.0, 0.0]
+    assert r["dup_ngram_char_frac"].tolist() == [
+        0.0, 0.977778, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_repetition_dup_span_union_overlapping_islands():
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.textstats import repetition_signals
+
+    # "w w w w w w w" (7 words): every 6-gram ("w"x6) occurs twice ->
+    # spans [0,11) and [2,13) overlap -> one island covering all 13 chars
+    r = repetition_signals(pa.array(["w w w w w w w"]), top_n=2, dup_n=6)
+    assert r["dup_ngram_char_frac"].tolist() == [1.0]
