@@ -1715,6 +1715,32 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts (Chiba–Nishizeki degree-ordered
+    compact-forward, the Suri–Vassilvitskii WWW'11 MapReduce plan) over
+    an order-derived graph in one shared mod-1009 node space (both
+    endpoints in the same space — a bipartite derivation would be
+    triangle-free). Exact 3-way-join DuckDB twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import triangle_counts
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return triangle_counts(edges)
+
+
 def q_repetition(sf_dir: str):
     """The two Gopher repetition signals gopher_quality omits (Rae 2021
     §A1.1): top-2-gram char fraction (occurrences × gram chars over
@@ -1943,6 +1969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "cross_snapshot": q_cross_snapshot,
         "repetition": q_repetition,
+        "triangles": q_triangles,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
     }
@@ -3296,6 +3323,32 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # triangles twin: canonical a<b edge set, each triangle
+        # enumerated once as x<y<z via the classic 3-way self-join,
+        # credited to all three corners.
+        "triangles": """
+            WITH raw AS (
+                SELECT o_orderkey % 1009 AS s, o_custkey % 1009 AS d
+                FROM orders
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            credit AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node::BIGINT AS node, count(*)::BIGINT AS n_triangles
+            FROM credit GROUP BY node
         """,
         # repetition twin: top-2-gram = count*length of the (count DESC,
         # gram ASC)-first 2-gram; dup-6-gram = gaps-and-islands interval

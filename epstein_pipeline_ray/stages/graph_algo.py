@@ -201,3 +201,189 @@ def pagerank_sql(edges_cte: str, damping: float = 0.85, iters: int = 10,
             )""")
     parts.append(f"\n            SELECT node, pr FROM r{iters}")
     return "".join(parts)
+
+
+_TRI_CREDIT_SCHEMA = pa.schema([
+    ("node", pa.int64()),
+    ("cnt", pa.int64()),
+])
+
+
+def triangle_counts(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    max_wedge_degree: int = 4096,
+) -> Dataset:
+    """Per-node triangle counts over the undirected simple graph spanned
+    by ``edges`` (int64 endpoints; self-loops dropped, parallel edges
+    collapsed). Returns ``(node, n_triangles)`` for every node in >= 1
+    triangle — each triangle credits all three corners once.
+
+    Degree-ordered compact-forward plan (Chiba–Nishizeki / Schank's
+    forward algorithm — the MapReduce formulation of Suri & Vassilvitskii
+    WWW'11): orient each edge from its lower-(degree, id) endpoint, emit
+    wedges only from out-neighbor pairs (out-degree is O(sqrt(m))-bounded
+    on skewed graphs under this orientation), close wedges against the
+    canonical edge set in one keyed exchange. Exchanges: distinct-edge,
+    degree, wedge-close on the (a, b) corner key, credit sum — plus two
+    size-switched degree attaches (joins.attach_column). Out-neighbor
+    lists longer than ``max_wedge_degree`` are truncated with metrics
+    accounting (``triangles.wedge_capped``; never fires on the sf
+    corpora, so oracle parity holds).
+    """
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        # map-side distinct
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    canoned = edges.select_columns([src_col, dst_col]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        df = block.to_pandas().drop_duplicates().sort_values(["a", "b"])
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    dedup = map_key_blocks(canoned, ["a", "b"], distinct_block,
+                           num_partitions, sort_blocks=False)
+
+    def explode_ends(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    ends = dedup.map_batches(explode_ends, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.schema([("node", pa.int64()),
+                              ("deg", pa.int64())]).empty_table()
+        g = block.to_pandas().groupby("node", sort=True).size()
+        return pa.table({"node": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+                         "deg": pa.array(g.to_numpy(np.int64), pa.int64())})
+
+    degrees = map_key_blocks(ends, ["node"], deg_block, num_partitions,
+                             sort_blocks=False)
+
+    withdeg = attach_column(
+        attach_column(dedup, degrees, "a", "node", "deg", "deg_a",
+                      num_partitions=num_partitions),
+        degrees, "b", "node", "deg", "deg_b",
+        num_partitions=num_partitions)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        da = np.asarray(batch["deg_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        db = np.asarray(batch["deg_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # u -> v where (deg, id) of u < (deg, id) of v; ids are distinct
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # rows for the closing exchange: wedges (kind=0, corner key (a,b),
+    # third corner u) and canonical edges (kind=1)
+    def wedge_block(block: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("u", pa.int64()), ("kind", pa.int8())])
+        if block.num_rows == 0:
+            return schema.empty_table()
+        df = block.to_pandas().sort_values(["u", "v"], kind="mergesort")
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        new_run = np.r_[True, u[1:] != u[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        over = run_len > max_wedge_degree
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            pos = np.arange(u.size) - np.repeat(np.flatnonzero(new_run), run_len)
+            keep = pos < max_wedge_degree
+            metrics.inc("triangles.wedge_capped", int(over.sum()))
+            metrics.inc("triangles.rows_capped", int((~keep).sum()))
+            u, v, run_id = u[keep], v[keep], run_id[keep]
+        from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
+        I, J = _run_pairs(run_id)
+        wa = np.minimum(v[I], v[J])
+        wb = np.maximum(v[I], v[J])
+        return pa.table({
+            "a": pa.array(wa, pa.int64()),
+            "b": pa.array(wb, pa.int64()),
+            "u": pa.array(u[I], pa.int64()),
+            "kind": pa.array(np.zeros(wa.size, dtype=np.int8), pa.int8()),
+        }, schema=schema)
+
+    wedges = map_key_blocks(oriented, ["u"], wedge_block, num_partitions,
+                            sort_blocks=False)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "u": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+            "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+        })
+
+    closing_in = wedges.union(dedup.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def close_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _TRI_CREDIT_SCHEMA.empty_table()
+        df = block.to_pandas()
+        edges_set = df.loc[df["kind"] == 1, ["a", "b"]].drop_duplicates()
+        w = df.loc[df["kind"] == 0]
+        if len(edges_set) == 0 or len(w) == 0:
+            return _TRI_CREDIT_SCHEMA.empty_table()
+        closed = w.merge(edges_set, on=["a", "b"], how="inner")
+        if len(closed) == 0:
+            return _TRI_CREDIT_SCHEMA.empty_table()
+        credit = np.concatenate([closed["a"].to_numpy(np.int64),
+                                 closed["b"].to_numpy(np.int64),
+                                 closed["u"].to_numpy(np.int64)])
+        g = pd.Series(credit).groupby(pd.Series(credit), sort=False).size()
+        return pa.table({
+            "node": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g.to_numpy(np.int64), pa.int64()),
+        }, schema=_TRI_CREDIT_SCHEMA)
+
+    credits = map_key_blocks(closing_in, ["a", "b"], close_block,
+                             num_partitions, sort_blocks=False)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())])
+        if block.num_rows == 0:
+            return schema.empty_table()
+        g = block.to_pandas().groupby("node", sort=True)["cnt"].sum()
+        return pa.table({
+            "node": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "n_triangles": pa.array(g.to_numpy(np.int64), pa.int64()),
+        }, schema=schema)
+
+    return map_key_blocks(credits, ["node"], sum_block, num_partitions,
+                          sort_blocks=False)

@@ -118,3 +118,58 @@ def test_prep_corpus_c4_and_decontam_stages(ray_session):
     # doc 2 decontaminated, doc 3 lorem-dropped → only doc 1 survives
     assert set(chunks.doc_id) == {1}
     assert all("lorem" not in t for t in chunks.chunk_text)
+
+
+def test_triangle_counts_matches_brute(ray_session):
+    import itertools
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import triangle_counts
+
+    rng = np.random.RandomState(11)
+    raw = {(int(rng.randint(0, 30)), int(rng.randint(0, 30)))
+           for _ in range(250)}
+    raw |= {(1, 1), (2, 2)}  # self loops must be dropped
+    raw |= {(3, 4), (4, 3)}  # parallel/reversed edges collapse
+    E = sorted(raw)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64()),
+    }))
+    got = (triangle_counts(edges).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+
+    und = {(min(s, d), max(s, d)) for s, d in E if s != d}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cnt: Counter = Counter()
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    want = pd.DataFrame(sorted(cnt.items()),
+                        columns=["node", "n_triangles"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_triangle_counts_triangle_free(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import triangle_counts
+
+    # a path and a 4-cycle: no triangles anywhere
+    E = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (13, 10)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64()),
+    }))
+    assert triangle_counts(edges).count() == 0
