@@ -1715,6 +1715,34 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich ACL'16 subword-nmt semantics)
+    over the documents corpus: the first 20 learned merges
+    (rank, left, right). Distinct-word exchange + per-round pair-count
+    partials with block-local argmax; size-switched driver loop below
+    200k words (forced-limit-0 pytest pins the plans equal). Merge
+    identity depends on the iterative retokenization loop — not
+    SQL-expressible; rows-only check, parity pinned against a pure-dict
+    reference trainer in tests/test_bpe.py."""
+    from epstein_pipeline_ray.stages.bpe import bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_train(docs, num_merges=20, min_count=2)
+
+
+def q_bpe_tokens(sf_dir: str):
+    """Per-doc token counts under the corpus-trained 20-merge BPE
+    tokenizer: (doc_id, n_words, n_tokens) via the memoizing actor-pool
+    encoder (ranks dict built once per actor from one ray.put of the
+    merge table). Rows-only (see q_bpe_merges); encode semantics
+    pinned in tests/test_bpe.py."""
+    from epstein_pipeline_ray.stages.bpe import bpe_encode_counts, bpe_train
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=20, min_count=2)
+    return bpe_encode_counts(docs, merges)
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts (Chiba–Nishizeki degree-ordered
     compact-forward, the Suri–Vassilvitskii WWW'11 MapReduce plan) over
@@ -1970,6 +1998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot": q_cross_snapshot,
         "repetition": q_repetition,
         "triangles": q_triangles,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
     }
