@@ -1715,6 +1715,17 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled mixture weights (mT5/XLM-R p ∝ n^0.7): per
+    source, whitespace-token mass and its alpha-flattened sampling
+    weight — one group-keyed exchange, groups-bounded driver
+    normalization, exact pow()-window DuckDB twin."""
+    from epstein_pipeline_ray.stages.mixing import temperature_mixture
+
+    docs = _read(sf_dir, "documents", ["text", "source"])
+    return temperature_mixture(docs, alpha=0.7)
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (Sennrich ACL'16 subword-nmt semantics)
     over the documents corpus: the first 20 learned merges
@@ -1999,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "triangles": q_triangles,
         "bpe_merges": q_bpe_merges,
+        "temperature_mix": q_temperature_mix,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -3353,6 +3365,21 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # temperature_mix twin: same trim/regexp token-count convention
+        # as token_counts, pow + window normalization.
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source,
+                       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                           END)::BIGINT AS n_tokens
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_tokens,
+                   round(pow(n_tokens, 0.7)
+                         / sum(pow(n_tokens, 0.7)) OVER (), 6) AS weight
+            FROM c
         """,
         # triangles twin: canonical a<b edge set, each triangle
         # enumerated once as x<y<z via the classic 3-way self-join,

@@ -311,3 +311,63 @@ def unimax_realize(
 
     return map_key_blocks(pruned, [lang_col], rank_block, num_partitions,
                           sort_blocks=False)
+
+
+def temperature_mixture(
+    docs: Dataset,
+    alpha: float = 0.7,
+    group_col: str = "source",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Temperature-scaled mixture sampling weights (the mT5 / XLM-R
+    ``p_i ∝ n_i^alpha`` convention, Xue 2021 §3.2 / Conneau 2020 §3):
+    per group, whitespace-token mass and its alpha-flattened sampling
+    weight ``n^alpha / Σ n^alpha`` — the softer-than-proportional
+    mixture that up-samples small domains without UniMax's hard epoch
+    cap (unimax_allocation is the budgeted alternative).
+
+    Map-side per-batch token-count partials → one group-keyed exchange
+    → the final normalization over a groups-bounded table driver-side
+    (the documented small-side exception). Weights 6-digit rounded
+    (sql_round) for the DuckDB twin."""
+    from epstein_pipeline_ray.functions.textstats import token_count_array
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    partial_schema = pa.schema([
+        (group_col, pa.string()), ("n_tokens", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = np.asarray(token_count_array(batch[text_col]))
+        g = (pd.DataFrame({group_col: batch[group_col].to_pandas(),
+                           "n_tokens": toks})
+             .groupby(group_col, sort=True)["n_tokens"].sum())
+        return pa.table({
+            group_col: pa.array(g.index, pa.string()),
+            "n_tokens": pa.array(g.to_numpy(np.int64), pa.int64()),
+        }, schema=partial_schema)
+
+    partials = docs.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        g = block.to_pandas().groupby(group_col, sort=True)["n_tokens"].sum()
+        return pa.table({
+            group_col: pa.array(g.index, pa.string()),
+            "n_tokens": pa.array(g.to_numpy(np.int64), pa.int64()),
+        }, schema=partial_schema)
+
+    totals = (map_key_blocks(partials, [group_col], sum_block,
+                             num_partitions, sort_blocks=False)
+              .to_pandas().sort_values(group_col).reset_index(drop=True))
+    n = totals["n_tokens"].to_numpy(np.float64)
+    scaled = np.power(n, float(alpha))
+    w = sql_round(scaled / scaled.sum(), 6) if len(totals) else scaled
+    return pa.table({
+        group_col: pa.array(totals[group_col], pa.string()),
+        "n_tokens": pa.array(totals["n_tokens"].to_numpy(np.int64), pa.int64()),
+        "weight": pa.array(w, pa.float64()),
+    })

@@ -456,3 +456,21 @@ def _xdocs_ds(rows):
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "text": pa.array([r[1] for r in rows], pa.string()),
     }))
+
+
+def test_temperature_mixture_closed_form(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.mixing import temperature_mixture
+
+    rows = [("a", "x y z"), ("a", "p q"), ("b", "one"), ("c", "")]
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    got = temperature_mixture(ds, alpha=0.5).to_pandas()
+    assert got.source.tolist() == ["a", "b", "c"]
+    assert got.n_tokens.tolist() == [5, 1, 0]
+    import numpy as np
+    s = np.sqrt(5) + 1 + 0
+    assert got.weight.tolist() == [round(np.sqrt(5) / s, 6), round(1 / s, 6), 0.0]
