@@ -1715,6 +1715,32 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_label_prop(sf_dir: str):
+    """Synchronous label-propagation communities (Raghavan 2007,
+    deterministic min-label tie-break, 4 rounds) over the mod-1009
+    order graph — per-round size-switched label attach + dst-keyed
+    vote exchange, against the EXACTLY UNROLLED SQL twin
+    (stages/graph_algo.label_propagation_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import label_propagation
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return label_propagation(edges, iters=4)
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-scaled mixture weights (mT5/XLM-R p ∝ n^0.7): per
     source, whitespace-token mass and its alpha-flattened sampling
@@ -2011,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "bpe_merges": q_bpe_merges,
         "temperature_mix": q_temperature_mix,
+        "label_prop": q_label_prop,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -2167,7 +2194,10 @@ def _quality_logit_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.embed import kmeans_sql
-    from epstein_pipeline_ray.stages.graph_algo import pagerank_sql
+    from epstein_pipeline_ray.stages.graph_algo import (
+        label_propagation_sql,
+        pagerank_sql,
+    )
 
     terms_values = ", ".join(f"('{t}')" for t in _TERMS)
     return {
@@ -2406,6 +2436,9 @@ def oracle_sql() -> dict[str, str]:
                    unnest(emb8) AS value
             FROM t
         """,
+        "label_prop": label_propagation_sql(
+            "edges(src, dst) AS (SELECT o_orderkey % 1009, "
+            "o_custkey % 1009 FROM orders)", iters=4),
         "pagerank": pagerank_sql(
             "edges AS (SELECT 'n' || (o_custkey % 211) AS src, "
             "'n' || (o_orderkey % 211) AS dst FROM orders)",

@@ -387,3 +387,135 @@ def triangle_counts(
 
     return map_key_blocks(credits, ["node"], sum_block, num_partitions,
                           sort_blocks=False)
+
+
+def label_propagation(
+    edges: Dataset,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Synchronous label-propagation communities (Raghavan 2007, the
+    deterministic sync variant): every node starts as its own label;
+    each round every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — fully deterministic, so a
+    fixed ``iters`` unrolls to an exact SQL twin
+    (:func:`label_propagation_sql`, the pagerank_sql convention). Sync
+    LPA can oscillate on bipartite structure; with both engines
+    unrolled identically that is a feature of the semantics, not a
+    divergence. Returns ``(node, label)`` over int64 nodes.
+
+    Undirected simple graph (self-loops dropped, parallel edges
+    collapsed — a doubled edge must not double its vote). Per round:
+    one size-switched label attach onto the directed edge list + one
+    dst-keyed vote exchange (count per label, block-local argmax)."""
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates().sort_values(["a", "b"])
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions, sort_blocks=False)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "d": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    de = und.map_batches(both_dirs, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    NODE = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
+
+    def node_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NODE.empty_table()
+        u = np.unique(np.asarray(block["s"].to_numpy(zero_copy_only=False)))
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "lab": pa.array(u, pa.int64())}, schema=NODE)
+
+    labels = map_key_blocks(
+        de.select_columns(["s"]), ["s"], node_block, num_partitions,
+        sort_blocks=False).materialize()
+
+    def vote_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NODE.empty_table()
+        df = block.to_pandas()
+        g = (df.groupby(["d", "lab"], sort=False).size().reset_index(name="c")
+             .sort_values(["d", "c", "lab"],
+                          ascending=[True, False, True], kind="mergesort")
+             .drop_duplicates("d"))
+        return pa.table({
+            "node": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "lab": pa.array(g["lab"].to_numpy(np.int64), pa.int64()),
+        }, schema=NODE)
+
+    for _ in range(iters):
+        tagged = attach_column(de, labels, "s", "node", "lab", "lab",
+                               num_partitions=num_partitions)
+        labels = map_key_blocks(tagged, ["d"], vote_block, num_partitions,
+                                sort_blocks=False).materialize()
+        gc_exchange_dirs()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "label": batch["lab"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
+    """Exactly-unrolled DuckDB twin of :func:`label_propagation` — one
+    CTE per round (the pagerank_sql convention). ``edges_cte`` must
+    define ``edges(src, dst)``."""
+    parts = [f"""WITH {edges_cte},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        de AS (
+            SELECT a AS s, b AS d FROM und
+            UNION ALL SELECT b, a FROM und
+        ),
+        l0 AS (SELECT DISTINCT s AS node, s AS lab FROM de)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        l{i} AS (
+            SELECT node, lab FROM (
+                SELECT e.d AS node, l.lab AS lab,
+                       row_number() OVER (PARTITION BY e.d
+                           ORDER BY count(*) DESC, l.lab ASC) AS rn
+                FROM de e JOIN l{i - 1} l ON l.node = e.s
+                GROUP BY e.d, l.lab
+            ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT node::BIGINT AS node, lab::BIGINT AS label FROM l{iters}""")
+    return "".join(parts)

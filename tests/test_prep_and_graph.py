@@ -173,3 +173,41 @@ def test_triangle_counts_triangle_free(ray_session):
         "dst": pa.array([e[1] for e in E], pa.int64()),
     }))
     assert triangle_counts(edges).count() == 0
+
+
+def test_label_propagation_two_communities(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import (
+        label_propagation, label_propagation_sql)
+
+    rng = np.random.RandomState(3)
+    E = set()
+    for _ in range(120):
+        E.add((int(rng.randint(0, 12)), int(rng.randint(0, 12))))
+    for _ in range(120):
+        E.add((int(rng.randint(20, 32)), int(rng.randint(20, 32))))
+    E.add((5, 25))  # one weak bridge
+    E = sorted(E)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64()),
+    }))
+    got = (label_propagation(edges, iters=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    vals = ", ".join(f"({a},{b})" for a, b in E)
+    con = duckdb.connect()
+    want = (con.sql(label_propagation_sql(
+        f"edges(src,dst) AS (VALUES {vals})", iters=4)).df()
+        .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # the two planted blocks resolve to exactly two communities and the
+    # bridge does not merge them
+    lab = got.set_index("node")["label"]
+    assert got.label.nunique() == 2
+    assert lab[lab.index < 12].nunique() == 1
+    assert lab[lab.index >= 20].nunique() == 1
