@@ -1715,6 +1715,19 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement
+    (Efraimidis–Spirakis exponential race, -ln(u)/w keys from the
+    house LCG uniform, w = n_chars): the 50 smallest keys — inclusion
+    probability proportional to document length, reproducible on any
+    engine. Partial top-k prune + tiny global sort; ORDER-BY-LIMIT
+    DuckDB twin over the identical integer/ln arithmetic."""
+    from epstein_pipeline_ray.stages.relational import weighted_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, k=50, weight_col="n_chars")
+
+
 def q_label_prop(sf_dir: str):
     """Synchronous label-propagation communities (Raghavan 2007,
     deterministic min-label tie-break, 4 rounds) over the mod-1009
@@ -2038,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "temperature_mix": q_temperature_mix,
         "label_prop": q_label_prop,
+        "weighted_sample": q_weighted_sample,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -3398,6 +3412,19 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # weighted_sample twin: identical LCG mix, (mix+0.5)/2^31
+        # uniform, -ln(u)/w key rounded to 9 digits before ranking
+        # (id tie-break) — a half-ulp ln() divergence can't flip a rank.
+        "weighted_sample": """
+            SELECT doc_id, n_chars, es_key FROM (
+                SELECT doc_id, n_chars,
+                       round(-ln((((doc_id % 2147483648) * 1103515245
+                                   + 12345) % 2147483648 + 0.5)
+                                 / 2147483648.0)
+                             / n_chars, 9) AS es_key
+                FROM documents WHERE n_chars > 0
+            ) ORDER BY es_key, doc_id LIMIT 50
         """,
         # temperature_mix twin: same trim/regexp token-count convention
         # as token_counts, pow + window normalization.

@@ -925,3 +925,50 @@ def deterministic_sample(ds: Dataset, k: int, id_col: str = "doc_id") -> Dataset
                                zero_copy_batch=True)
     out = pruned.sort(["__mix", id_col]).limit(k)
     return out.drop_columns(["__mix"])
+
+
+def weighted_sample(
+    ds: Dataset,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic weighted sample WITHOUT replacement
+    (Efraimidis–Spirakis 2006, the exponential-race form): keep the k
+    rows with the smallest ``-ln(u) / w`` where ``u`` is the
+    overflow-safe LCG uniform of the id (deterministic_sample /
+    assign_split mixing) and ``w = weight_col`` — inclusion probability
+    proportional to weight, reproducible on any engine. Rows with
+    ``w <= 0`` are excluded. The key is ROUNDED to 9 digits before
+    ranking (house rank-by-rounded convention; id tie-break) so the
+    DuckDB ``ORDER BY key, id LIMIT k`` twin agrees exactly. Rides the
+    partial top-k prune: each batch keeps its own k candidates, then
+    one tiny global sort."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        w = np.asarray(batch[weight_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        mix = ((ids % 2147483648) * 1103515245 + 12345) % 2147483648
+        u = (mix.astype(np.float64) + 0.5) / 2147483648.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, -np.log(u) / np.where(w > 0, w, 1.0), np.nan)
+        batch = batch.append_column("es_key", pa.array(sql_round(key, 9),
+                                                       pa.float64()))
+        return batch.filter(pc.is_finite(batch["es_key"]))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.select_k_unstable(
+            batch, k=k,
+            sort_keys=[("es_key", "ascending"), (id_col, "ascending")])
+        return batch.take(idx)
+
+    pruned = keyed.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pruned.sort(["es_key", id_col]).limit(k)

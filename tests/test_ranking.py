@@ -161,3 +161,35 @@ def test_deterministic_sample_reproducible(ray_session):
     assert sorted(a.doc_id) == sorted(b.doc_id)
     # not just the first 20 ids (mixing decorrelates from id order)
     assert sorted(a.doc_id) != list(range(20))
+
+
+def test_weighted_sample_deterministic_and_weight_biased(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import weighted_sample
+
+    n = 2000
+    # half the docs get weight 100, half weight 1
+    w = np.where(np.arange(n) % 2 == 0, 100, 1).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_chars": pa.array(w, pa.int64()),
+    }))
+    got = weighted_sample(ds, k=100, weight_col="n_chars").to_pandas()
+    again = weighted_sample(ds, k=100, weight_col="n_chars").to_pandas()
+    assert got.doc_id.tolist() == again.doc_id.tolist()  # reproducible
+    assert len(got) == 100
+    assert got.es_key.is_monotonic_increasing
+    # heavy rows dominate: expected heavy share ~ 100/101, allow slack
+    heavy = (got.doc_id % 2 == 0).mean()
+    assert heavy > 0.85
+
+    # zero/negative weights are excluded
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "n_chars": pa.array([0, -5, 10], pa.int64()),
+    }))
+    got2 = weighted_sample(ds2, k=3, weight_col="n_chars").to_pandas()
+    assert got2.doc_id.tolist() == [3]
