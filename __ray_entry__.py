@@ -1715,6 +1715,34 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_quality_gate(sf_dir: str):
+    """Per-domain quality gate (the FineWeb/CCNet per-language-cut
+    idea): keep documents whose unique-token ratio is at or above
+    their OWN source's median — a composition of the quality map, the
+    exact grouped median exchange, and a size-switched median attach.
+    Both the score and the median ride 6-digit rounding so the >=
+    boundary agrees with the DuckDB twin exactly."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import grouped_median
+    from epstein_pipeline_ray.stages.textops import with_quality
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    scored = with_quality(docs).select_columns(
+        ["doc_id", "source", "uniq_ratio"])
+    med = grouped_median(scored, "source", "uniq_ratio")
+    gated = attach_column(scored, med, "source", "source",
+                          "median_value", "source_median")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["uniq_ratio"], batch["source_median"])
+        return batch.filter(m)
+
+    return gated.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement
     (Efraimidis–Spirakis exponential race, -ln(u)/w keys from the
@@ -2052,6 +2080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "label_prop": q_label_prop,
         "weighted_sample": q_weighted_sample,
+        "quality_gate": q_quality_gate,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -3412,6 +3441,23 @@ def oracle_sql() -> dict[str, str]:
                        list(line ORDER BY line_idx) FILTER (WHERE NOT dup), ' '),
                        '') AS clean_text
             FROM f GROUP BY doc_id
+        """,
+        # quality_gate twin: the quality uniq_ratio expr + per-source
+        # rounded median; >= on the rounded values matches the engine.
+        "quality_gate": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+                           AS uniq_ratio
+                FROM (SELECT doc_id, source,
+                             regexp_split_to_array(trim(text), '\\s+') AS toks
+                      FROM documents)
+            ),
+            m AS (SELECT source, round(median(uniq_ratio), 6) AS source_median
+                  FROM s GROUP BY source)
+            SELECT doc_id, source, uniq_ratio, source_median
+            FROM s JOIN m USING (source)
+            WHERE uniq_ratio >= source_median
         """,
         # weighted_sample twin: identical LCG mix, (mix+0.5)/2^31
         # uniform, -ln(u)/w key rounded to 9 digits before ranking
