@@ -1715,6 +1715,17 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_context_windows(sf_dir: str):
+    """Turn-granular context-window sharding: turn t joins window
+    floor(exclusive_prefix_tokens / 60) — prefix-sum bucketing of long
+    transcripts into near-budget training windows without splitting a
+    turn (pack_sequences is the split-anywhere alternative). One keyed
+    running-sum exchange; window-function DuckDB twin."""
+    from epstein_pipeline_ray.stages.transcript_ops import context_windows
+
+    return context_windows(_noisy_turns(sf_dir), budget=60)
+
+
 def q_quality_gate(sf_dir: str):
     """Per-domain quality gate (the FineWeb/CCNet per-language-cut
     idea): keep documents whose unique-token ratio is at or above
@@ -2081,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "weighted_sample": q_weighted_sample,
         "quality_gate": q_quality_gate,
+        "context_windows": q_context_windows,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -2641,6 +2653,21 @@ def oracle_sql() -> dict[str, str]:
             FROM l
             WHERE prole IS NULL OR prole <> role OR ptext <> text
         """,
+        # context_windows twin: exclusive prefix token sum // budget.
+        "context_windows": f"""
+            WITH {{NOISY}},
+            c AS (SELECT conv_id, turn_idx,
+                         (CASE WHEN text = '' THEN 0
+                               ELSE len(string_split(text, ' ')) END)::BIGINT
+                             AS n_tokens
+                  FROM nturns)
+            SELECT conv_id, turn_idx, n_tokens,
+                   (coalesce(sum(n_tokens) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 60)::BIGINT AS window_id
+            FROM c
+        """.replace("{NOISY}", _NOISY_TURNS_CTE),
         "token_budget": f"""
             WITH {_NOISY_TURNS_CTE},
             c AS (SELECT conv_id, turn_idx,

@@ -168,6 +168,50 @@ def truncate_to_token_budget(ds: Dataset, budget: int,
     return summed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def context_windows(ds: Dataset, budget: int,
+                    key: str = "conv_id",
+                    order_col: str = "turn_idx",
+                    text_col: str = "text",
+                    num_partitions: int | None = None) -> Dataset:
+    """Split each conversation into consecutive context windows at TURN
+    granularity: turn t joins window ``floor(prefix_tokens(t) / budget)``
+    where prefix_tokens is the EXCLUSIVE cumulative whitespace-token
+    count — the prefix-sum bucketing used to shard long transcripts
+    into near-budget training windows without splitting a turn
+    (pack_sequences is the split-anywhere alternative; a window may
+    overshoot by at most one turn's tokens, the documented trade for a
+    windowless-scan-free plan). Token counts map-side, ONE keyed
+    exchange for the running sum, then pure arithmetic.
+
+    Output: (conv_id, turn_idx, n_tokens:int64, window_id:int64).
+    SQL twin: the running-sum window minus own count, integer-divided
+    by the budget.
+    """
+    from epstein_pipeline_ray.stages.relational import with_running_sum
+
+    counted = with_token_counts(ds.select_columns([key, order_col, text_col]))
+    counted = counted.select_columns([key, order_col, "n_tokens"])
+    summed = with_running_sum(counted, key, order_col, order_col,
+                              "n_tokens", out_col="cum_tokens",
+                              num_partitions=num_partitions)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cum = np.asarray(batch["cum_tokens"].to_numpy(zero_copy_only=False))
+        own = np.asarray(batch["n_tokens"].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        before = np.rint(cum - own).astype(np.int64)
+        wid = before // int(budget)
+        return pa.table({
+            key: batch[key],
+            order_col: batch[order_col],
+            "n_tokens": batch["n_tokens"],
+            "window_id": pa.array(wid, pa.int64()),
+        })
+
+    return summed.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def tool_transitions(ds: Dataset, key: str = "conv_id",
                      order_col: str = "turn_idx",
                      num_partitions: int | None = None) -> Dataset:

@@ -150,3 +150,28 @@ def test_soft_dedup_weights(ray_session):
     assert out.loc[1, "weight"] == 0.5
     for d in (2, 4, 5, 6):
         assert out.loc[d, "n_copies"] == 1 and out.loc[d, "weight"] == 1.0
+
+
+def test_context_windows_hand_trace(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.transcript_ops import context_windows
+
+    # conv c1 token counts: 4, 3, 5, 2 with budget 6:
+    # prefixes 0,4,7,12 -> windows 0,0,1,2
+    rows = [
+        ("c1", 0, "a b c d"), ("c1", 1, "e f g"),
+        ("c1", 2, "h i j k l"), ("c1", 3, "m n"),
+        ("c2", 0, ""),           # empty turn: 0 tokens, window 0
+        ("c2", 1, "x"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.large_string()),
+    }))
+    got = (context_windows(ds, budget=6).to_pandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert got.window_id.tolist() == [0, 0, 1, 2, 0, 0]
+    assert got.n_tokens.tolist() == [4, 3, 5, 2, 0, 1]
