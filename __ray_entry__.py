@@ -1715,6 +1715,17 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): leaf groups plus every prefix
+    level with trailing keys NULLed up to the grand total — one keyed
+    exchange for the leaf table, super-aggregates derived from the
+    groups-bounded leaf driver-side. Exact ROLLUP DuckDB twin."""
+    from epstein_pipeline_ray.stages.relational import rollup_stats
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return rollup_stats(docs, ["source", "lang"], "n_chars")
+
+
 def q_context_windows(sf_dir: str):
     """Turn-granular context-window sharding: turn t joins window
     floor(exclusive_prefix_tokens / 60) — prefix-sum bucketing of long
@@ -2093,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "quality_gate": q_quality_gate,
         "context_windows": q_context_windows,
+        "rollup": q_rollup,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -2652,6 +2664,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text
             FROM l
             WHERE prole IS NULL OR prole <> role OR ptext <> text
+        """,
+        "rollup": """
+            SELECT source, lang, count(*)::BIGINT AS n_rows,
+                   sum(n_chars)::BIGINT AS sum_value
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
         # context_windows twin: exclusive prefix token sum // budget.
         "context_windows": f"""

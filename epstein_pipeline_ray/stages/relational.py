@@ -972,3 +972,75 @@ def weighted_sample(
     pruned = keyed.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
     return pruned.sort(["es_key", id_col]).limit(k)
+
+
+def rollup_stats(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """OLAP ROLLUP over the key hierarchy: one row per leaf group PLUS
+    every prefix level with the trailing keys NULLed, up to the grand
+    total — ``GROUP BY ROLLUP(k1, k2, ...)`` semantics. Emits
+    ``(*keys, n_rows, sum_value)``.
+
+    One exchange builds the leaf table (map-side partial groupby, keyed
+    sum — decomposable aggregates only); every super-aggregate level is
+    then derived from the LEAF table, which is groups-bounded, on the
+    driver (the documented small-side exception — never from the input).
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    partial_schema = pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [("n_rows", pa.int64()), ("sum_value", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        g = (df.groupby(keys, sort=True)[value_col]
+             .agg(["size", "sum"]).reset_index())
+        cols = {k: pa.array(g[k].astype(str), pa.string()) for k in keys}
+        cols["n_rows"] = pa.array(g["size"].to_numpy(np.int64), pa.int64())
+        cols["sum_value"] = pa.array(g["sum"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols, schema=partial_schema)
+
+    partials = ds.select_columns(keys + [value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        g = (block.to_pandas().groupby(keys, sort=True)
+             .agg(n_rows=("n_rows", "sum"), sum_value=("sum_value", "sum"))
+             .reset_index())
+        cols = {k: pa.array(g[k], pa.string()) for k in keys}
+        cols["n_rows"] = pa.array(g["n_rows"].to_numpy(np.int64), pa.int64())
+        cols["sum_value"] = pa.array(g["sum_value"].to_numpy(np.int64),
+                                     pa.int64())
+        return pa.table(cols, schema=partial_schema)
+
+    leaf = (map_key_blocks(partials, keys, sum_block, num_partitions,
+                           sort_blocks=False)
+            .to_pandas().sort_values(keys).reset_index(drop=True))
+
+    levels = [leaf]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            up = (leaf.groupby(kept, sort=True)
+                  .agg(n_rows=("n_rows", "sum"), sum_value=("sum_value", "sum"))
+                  .reset_index())
+        else:
+            up = pd.DataFrame({"n_rows": [leaf["n_rows"].sum()],
+                               "sum_value": [leaf["sum_value"].sum()]})
+        for k in keys[depth:]:
+            up[k] = None
+        levels.append(up[keys + ["n_rows", "sum_value"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    cols = {k: pa.array(out[k], pa.string()) for k in keys}
+    cols["n_rows"] = pa.array(out["n_rows"].to_numpy(np.int64), pa.int64())
+    cols["sum_value"] = pa.array(out["sum_value"].to_numpy(np.int64),
+                                 pa.int64())
+    return pa.table(cols)

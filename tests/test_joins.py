@@ -214,3 +214,33 @@ def test_sampled_quantile_sketch(ray_session):
         assert abs(out["B"] - np.quantile(big_vals, 0.9)) < 40, out["B"]
     # deterministic min-k → bit-identical across batchings
     assert outs[1].equals(outs[8])
+
+
+def test_rollup_stats_levels(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import rollup_stats
+
+    rows = [("a", "en", 10), ("a", "en", 5), ("a", "fr", 1),
+            ("b", "en", 2)]
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    got = rollup_stats(ds, ["source", "lang"], "n_chars").to_pandas()
+    key = got.set_index(["source", "lang"])
+    # leaf
+    assert key.loc[("a", "en")].n_rows == 2 and key.loc[("a", "en")].sum_value == 15
+    assert key.loc[("a", "fr")].sum_value == 1
+    # source level (lang NULL)
+    lvl1 = got[got.lang.isna() & got.source.notna()].set_index("source")
+    assert lvl1.loc["a"].n_rows == 3 and lvl1.loc["a"].sum_value == 16
+    assert lvl1.loc["b"].sum_value == 2
+    # grand total
+    total = got[got.source.isna() & got.lang.isna()]
+    assert len(total) == 1
+    assert total.iloc[0].n_rows == 4 and total.iloc[0].sum_value == 18
+    # row count: 3 leaves + 2 source rows + 1 total
+    assert len(got) == 6
