@@ -1715,6 +1715,32 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_events_orders_join(sf_dir: str):
+    """General m:n inner hash join (joins.hash_join): events × orders
+    on user_id = o_custkey (both sides repeat the key), mod-filtered
+    on both sides. Broadcast-hash plan under the limit, tagged-union
+    shuffle-hash plan above (forced-limit-0 pytest pins them equal)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["event_id"], pc.multiply(
+                pc.divide(b["event_id"], pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64()))), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["o_orderkey"], pc.multiply(
+                pc.divide(b["o_orderkey"], pa.scalar(5, pa.int64())),
+                pa.scalar(5, pa.int64()))), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join(ev, orders, "user_id", "o_custkey")
+
+
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): leaf groups plus every prefix
     level with trailing keys NULLed up to the grand total — one keyed
@@ -2105,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": q_quality_gate,
         "context_windows": q_context_windows,
         "rollup": q_rollup,
+        "events_orders_join": q_events_orders_join,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -2664,6 +2691,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text
             FROM l
             WHERE prole IS NULL OR prole <> role OR ptext <> text
+        """,
+        "events_orders_join": """
+            SELECT e.user_id, e.event_id, e.value,
+                   o.o_orderkey, o.o_totalprice
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+            WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
         """,
         "rollup": """
             SELECT source, lang, count(*)::BIGINT AS n_rows,

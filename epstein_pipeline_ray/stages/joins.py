@@ -222,3 +222,132 @@ def attach_column(
 
     return map_key_blocks(unioned, [left_key], per_block, num_partitions,
                           sort_blocks=False)
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+    broadcast_rows_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """General m:n INNER equi-join — the missing sibling of
+    attach_column (which requires unique right keys) and
+    key_membership_join (which only filters). Emits one row per
+    matching (left row, right row) pair: the key (under ``left_key``'s
+    name and type) plus both payloads, colliding payload names
+    disambiguated by ``suffixes``.
+
+    Broadcast-hash plan below ``broadcast_rows_limit`` right rows: the
+    right table sits in plasma once and every left batch merges against
+    it (pandas hash merge, C code). Exchange plan above: both sides are
+    tagged, schema-aligned with typed nulls, unioned and exchanged on
+    the key ONCE; each key-sorted block splits by side and merges its
+    two slices — the classic shuffle-hash join, data crosses the wire
+    once per side. Key-skew note: a flood key materializes its
+    |L|x|R| product inside one block, inherent to join semantics —
+    pre-aggregate or cap upstream when that product is unbounded.
+
+    Payload dtype fidelity across the pandas merge is restored by
+    casting back to the input Arrow types (integral columns survive the
+    NaN-padding round-trip because matched rows are never null on their
+    own side)."""
+    right_key = right_key or left_key
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    key_type = ltypes[left_key]
+    lpay = [c for c in lsch.names if c != left_key]
+    rpay = [c for c in rsch.names if c != right_key]
+    lout = {c: (c + suffixes[0] if c in rpay else c) for c in lpay}
+    rout = {c: (c + suffixes[1] if c in lpay else c) for c in rpay}
+    out_schema = pa.schema(
+        [(left_key, key_type)]
+        + [(lout[c], ltypes[c]) for c in lpay]
+        + [(rout[c], rtypes[c]) for c in rpay])
+    out_cols = out_schema.names
+
+    def _table_from_merged(df) -> pa.Table:
+        arrays = []
+        for name in out_cols:
+            typ = out_schema.field(name).type
+            arrays.append(pa.array(df[name], type=typ, from_pandas=True))
+        return pa.table(dict(zip(out_cols, arrays)), schema=out_schema)
+
+    pruned_right = right.select_columns([right_key] + rpay)
+    n_right = pruned_right.count()
+
+    if n_right <= broadcast_rows_limit:
+        tables = [t for t in ray.get(pruned_right.to_arrow_refs())
+                  if t.num_rows]
+        rtab = (pa.concat_tables(tables).combine_chunks() if tables
+                else pruned_right.schema().empty_table())
+        rdf = rtab.to_pandas()
+        rdf.columns = [left_key if c == right_key else rout[c]
+                       for c in rdf.columns]
+        ref = ray.put(rdf)
+
+        def merge_batch(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            ldf = batch.to_pandas()
+            ldf.columns = [c if c == left_key else lout[c]
+                           for c in ldf.columns]
+            merged = ldf.merge(ray.get(ref), on=left_key, how="inner")
+            if not len(merged):
+                return out_schema.empty_table()
+            return _table_from_merged(merged)
+
+        return left.select_columns([left_key] + lpay).map_batches(
+            merge_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exchange plan: schema-aligned tagged union, one keyed exchange
+    unified = ([left_key] + [lout[c] for c in lpay]
+               + [rout[c] for c in rpay] + ["__side"])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {left_key: batch[left_key]}
+        for c in lpay:
+            cols[lout[c]] = batch[c]
+        for c in rpay:
+            cols[rout[c]] = pa.nulls(batch.num_rows, rtypes[c])
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = batch[right_key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if k.type != key_type:
+            k = k.cast(key_type)
+        cols = {left_key: k}
+        for c in lpay:
+            cols[lout[c]] = pa.nulls(batch.num_rows, ltypes[c])
+        for c in rpay:
+            cols[rout[c]] = batch[c]
+        cols["__side"] = pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        return pa.table({c: cols[c] for c in unified})
+
+    lt = left.select_columns([left_key] + lpay).map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = pruned_right.map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = block.to_pandas()
+        side = df.pop("__side")
+        ldf = df.loc[side == 0, [left_key] + [lout[c] for c in lpay]]
+        rdf = df.loc[side == 1, [left_key] + [rout[c] for c in rpay]]
+        if not len(ldf) or not len(rdf):
+            return out_schema.empty_table()
+        merged = ldf.merge(rdf, on=left_key, how="inner")
+        if not len(merged):
+            return out_schema.empty_table()
+        return _table_from_merged(merged)
+
+    return map_key_blocks(lt.union(rt), [left_key], per_block,
+                          num_partitions, sort_blocks=False)

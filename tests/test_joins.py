@@ -244,3 +244,37 @@ def test_rollup_stats_levels(ray_session):
     assert total.iloc[0].n_rows == 4 and total.iloc[0].sum_value == 18
     # row count: 3 leaves + 2 source rows + 1 total
     assert len(got) == 6
+
+
+def test_hash_join_mn_both_plans(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    L = pa.table({"k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+                  "v": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+                  "shared": pa.array([10, 20, 30, 40, 50], pa.int64())})
+    R = pa.table({"kk": pa.array([1, 1, 2, 2, 4], pa.int64()),
+                  "w": pa.array([1.5, 2.5, 3.5, 4.5, 5.5], pa.float64()),
+                  "shared": pa.array([-1, -2, -3, -4, -5], pa.int64())})
+    want = (L.to_pandas().rename(columns={"shared": "shared_l"})
+            .merge(R.to_pandas().rename(columns={"shared": "shared_r",
+                                                 "kk": "k"}), on="k")
+            .sort_values(["k", "v", "w"]).reset_index(drop=True))
+    for lim in (2_000_000, 0):  # broadcast plan, forced exchange plan
+        got = (hash_join(rd.from_arrow(L), rd.from_arrow(R), "k", "kk",
+                         broadcast_rows_limit=lim)
+               .to_pandas().sort_values(["k", "v", "w"])
+               .reset_index(drop=True))
+        # m:n: key 1 → 2x2 = 4 rows; keys 3/5 (left-only) and 4
+        # (right-only) drop
+        assert (got.k == 1).sum() == 4
+        assert set(got.k) == {1, 2}
+        pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                      want[sorted(want.columns)],
+                                      check_dtype=False)
+        # integer payloads survive the NaN-padding round-trip
+        assert str(got.shared_l.dtype) == "int64"
+        assert str(got.shared_r.dtype) == "int64"
