@@ -1741,6 +1741,31 @@ def q_events_orders_join(sf_dir: str):
     return hash_join(ev, orders, "user_id", "o_custkey")
 
 
+def q_events_orders_left(sf_dir: str):
+    """LEFT OUTER variant of events_orders_join: unmatched events keep
+    typed-null order payload — same size-switched broadcast/exchange
+    plans (how='left')."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["event_id"], pc.multiply(
+                pc.divide(b["event_id"], pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64()))), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["o_orderkey"], pc.multiply(
+                pc.divide(b["o_orderkey"], pa.scalar(5, pa.int64())),
+                pa.scalar(5, pa.int64()))), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join(ev, orders, "user_id", "o_custkey", how="left")
+
+
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): leaf groups plus every prefix
     level with trailing keys NULLed up to the grand total — one keyed
@@ -2132,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_windows": q_context_windows,
         "rollup": q_rollup,
         "events_orders_join": q_events_orders_join,
+        "events_orders_left": q_events_orders_left,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -2697,6 +2723,13 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        "events_orders_left": """
+            SELECT e.user_id, e.event_id, e.value,
+                   o.o_orderkey, o.o_totalprice
+            FROM (SELECT * FROM events WHERE event_id % 7 = 0) e
+            LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 5 = 0) o
+              ON e.user_id = o.o_custkey
         """,
         "rollup": """
             SELECT source, lang, count(*)::BIGINT AS n_rows,

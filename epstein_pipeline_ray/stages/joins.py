@@ -230,10 +230,13 @@ def hash_join(
     left_key: str,
     right_key: str | None = None,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    how: str = "inner",
     broadcast_rows_limit: int = 2_000_000,
     num_partitions: int | None = None,
 ) -> Dataset:
-    """General m:n INNER equi-join — the missing sibling of
+    """General m:n equi-join (``how`` = 'inner' or 'left';
+    left-outer keeps unmatched left rows with typed-null right
+    payload) — the missing sibling of
     attach_column (which requires unique right keys) and
     key_membership_join (which only filters). Emits one row per
     matching (left row, right row) pair: the key (under ``left_key``'s
@@ -254,6 +257,7 @@ def hash_join(
     casting back to the input Arrow types (integral columns survive the
     NaN-padding round-trip because matched rows are never null on their
     own side)."""
+    assert how in ("inner", "left")
     right_key = right_key or left_key
     lsch, rsch = left.schema(), right.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
@@ -295,7 +299,7 @@ def hash_join(
             ldf = batch.to_pandas()
             ldf.columns = [c if c == left_key else lout[c]
                            for c in ldf.columns]
-            merged = ldf.merge(ray.get(ref), on=left_key, how="inner")
+            merged = ldf.merge(ray.get(ref), on=left_key, how=how)
             if not len(merged):
                 return out_schema.empty_table()
             return _table_from_merged(merged)
@@ -342,9 +346,16 @@ def hash_join(
         side = df.pop("__side")
         ldf = df.loc[side == 0, [left_key] + [lout[c] for c in lpay]]
         rdf = df.loc[side == 1, [left_key] + [rout[c] for c in rpay]]
-        if not len(ldf) or not len(rdf):
+        if not len(ldf):
             return out_schema.empty_table()
-        merged = ldf.merge(rdf, on=left_key, how="inner")
+        if not len(rdf):
+            if how == "inner":
+                return out_schema.empty_table()
+            merged = ldf.reindex(columns=[left_key]
+                                 + [lout[c] for c in lpay]
+                                 + [rout[c] for c in rpay])
+        else:
+            merged = ldf.merge(rdf, on=left_key, how=how)
         if not len(merged):
             return out_schema.empty_table()
         return _table_from_merged(merged)

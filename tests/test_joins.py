@@ -278,3 +278,23 @@ def test_hash_join_mn_both_plans(ray_session):
         # integer payloads survive the NaN-padding round-trip
         assert str(got.shared_l.dtype) == "int64"
         assert str(got.shared_r.dtype) == "int64"
+
+
+def test_hash_join_left_outer_both_plans(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    L = pa.table({"k": pa.array([1, 3, 5], pa.int64()),
+                  "v": pa.array(["a", "b", "c"], pa.string())})
+    R = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "w": pa.array([9.0, 8.0], pa.float64())})
+    for lim in (2_000_000, 0):
+        got = (hash_join(rd.from_arrow(L), rd.from_arrow(R), "k",
+                         how="left", broadcast_rows_limit=lim)
+               .to_pandas().sort_values(["k", "w"]).reset_index(drop=True))
+        # key 1 matches twice; 3 and 5 survive with null right payload
+        assert got.k.tolist() == [1, 1, 3, 5]
+        assert got.w.tolist()[:2] == [8.0, 9.0]
+        assert got.w.isna().tolist() == [False, False, True, True]
