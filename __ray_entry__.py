@@ -1715,6 +1715,26 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_head_tail(sf_dir: str):
+    """Middle truncation (head 40 + tail 20 words with a marker) —
+    the long-doc context-window policy that preserves opening and
+    conclusion; array-slice DuckDB twin."""
+    from epstein_pipeline_ray.stages.textops import head_tail_truncate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return head_tail_truncate(docs, head_words=40, tail_words=20)
+
+
+def q_event_rank(sf_dir: str):
+    """ROW_NUMBER per user over events by value DESC (event_id ties) —
+    the full-ranking sibling of topk_per_group; one keyed exchange,
+    vectorized rank pass."""
+    from epstein_pipeline_ray.stages.relational import with_group_rank
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return with_group_rank(ev, "user_id", "value", "event_id")
+
+
 def q_events_orders_join(sf_dir: str):
     """General m:n inner hash join (joins.hash_join): events × orders
     on user_id = o_custkey (both sides repeat the key), mod-filtered
@@ -2158,6 +2178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
+        "head_tail": q_head_tail,
+        "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
         "render_chat": q_render_chat,
@@ -2723,6 +2745,28 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        "head_tail": """
+            WITH w AS (
+                SELECT doc_id, text, string_split(text, ' ') AS ws,
+                       CASE WHEN text = '' THEN 0
+                            ELSE len(string_split(text, ' ')) END AS n
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 60 THEN
+                        array_to_string(ws[1:40], ' ') || ' [...] '
+                            || array_to_string(ws[(n-19)::INT:n::INT], ' ')
+                   ELSE text END AS text,
+                   (n > 60) AS was_truncated,
+                   n::BIGINT AS n_words
+            FROM w
+        """,
+        "event_rank": """
+            SELECT event_id, user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id)::BIGINT AS rank
+            FROM events
         """,
         "events_orders_left": """
             SELECT e.user_id, e.event_id, e.value,

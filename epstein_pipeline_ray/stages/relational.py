@@ -1044,3 +1044,46 @@ def rollup_stats(
     cols["sum_value"] = pa.array(out["sum_value"].to_numpy(np.int64),
                                  pa.int64())
     return pa.table(cols)
+
+
+def with_group_rank(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    tie_col: str,
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """ROW_NUMBER per group ordered by ``value_col`` DESC with
+    ``tie_col`` ASC ties — the unlimited sibling of topk_per_group
+    (full ranking, not membership). One keyed exchange; ranks assigned
+    by a single vectorized pass per key-sorted block. SQL twin:
+    ``row_number() OVER (PARTITION BY key ORDER BY value DESC, tie)``.
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    names = ds.schema().names
+    types = dict(zip(names, ds.schema().types))
+    out_schema = pa.schema([(c, types[c]) for c in names]
+                           + [(out_col, pa.int64())])
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, value_col, tie_col],
+                           ascending=[True, False, True], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        new_grp = np.r_[True, kv[1:] != kv[:-1]]
+        starts = np.flatnonzero(new_grp)
+        run_len = np.diff(np.r_[starts, len(df)])
+        rank = np.arange(len(df)) - np.repeat(starts, run_len) + 1
+        df[out_col] = rank.astype(np.int64)
+        arrays = [pa.array(df[c], type=out_schema.field(c).type,
+                           from_pandas=True) for c in out_schema.names]
+        return pa.table(dict(zip(out_schema.names, arrays)),
+                        schema=out_schema)
+
+    return map_key_blocks(ds, [key], rank_block, num_partitions,
+                          sort_blocks=False)

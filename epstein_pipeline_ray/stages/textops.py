@@ -429,3 +429,49 @@ def with_char_entropy(docs: Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def head_tail_truncate(
+    docs: Dataset,
+    head_words: int = 40,
+    tail_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    marker: str = " [...] ",
+) -> Dataset:
+    """Middle truncation for long documents: keep the first
+    ``head_words`` and last ``tail_words`` words joined by ``marker``
+    (the head+tail policy for fitting long documents into a context
+    window while preserving both the opening and the conclusion —
+    the long-doc alternative to hard truncation `text[:N]`). Documents
+    at or under the combined budget pass through unchanged. Stateless
+    vectorized-per-doc map; every rule is an array slice, so the
+    DuckDB twin rebuilds it exactly.
+
+    Output: (id, text, was_truncated:bool, n_words:int64)."""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        out_text: list[str] = []
+        out_flag: list[bool] = []
+        out_n: list[int] = []
+        for t in batch[text_col].to_pylist():
+            words = (t or "").split(" ") if (t or "") else []
+            n = len(words)
+            if n > head_words + tail_words:
+                out_text.append(" ".join(words[:head_words]) + marker
+                                + " ".join(words[n - tail_words:]))
+                out_flag.append(True)
+            else:
+                out_text.append(t or "")
+                out_flag.append(False)
+            out_n.append(n)
+        return pa.table({
+            id_col: ids,
+            "text": pa.array(out_text, pa.large_string()),
+            "was_truncated": pa.array(out_flag, pa.bool_()),
+            "n_words": pa.array(out_n, pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        apply, batch_format="pyarrow", zero_copy_batch=True)

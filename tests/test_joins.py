@@ -298,3 +298,23 @@ def test_hash_join_left_outer_both_plans(ray_session):
         assert got.k.tolist() == [1, 1, 3, 5]
         assert got.w.tolist()[:2] == [8.0, 9.0]
         assert got.w.isna().tolist() == [False, False, True, True]
+
+
+def test_with_group_rank_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import with_group_rank
+
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        "value": pa.array([5.0, 9.0, 5.0, 1.0, 2.0], pa.float64()),
+    }))
+    got = (with_group_rank(ds, "user_id", "value", "event_id")
+           .to_pandas().sort_values(["user_id", "rank"])
+           .reset_index(drop=True))
+    # user 7: value 9 first, then the 5.0 tie broken by event_id
+    assert got[got.user_id == 7].event_id.tolist() == [2, 1, 3]
+    assert got[got.user_id == 7]["rank"].tolist() == [1, 2, 3]
+    assert got[got.user_id == 9].event_id.tolist() == [5, 4]

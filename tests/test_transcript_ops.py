@@ -175,3 +175,28 @@ def test_context_windows_hand_trace(ray_session):
            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     assert got.window_id.tolist() == [0, 0, 1, 2, 0, 0]
     assert got.n_tokens.tolist() == [4, 3, 5, 2, 0, 1]
+
+
+def test_head_tail_truncate_rules(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import head_tail_truncate
+
+    long = " ".join(f"w{i}" for i in range(10))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([long, "a b c", ""], pa.string()),
+    }))
+    got = (head_tail_truncate(ds, head_words=3, tail_words=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.text.tolist() == ["w0 w1 w2 [...] w8 w9", "a b c", ""]
+    assert got.was_truncated.tolist() == [True, False, False]
+    assert got.n_words.tolist() == [10, 3, 0]
+    # boundary: exactly head+tail words is NOT truncated
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c d e"], pa.string()),
+    }))
+    got2 = head_tail_truncate(ds2, head_words=3, tail_words=2).to_pandas()
+    assert got2.was_truncated.tolist() == [False]
