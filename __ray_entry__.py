@@ -1715,6 +1715,56 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust per-source outlier flags on document length: MAD gate
+    |x - median| > 3 * MAD (median absolute deviation) — the
+    heavy-tail-safe alternative to z-scores for curation cuts. Two
+    exact grouped-median exchanges + two size-switched attaches; both
+    medians 6-digit rounded so the > boundary matches the twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import grouped_median
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def to_float(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "x": pc.cast(batch["n_chars"], pa.float64()),
+        })
+
+    xs = docs.map_batches(to_float, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    med = grouped_median(xs, "source", "x")
+    withmed = attach_column(xs, med, "source", "source",
+                            "median_value", "med")
+
+    def add_dev(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "dev", pc.abs(pc.subtract(batch["x"], batch["med"])))
+
+    devs = withmed.map_batches(add_dev, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    mad = grouped_median(devs.select_columns(["source", "dev"]),
+                         "source", "dev", out_col="mad")
+    full = attach_column(devs, mad, "source", "source", "mad", "mad")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        out = pc.greater(batch["dev"],
+                         pc.multiply(batch["mad"], pa.scalar(3.0)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": pc.cast(batch["x"], pa.int64()),
+            "is_outlier": out,
+        })
+
+    return full.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_head_tail(sf_dir: str):
     """Middle truncation (head 40 + tail 20 words with a marker) —
     the long-doc context-window policy that preserves opening and
@@ -2179,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
         "head_tail": q_head_tail,
+        "mad_outliers": q_mad_outliers,
         "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
@@ -2745,6 +2796,19 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        "mad_outliers": """
+            WITH x AS (SELECT doc_id, source, n_chars::DOUBLE AS x
+                       FROM documents),
+            m AS (SELECT source, round(median(x), 6) AS med
+                  FROM x GROUP BY source),
+            d AS (SELECT doc_id, source, x, abs(x - med) AS dev
+                  FROM x JOIN m USING (source)),
+            md AS (SELECT source, round(median(dev), 6) AS mad
+                   FROM d GROUP BY source)
+            SELECT doc_id, source, x::BIGINT AS n_chars,
+                   (dev > 3 * mad) AS is_outlier
+            FROM d JOIN md USING (source)
         """,
         "head_tail": """
             WITH w AS (
