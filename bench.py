@@ -133,6 +133,12 @@ def run_bench() -> dict:
         "turn_dedup_global",
         "self_repetition",
         "pack_sequences",
+        "cross_snapshot",
+        "line_dedup",
+        "repetition",
+        "triangles",
+        "label_prop",
+        "context_windows",
     ):
         q = entrymod.queries()[name]
         best = None
