@@ -1715,6 +1715,17 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_user_mode_type(sf_dir: str):
+    """Most frequent event_type per user (grouped MODE with pinned
+    smallest-value ties — SQL mode() leaves ties unspecified, so the
+    twin uses an explicit row_number). Map-side count partials, one
+    keyed exchange."""
+    from epstein_pipeline_ray.stages.relational import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust per-source outlier flags on document length: MAD gate
     |x - median| > 3 * MAD (median absolute deviation) — the
@@ -2230,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_orders_left": q_events_orders_left,
         "head_tail": q_head_tail,
         "mad_outliers": q_mad_outliers,
+        "user_mode_type": q_user_mode_type,
         "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
@@ -2796,6 +2808,15 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        "user_mode_type": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, event_type AS mode_value FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY c DESC, event_type) AS rn
+                FROM c) WHERE rn = 1
         """,
         "mad_outliers": """
             WITH x AS (SELECT doc_id, source, n_chars::DOUBLE AS x

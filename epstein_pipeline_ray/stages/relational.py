@@ -1087,3 +1087,54 @@ def with_group_rank(
 
     return map_key_blocks(ds, [key], rank_block, num_partitions,
                           sort_blocks=False)
+
+
+def grouped_mode(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "mode_value",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Most frequent value per group, ties to the SMALLEST value (SQL
+    ``mode()`` leaves ties unspecified — this pins them, and the DuckDB
+    twin uses an explicit row_number instead). Map-side per-batch
+    (key, value) count partials → one key-keyed exchange → per-key
+    argmax over summed counts."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    vtype = dict(zip(ds.schema().names, ds.schema().types))[value_col]
+    partial_schema = pa.schema([(key, ktype), (value_col, vtype),
+                                ("cnt", pa.int64())])
+    out_schema = pa.schema([(key, ktype), (out_col, vtype)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([key, value_col]).to_pandas()
+             .groupby([key, value_col], sort=True).size()
+             .reset_index(name="cnt"))
+        return pa.table({
+            key: pa.array(g[key], type=ktype, from_pandas=True),
+            value_col: pa.array(g[value_col], type=vtype, from_pandas=True),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+        }, schema=partial_schema)
+
+    partials = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = (block.to_pandas()
+              .groupby([key, value_col], sort=False)["cnt"].sum()
+              .reset_index()
+              .sort_values([key, "cnt", value_col],
+                           ascending=[True, False, True], kind="mergesort")
+              .drop_duplicates(key))
+        return pa.table({
+            key: pa.array(df[key], type=ktype, from_pandas=True),
+            out_col: pa.array(df[value_col], type=vtype, from_pandas=True),
+        }, schema=out_schema)
+
+    return map_key_blocks(partials, [key], pick_block, num_partitions,
+                          sort_blocks=False)

@@ -318,3 +318,19 @@ def test_with_group_rank_hand_truth(ray_session):
     assert got[got.user_id == 7].event_id.tolist() == [2, 1, 3]
     assert got[got.user_id == 7]["rank"].tolist() == [1, 2, 3]
     assert got[got.user_id == 9].event_id.tolist() == [5, 4]
+
+
+def test_grouped_mode_ties_to_smallest(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_mode
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "v": pa.array(["b", "b", "a", "a", "z", "y"], pa.string()),
+    }))
+    got = (grouped_mode(ds, "k", "v").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # k=1: a and b tie at 2 -> smallest wins; k=2: y and z tie at 1
+    assert got.mode_value.tolist() == ["a", "y"]
