@@ -1847,6 +1847,31 @@ def q_events_orders_left(sf_dir: str):
     return hash_join(ev, orders, "user_id", "o_custkey", how="left")
 
 
+def q_events_orders_outer(sf_dir: str):
+    """FULL OUTER variant: unmatched rows from EITHER side survive with
+    typed-null opposite payload; always the exchange plan (a per-batch
+    broadcast merge cannot know globally-unmatched right rows)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["event_id"], pc.multiply(
+                pc.divide(b["event_id"], pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64()))), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["o_orderkey"], pc.multiply(
+                pc.divide(b["o_orderkey"], pa.scalar(5, pa.int64())),
+                pa.scalar(5, pa.int64()))), pa.scalar(0, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join(ev, orders, "user_id", "o_custkey", how="outer")
+
+
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): leaf groups plus every prefix
     level with trailing keys NULLed up to the grand total — one keyed
@@ -2239,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
+        "events_orders_outer": q_events_orders_outer,
         "head_tail": q_head_tail,
         "mad_outliers": q_mad_outliers,
         "user_mode_type": q_user_mode_type,
@@ -2858,6 +2884,13 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM (SELECT * FROM events WHERE event_id % 7 = 0) e
             LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 5 = 0) o
+              ON e.user_id = o.o_custkey
+        """,
+        "events_orders_outer": """
+            SELECT coalesce(e.user_id, o.o_custkey) AS user_id,
+                   e.event_id, e.value, o.o_orderkey, o.o_totalprice
+            FROM (SELECT * FROM events WHERE event_id % 7 = 0) e
+            FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderkey % 5 = 0) o
               ON e.user_id = o.o_custkey
         """,
         "rollup": """

@@ -234,9 +234,11 @@ def hash_join(
     broadcast_rows_limit: int = 2_000_000,
     num_partitions: int | None = None,
 ) -> Dataset:
-    """General m:n equi-join (``how`` = 'inner' or 'left';
-    left-outer keeps unmatched left rows with typed-null right
-    payload) — the missing sibling of
+    """General m:n equi-join (``how`` = 'inner', 'left' or 'outer';
+    left-outer keeps unmatched left rows with typed-null right payload,
+    full outer additionally keeps unmatched right rows — 'outer' always
+    runs the exchange plan, since a per-batch broadcast merge cannot
+    know globally-unmatched right rows) — the missing sibling of
     attach_column (which requires unique right keys) and
     key_membership_join (which only filters). Emits one row per
     matching (left row, right row) pair: the key (under ``left_key``'s
@@ -257,7 +259,7 @@ def hash_join(
     casting back to the input Arrow types (integral columns survive the
     NaN-padding round-trip because matched rows are never null on their
     own side)."""
-    assert how in ("inner", "left")
+    assert how in ("inner", "left", "outer")
     right_key = right_key or left_key
     lsch, rsch = left.schema(), right.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
@@ -283,7 +285,7 @@ def hash_join(
     pruned_right = right.select_columns([right_key] + rpay)
     n_right = pruned_right.count()
 
-    if n_right <= broadcast_rows_limit:
+    if how != "outer" and n_right <= broadcast_rows_limit:
         tables = [t for t in ray.get(pruned_right.to_arrow_refs())
                   if t.num_rows]
         rtab = (pa.concat_tables(tables).combine_chunks() if tables
@@ -346,14 +348,18 @@ def hash_join(
         side = df.pop("__side")
         ldf = df.loc[side == 0, [left_key] + [lout[c] for c in lpay]]
         rdf = df.loc[side == 1, [left_key] + [rout[c] for c in rpay]]
-        if not len(ldf):
+        all_cols = ([left_key] + [lout[c] for c in lpay]
+                    + [rout[c] for c in rpay])
+        if not len(ldf) and not len(rdf):
             return out_schema.empty_table()
-        if not len(rdf):
+        if not len(ldf):
+            if how != "outer":
+                return out_schema.empty_table()
+            merged = rdf.reindex(columns=all_cols)
+        elif not len(rdf):
             if how == "inner":
                 return out_schema.empty_table()
-            merged = ldf.reindex(columns=[left_key]
-                                 + [lout[c] for c in lpay]
-                                 + [rout[c] for c in rpay])
+            merged = ldf.reindex(columns=all_cols)
         else:
             merged = ldf.merge(rdf, on=left_key, how=how)
         if not len(merged):

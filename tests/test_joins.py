@@ -334,3 +334,20 @@ def test_grouped_mode_ties_to_smallest(ray_session):
            .sort_values("k").reset_index(drop=True))
     # k=1: a and b tie at 2 -> smallest wins; k=2: y and z tie at 1
     assert got.mode_value.tolist() == ["a", "y"]
+
+
+def test_hash_join_full_outer(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    L = pa.table({"k": pa.array([1, 3], pa.int64()),
+                  "v": pa.array(["a", "b"], pa.string())})
+    R = pa.table({"k": pa.array([1, 4], pa.int64()),
+                  "w": pa.array([9.0, 7.0], pa.float64())})
+    got = (hash_join(rd.from_arrow(L), rd.from_arrow(R), "k", how="outer")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == [1, 3, 4]
+    assert got.v.tolist() == ["a", "b", None]
+    assert got.w.fillna(-1).tolist() == [9.0, -1.0, 7.0]
