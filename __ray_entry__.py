@@ -1715,6 +1715,18 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_tfidf_cosine(sf_dir: str):
+    """All-pairs cosine similarity join over sparse TF-IDF vectors
+    (Bayardo WWW'07): unordered doc pairs with cosine >= 0.5, weights
+    the house rounded smoothed TF-IDF, terms with df > 0.5N pruned
+    identically on both sides. Postings exchange with map-side pair
+    combiner + pair-keyed dot sum + norm attaches."""
+    from epstein_pipeline_ray.stages.ranking import tfidf_cosine_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_cosine_pairs(docs, threshold=0.5, max_df_frac=0.5)
+
+
 def q_user_mode_type(sf_dir: str):
     """Most frequent event_type per user (grouped MODE with pinned
     smallest-value ties — SQL mode() leaves ties unspecified, so the
@@ -2268,6 +2280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_tail": q_head_tail,
         "mad_outliers": q_mad_outliers,
         "user_mode_type": q_user_mode_type,
+        "tfidf_cosine": q_tfidf_cosine,
         "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
@@ -2834,6 +2847,40 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        # tfidf_cosine twin: identical rounded weights, identical
+        # df-cap prune, dot via term join, norms via per-doc sums;
+        # cosine rounded before the >= filter on both sides.
+        "tfidf_cosine": """
+            WITH toks AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            w AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln((1.0 + n.n) / (1.0 + df.df)), 6) AS w
+                FROM tf JOIN df USING (term) CROSS JOIN n
+                WHERE df.df <= 0.5 * n.n
+            ),
+            nrm AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY 1),
+            dots AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(a.w * b.w) AS dot
+                FROM w a JOIN w b ON a.term = b.term
+                                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(dot / sqrt(na.norm2 * nb.norm2), 6) AS cosine
+            FROM dots
+            JOIN nrm na ON na.doc_id = id_a
+            JOIN nrm nb ON nb.doc_id = id_b
+            WHERE round(dot / sqrt(na.norm2 * nb.norm2), 6) >= 0.5
         """,
         "user_mode_type": """
             WITH c AS (SELECT user_id, event_type, count(*) AS c

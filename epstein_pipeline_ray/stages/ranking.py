@@ -274,3 +274,180 @@ def bm25_scores(docs: Dataset, query_terms: list[str],
 
     return map_key_blocks(parts, [id_col], per_doc, num_partitions,
                           sort_blocks=False)
+
+
+_COS_PARTIAL_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("dot", pa.float64()),
+])
+
+_COS_PAIR_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("cosine", pa.float64()),
+])
+
+
+def tfidf_cosine_pairs(
+    docs: Dataset,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    max_posting: int = 8192,
+) -> Dataset:
+    """All-pairs cosine similarity join over sparse TF-IDF vectors
+    (the Bayardo/Ma/Srikant WWW'07 all-pairs problem, exact
+    count-then-filter formulation): unordered doc pairs with
+    ``cos(a, b) >= threshold`` where the vector weight is the house
+    smoothed TF-IDF ``round(tf * ln((1+N)/(1+df)), 6)`` (rounded FIRST
+    so both engines weigh identical vectors).
+
+    Stopword-style pruning: terms with ``df > max_df_frac * N`` are
+    dropped from every vector BEFORE norms — the standard all-pairs
+    high-frequency-dimension cut; the SQL twin applies the identical
+    rule, so parity holds by construction (not by luck). Postings
+    longer than ``max_posting`` truncate with metrics accounting
+    (``cosine_join.postings_capped``).
+
+    Plan: TF explode → DF exchange + size-switched attach → weighted
+    postings; per-doc squared norms via one keyed exchange; term-keyed
+    postings exchange emits per-pair partial dot products (map-side
+    pair combiner); pair-keyed exchange sums exact dots; two attaches
+    bring the norms to the pair rows and the rounded cosine filters.
+    Output: (id_a, id_b, cosine:float64 rounded 6), id_a < id_b.
+    """
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    n_docs = float(docs.count())
+    df_cap = max_df_frac * n_docs
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    dfd = document_frequencies(tf, num_partitions=num_partitions)
+    joined = attach_column(tf, dfd, "term", "term", "df", "df",
+                           num_partitions=num_partitions)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less_equal(batch["df"], pa.scalar(df_cap))
+        batch = batch.filter(keep)
+        tfv = np.asarray(batch["tf"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        dfv = np.asarray(batch["df"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        w = sql_round(tfv * np.log((1.0 + n_docs) / (1.0 + dfv)), 6)
+        return pa.table({
+            "term": batch["term"],
+            "__id": batch[id_col].cast(pa.int64()),
+            "w": pa.array(w, pa.float64()),
+        })
+
+    postings = joined.map_batches(weigh, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    NORM = pa.schema([("__id", pa.int64()), ("norm2", pa.float64())])
+
+    def norm_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NORM.empty_table()
+        df_ = pd.DataFrame({
+            "__id": block["__id"].to_pandas(),
+            "w2": np.square(np.asarray(
+                block["w"].to_numpy(zero_copy_only=False), np.float64)),
+        })
+        g = df_.groupby("__id", sort=True)["w2"].sum()
+        return pa.table({"__id": pa.array(g.index.to_numpy(np.int64),
+                                          pa.int64()),
+                         "norm2": pa.array(g.to_numpy(np.float64),
+                                           pa.float64())}, schema=NORM)
+
+    norms = map_key_blocks(postings.select_columns(["__id", "w"]),
+                           ["__id"], norm_block, num_partitions,
+                           sort_blocks=False)
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return _COS_PARTIAL_SCHEMA.empty_table()
+        df_ = (block.to_pandas()
+               .sort_values(["term", "__id"], kind="mergesort")
+               .reset_index(drop=True))
+        term = df_["term"].to_numpy()
+        ids = df_["__id"].to_numpy(np.int64)
+        w = df_["w"].to_numpy(np.float64)
+        new_run = np.r_[True, term[1:] != term[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        over = run_len > max_posting
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            pos = np.arange(ids.size) - np.repeat(np.flatnonzero(new_run),
+                                                  run_len)
+            keep = pos < max_posting
+            metrics.inc("cosine_join.postings_capped", int(over.sum()))
+            metrics.inc("cosine_join.rows_capped", int((~keep).sum()))
+            ids, w, run_id = ids[keep], w[keep], run_id[keep]
+        from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return _COS_PARTIAL_SCHEMA.empty_table()
+        ia, ib = ids[I], ids[J]
+        swap = ia > ib
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        g = (pd.DataFrame({"id_a": ia2, "id_b": ib2, "p": w[I] * w[J]})
+             .groupby(["id_a", "id_b"], sort=False)["p"].sum()
+             .reset_index())
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
+            "dot": pa.array(g["p"].to_numpy(np.float64), pa.float64()),
+        }, schema=_COS_PARTIAL_SCHEMA)
+
+    partials = map_key_blocks(postings, ["term"], pair_block,
+                              num_partitions, sort_blocks=False)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _COS_PARTIAL_SCHEMA.empty_table()
+        g = (block.to_pandas().groupby(["id_a", "id_b"], sort=True)["dot"]
+             .sum().reset_index())
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
+            "dot": pa.array(g["dot"].to_numpy(np.float64), pa.float64()),
+        }, schema=_COS_PARTIAL_SCHEMA)
+
+    dots = map_key_blocks(partials, ["id_a", "id_b"], sum_block,
+                          num_partitions, sort_blocks=False)
+    dots = attach_column(dots, norms, "id_a", "__id", "norm2", "na2",
+                         num_partitions=num_partitions)
+    dots = attach_column(dots, norms, "id_b", "__id", "norm2", "nb2",
+                         num_partitions=num_partitions)
+    t = float(threshold)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _COS_PAIR_SCHEMA.empty_table()
+        dot = np.asarray(batch["dot"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        na2 = np.asarray(batch["na2"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        nb2 = np.asarray(batch["nb2"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        cos = sql_round(dot / np.sqrt(na2 * nb2), 6)
+        m = cos >= t
+        return pa.table({
+            "id_a": pa.array(np.asarray(
+                batch["id_a"].to_numpy(zero_copy_only=False))[m], pa.int64()),
+            "id_b": pa.array(np.asarray(
+                batch["id_b"].to_numpy(zero_copy_only=False))[m], pa.int64()),
+            "cosine": pa.array(cos[m], pa.float64()),
+        }, schema=_COS_PAIR_SCHEMA)
+
+    return dots.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -193,3 +193,63 @@ def test_weighted_sample_deterministic_and_weight_biased(ray_session):
     }))
     got2 = weighted_sample(ds2, k=3, weight_col="n_chars").to_pandas()
     assert got2.doc_id.tolist() == [3]
+
+
+def test_tfidf_cosine_pairs_brute(ray_session):
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.ranking import (
+        WORD_RE, tfidf_cosine_pairs)
+
+    texts = [
+        "apple banana cherry apple",
+        "apple banana cherry",          # near-identical to doc 0
+        "dog cat mouse",
+        "dog cat mouse dog cat",        # near-identical to doc 2
+        "completely different tokens here",
+        "the the the the",              # single-term doc
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    got = (tfidf_cosine_pairs(ds, threshold=0.5, max_df_frac=0.9)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+
+    # brute force with the identical weight/prune rules
+    N = len(texts)
+    tfs = [Counter(m.group(0).lower() for m in WORD_RE.finditer(t))
+           for t in texts]
+    df = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    vecs = []
+    for c in tfs:
+        v = {t: float(sql_round(np.array([n * math.log((1 + N) / (1 + df[t]))]), 6)[0])
+             for t, n in c.items() if df[t] <= 0.9 * N}
+        vecs.append(v)
+    want = []
+    for a in range(N):
+        for b in range(a + 1, N):
+            shared = set(vecs[a]) & set(vecs[b])
+            if not shared:
+                continue
+            dot = sum(vecs[a][t] * vecs[b][t] for t in shared)
+            na = math.sqrt(sum(w * w for w in vecs[a].values()))
+            nb = math.sqrt(sum(w * w for w in vecs[b].values()))
+            cos = float(sql_round(np.array([dot / (na * nb)]), 6)[0])
+            if cos >= 0.5:
+                want.append((a, b, cos))
+    assert (list(map(tuple, got.to_numpy().tolist()))
+            == [(float(a), float(b), c) for a, b, c in want]
+            or got.to_numpy().tolist() == [[a, b, c] for a, b, c in want])
+    # the two planted near-identical pairs are found
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (0, 1) in pairs and (2, 3) in pairs
