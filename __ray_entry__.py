@@ -1715,6 +1715,22 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_budget_select(sf_dir: str):
+    """Highest-quality subset under a 200k-char budget: maximal prefix
+    of the global (uniq_ratio DESC, doc_id) order whose running n_chars
+    stays <= budget — the 'best X tokens' curation cut with NO global
+    sort (score-bucket subtotals + two-phase id-bucket prefix at the
+    boundary score). Window-cumsum DuckDB twin; integer-valued weights
+    make the <= boundary exact."""
+    from epstein_pipeline_ray.stages.relational import budget_select
+    from epstein_pipeline_ray.stages.textops import with_quality
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    scored = with_quality(docs).select_columns(
+        ["doc_id", "uniq_ratio", "n_chars"])
+    return budget_select(scored, "uniq_ratio", "n_chars", budget=200_000)
+
+
 def q_tfidf_cosine(sf_dir: str):
     """All-pairs cosine similarity join over sparse TF-IDF vectors
     (Bayardo WWW'07): unordered doc pairs with cosine >= 0.5, weights
@@ -2281,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,
         "user_mode_type": q_user_mode_type,
         "tfidf_cosine": q_tfidf_cosine,
+        "budget_select": q_budget_select,
         "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
@@ -2847,6 +2864,25 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        # budget_select twin: running-sum window over the total
+        # (score DESC, id) order; both sides keep rows whose running
+        # weight INCLUDING their own stays <= the budget.
+        "budget_select": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       round(len(list_distinct(toks))::DOUBLE / len(toks), 6)
+                           AS uniq_ratio
+                FROM (SELECT doc_id, n_chars,
+                             regexp_split_to_array(trim(text), '\\s+') AS toks
+                      FROM documents)
+            ),
+            r AS (SELECT doc_id, uniq_ratio, n_chars,
+                         sum(n_chars::DOUBLE) OVER (
+                             ORDER BY uniq_ratio DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM s)
+            SELECT doc_id, uniq_ratio, n_chars FROM r WHERE cum <= 200000
         """,
         # tfidf_cosine twin: identical rounded weights, identical
         # df-cap prune, dot via term join, norms via per-doc sums;

@@ -1138,3 +1138,158 @@ def grouped_mode(
 
     return map_key_blocks(partials, [key], pick_block, num_partitions,
                           sort_blocks=False)
+
+
+def budget_select(
+    ds: Dataset,
+    score_col: str,
+    weight_col: str,
+    budget: float,
+    id_col: str = "doc_id",
+    id_bucket_width: int = 65536,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Highest-quality subset under a weight budget: keep the maximal
+    prefix of the global (score DESC, id ASC) order whose running
+    weight (including the row's own) stays <= ``budget`` — the "select
+    the best X tokens" curation cut. SQL twin:
+    ``sum(w) OVER (ORDER BY score DESC, id ROWS UNBOUNDED PRECEDING)
+    <= budget``.
+
+    No global sort: (1) one score-keyed exchange builds per-score
+    weight subtotals (bounded by DISTINCT rounded scores — callers pass
+    6-digit-rounded scores, so <= ~2M buckets for a unit-range signal);
+    the driver cumsums them score-descending to find the boundary
+    score. Scores strictly above it are kept outright. (2) Rows AT the
+    boundary score go through the two-phase prefix-sum pattern
+    (packing.py): id-bucket subtotals → driver offsets → per-bucket
+    vectorized cumsum against the remaining budget. Output: the kept
+    rows (id, score, weight)."""
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    pruned = ds.select_columns([id_col, score_col, weight_col])
+
+    SUB = pa.schema([(score_col, pa.float64()), ("w", pa.float64())])
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            score_col: np.asarray(batch[score_col].to_numpy(
+                zero_copy_only=False), np.float64),
+            "w": np.asarray(batch[weight_col].to_numpy(
+                zero_copy_only=False), np.float64),
+        })
+        g = df.groupby(score_col, sort=True)["w"].sum()
+        return pa.table({score_col: pa.array(g.index.to_numpy(np.float64),
+                                             pa.float64()),
+                         "w": pa.array(g.to_numpy(np.float64),
+                                       pa.float64())}, schema=SUB)
+
+    def score_sum(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return SUB.empty_table()
+        g = block.to_pandas().groupby(score_col, sort=True)["w"].sum()
+        return pa.table({score_col: pa.array(g.index.to_numpy(np.float64),
+                                             pa.float64()),
+                         "w": pa.array(g.to_numpy(np.float64),
+                                       pa.float64())}, schema=SUB)
+
+    buckets = (map_key_blocks(
+        pruned.map_batches(score_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [score_col], score_sum, num_partitions, sort_blocks=False)
+        .to_pandas().sort_values(score_col, ascending=False)
+        .reset_index(drop=True))
+    if not len(buckets):
+        return pruned.limit(0)
+    cum = buckets["w"].cumsum()
+    over = cum > budget
+    if not over.any():
+        return pruned  # everything fits
+    bidx = int(np.argmax(over.to_numpy()))
+    s_star = float(buckets[score_col].iloc[bidx])
+    cum_before = float(cum.iloc[bidx - 1]) if bidx else 0.0
+    remaining = budget - cum_before
+
+    def above_batch(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc_.greater(batch[score_col],
+                                        pa.scalar(s_star)))
+
+    def at_batch(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc_.equal(batch[score_col],
+                                      pa.scalar(s_star)))
+
+    keep_above = pruned.map_batches(above_batch, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    at = pruned.map_batches(at_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # two-phase prefix over id buckets within the boundary score
+    IDS = pa.schema([("bucket", pa.int64()), ("w", pa.float64())])
+
+    def id_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        w = np.asarray(batch[weight_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        g = pd.DataFrame({"bucket": ids // id_bucket_width, "w": w}) \
+            .groupby("bucket", sort=True)["w"].sum()
+        return pa.table({"bucket": pa.array(g.index.to_numpy(np.int64),
+                                            pa.int64()),
+                         "w": pa.array(g.to_numpy(np.float64),
+                                       pa.float64())}, schema=IDS)
+
+    def id_sum(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return IDS.empty_table()
+        g = block.to_pandas().groupby("bucket", sort=True)["w"].sum()
+        return pa.table({"bucket": pa.array(g.index.to_numpy(np.int64),
+                                            pa.int64()),
+                         "w": pa.array(g.to_numpy(np.float64),
+                                       pa.float64())}, schema=IDS)
+
+    bsub = (map_key_blocks(
+        at.map_batches(id_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bucket"], id_sum, num_partitions, sort_blocks=False)
+        .to_pandas().sort_values("bucket").reset_index(drop=True))
+    offsets = {int(b): float(o) for b, o in zip(
+        bsub["bucket"], np.concatenate([[0.0],
+                                        bsub["w"].cumsum().to_numpy()[:-1]]))}
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return batch.append_column(
+            "bucket", pa.array(ids // id_bucket_width, pa.int64()))
+
+    def boundary_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block.drop_columns(["bucket"])
+        off = _ray.get(off_ref)
+        df = (block.to_pandas().sort_values(id_col, kind="mergesort")
+              .reset_index(drop=True))
+        w = df[weight_col].to_numpy(np.float64)
+        b = df["bucket"].to_numpy(np.int64)
+        # per-bucket running sum + the bucket's global offset
+        start = np.r_[True, b[1:] != b[:-1]]
+        # cumsum reset at bucket starts
+        cw = np.cumsum(w)
+        base = np.repeat(cw[np.flatnonzero(start)] - w[np.flatnonzero(start)],
+                         np.diff(np.r_[np.flatnonzero(start), len(w)]))
+        run = cw - base
+        glob = run + np.array([off[int(x)] for x in b[np.flatnonzero(start)]
+                               ]).repeat(np.diff(np.r_[np.flatnonzero(start),
+                                                       len(w)]))
+        keep = glob <= remaining
+        out = df.loc[keep, [id_col, score_col, weight_col]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    kept_at = map_key_blocks(
+        at.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["bucket"], boundary_block, num_partitions, sort_blocks=False)
+    return keep_above.union(kept_at)

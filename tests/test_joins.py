@@ -351,3 +351,31 @@ def test_hash_join_full_outer(ray_session):
     assert got.k.tolist() == [1, 3, 4]
     assert got.v.tolist() == ["a", "b", None]
     assert got.w.fillna(-1).tolist() == [9.0, -1.0, 7.0]
+
+
+def test_budget_select_tie_boundary(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import budget_select
+
+    # scores: one high doc (w=10), then TEN tied docs (w=10 each) at
+    # the boundary score; budget 45 keeps the high doc + the first 3
+    # tied docs by id (10+10+10+10 = 40 <= 45; the 4th tied doc would
+    # reach 50)
+    n = 10
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100, 100 + n)) + [1], pa.int64()),
+        "score": pa.array([0.5] * n + [0.9], pa.float64()),
+        "w": pa.array([10] * (n + 1), pa.int64()),
+    }))
+    got = (budget_select(ds, "score", "w", budget=45, id_bucket_width=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.doc_id.tolist() == [1, 100, 101, 102]
+
+    # budget larger than everything -> all rows survive
+    got2 = budget_select(ds, "score", "w", budget=1e9).to_pandas()
+    assert len(got2) == n + 1
+    # budget smaller than the first row -> nothing survives
+    got3 = budget_select(ds, "score", "w", budget=5).to_pandas()
+    assert len(got3) == 0
