@@ -1716,7 +1716,9 @@ def q_containment(sf_dir: str):
 
 
 def q_budget_select(sf_dir: str):
-    """Highest-quality subset under a 200k-char budget: maximal prefix
+    """Highest-quality subset under a 100k-char budget (cuts ~1/3 of
+    the sf0.01 corpus, so the boundary-score machinery runs in the
+    driver gate): maximal prefix
     of the global (uniq_ratio DESC, doc_id) order whose running n_chars
     stays <= budget — the 'best X tokens' curation cut with NO global
     sort (score-bucket subtotals + two-phase id-bucket prefix at the
@@ -1728,7 +1730,7 @@ def q_budget_select(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     scored = with_quality(docs).select_columns(
         ["doc_id", "uniq_ratio", "n_chars"])
-    return budget_select(scored, "uniq_ratio", "n_chars", budget=200_000)
+    return budget_select(scored, "uniq_ratio", "n_chars", budget=100_000)
 
 
 def q_tfidf_cosine(sf_dir: str):
@@ -2882,7 +2884,7 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY uniq_ratio DESC, doc_id
                              ROWS UNBOUNDED PRECEDING) AS cum
                   FROM s)
-            SELECT doc_id, uniq_ratio, n_chars FROM r WHERE cum <= 200000
+            SELECT doc_id, uniq_ratio, n_chars FROM r WHERE cum <= 100000
         """,
         # tfidf_cosine twin: identical rounded weights, identical
         # df-cap prune, dot via term join, norms via per-doc sums;
