@@ -1715,6 +1715,28 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_edit_join(sf_dir: str):
+    """Edit-distance similarity join (Ed-Join/Gravano q-gram count
+    filter + exact DP confirm): doc pairs whose lowercased first-4-word
+    prefix is within Levenshtein distance 2. Multiset q-gram postings
+    exchange with a dedicated short-string bucket; DuckDB
+    levenshtein() self-join twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.dedup_extra import edit_distance_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        prefix = pc.binary_join(pc.list_slice(toks, 0, 4), " ")
+        return pa.table({"doc_id": batch["doc_id"], "text": prefix})
+
+    titles = docs.map_batches(derive, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return edit_distance_pairs(titles, k=2, q=2)
+
+
 def q_budget_select(sf_dir: str):
     """Highest-quality subset under a 100k-char budget (cuts ~1/3 of
     the sf0.01 corpus, so the boundary-score machinery runs in the
@@ -2300,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_type": q_user_mode_type,
         "tfidf_cosine": q_tfidf_cosine,
         "budget_select": q_budget_select,
+        "edit_join": q_edit_join,
         "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
@@ -2866,6 +2889,20 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        "edit_join": """
+            WITH t AS (
+                SELECT doc_id,
+                       lower(array_to_string((string_split(text, ' '))[1:4],
+                                             ' ')) AS s
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.s, b.s)::BIGINT AS dist
+            FROM t a JOIN t b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.s) - length(b.s)) <= 2
+            WHERE levenshtein(a.s, b.s) <= 2
         """,
         # budget_select twin: running-sum window over the total
         # (score DESC, id) order; both sides keep rows whose running

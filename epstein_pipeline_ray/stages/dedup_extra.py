@@ -865,3 +865,195 @@ def winnow_pairs(
 
     return map_key_blocks(raw, ["id_a", "id_b"], count_block, num_partitions,
                           sort_blocks=False)
+
+
+_ED_PARTIAL_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("cnt", pa.int64()),
+    ("la", pa.int32()),
+    ("lb", pa.int32()),
+    ("sa", pa.string()),
+    ("sb", pa.string()),
+    ("short", pa.bool_()),
+])
+
+_ED_PAIR_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("dist", pa.int64()),
+])
+
+
+def edit_distance_pairs(
+    docs: Dataset,
+    k: int = 2,
+    q: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    max_posting: int = 8192,
+    max_short_bucket: int = 65536,
+) -> Dataset:
+    """Edit-distance similarity join: unordered pairs with
+    ``levenshtein(a, b) <= k`` — the Ed-Join/Gravano q-gram-filter
+    family (Gravano VLDB'01 count filter; Xiao VLDB'08 lineage). Exact
+    output (filters are provably no-false-negative; every candidate is
+    confirmed by the vectorized min-plus Levenshtein DP panel).
+
+    Filters: length (``|la - lb| <= k``) and the multiset q-gram COUNT
+    bound — strings within ED k share ``>= max(la, lb) - q + 1 - k*q``
+    q-gram occurrences (each edit destroys at most q grams). Occurrence
+    indices ride the posting key, so the postings exchange computes the
+    MULTISET intersection exactly. Strings short enough that the bound
+    can reach zero (``len <= q - 1 + k*q``) additionally enter one
+    dedicated short bucket and pair all-against-all there (their only
+    within-k partners are also short — the length filter guarantees
+    it); the bucket is capped at ``max_short_bucket`` rows with metrics
+    accounting. Strings ride the postings (title-sized inputs — for
+    long strings join on a derived key instead).
+    """
+    import pandas as pd
+
+    short_limit = q - 1 + k * q
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_tok: list[int] = []
+        out_id: list[int] = []
+        out_l: list[int] = []
+        out_s: list[str] = []
+        for doc_id, t in zip(ids, texts):
+            s = str(t or "")
+            l = len(s)
+            rows: list[int] = []
+            if l >= q:
+                seen: dict[str, int] = {}
+                for j in range(l - q + 1):
+                    g = s[j: j + q]
+                    occ = seen.get(g, 0)
+                    seen[g] = occ + 1
+                    h = _token_hash64(f"{g}\x00{occ}")
+                    rows.append(h if h < (1 << 63) else h - (1 << 64))
+            if l <= short_limit:
+                rows.append(-(1 << 62))  # the short-bucket sentinel key
+            for h in rows:
+                out_tok.append(h)
+                out_id.append(int(doc_id))
+                out_l.append(l)
+                out_s.append(s)
+        return pa.table({
+            "tok": pa.array(out_tok, pa.int64()),
+            "__id": pa.array(out_id, pa.int64()),
+            "l": pa.array(out_l, pa.int32()),
+            "s": pa.array(out_s, pa.string()),
+        })
+
+    postings = docs.select_columns([id_col, text_col]).map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True)
+
+    SENTINEL = -(1 << 62)
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return _ED_PARTIAL_SCHEMA.empty_table()
+        df = (block.to_pandas()
+              .sort_values(["tok", "__id"], kind="mergesort")
+              .reset_index(drop=True))
+        tok = df["tok"].to_numpy(np.int64)
+        ids = df["__id"].to_numpy(np.int64)
+        ls = df["l"].to_numpy(np.int32)
+        ss = df["s"].to_numpy()
+        new_run = np.r_[True, tok[1:] != tok[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        cap = np.where(tok[np.flatnonzero(new_run)] == SENTINEL,
+                       max_short_bucket, max_posting)
+        over = run_len > cap
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            pos = np.arange(tok.size) - np.repeat(np.flatnonzero(new_run),
+                                                  run_len)
+            keep = pos < cap[run_id]
+            metrics.inc("edjoin.postings_capped", int(over.sum()))
+            metrics.inc("edjoin.rows_capped", int((~keep).sum()))
+            tok, ids, ls, ss, run_id = (tok[keep], ids[keep], ls[keep],
+                                        ss[keep], run_id[keep])
+        from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return _ED_PARTIAL_SCHEMA.empty_table()
+        ok = (ids[I] != ids[J]) & (np.abs(ls[I].astype(np.int64)
+                                          - ls[J]) <= k)
+        I, J = I[ok], J[ok]
+        if I.size == 0:
+            return _ED_PARTIAL_SCHEMA.empty_table()
+        swap = ids[I] > ids[J]
+        Ia = np.where(swap, J, I)
+        Jb = np.where(swap, I, J)
+        is_short = tok[I] == SENTINEL
+        g = (pd.DataFrame({"id_a": ids[Ia], "id_b": ids[Jb],
+                           "la": ls[Ia], "lb": ls[Jb],
+                           "sa": ss[Ia], "sb": ss[Jb],
+                           "short": is_short})
+             .groupby(["id_a", "id_b"], sort=False)
+             .agg(cnt=("la", "size"), la=("la", "first"),
+                  lb=("lb", "first"), sa=("sa", "first"),
+                  sb=("sb", "first"), short=("short", "any"))
+             .reset_index())
+        # sentinel rows are membership, not gram evidence
+        g["cnt"] = g["cnt"] - g["short"].astype(np.int64)
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+            "la": pa.array(g["la"].to_numpy(np.int32), pa.int32()),
+            "lb": pa.array(g["lb"].to_numpy(np.int32), pa.int32()),
+            "sa": pa.array(g["sa"], pa.string()),
+            "sb": pa.array(g["sb"], pa.string()),
+            "short": pa.array(g["short"].to_numpy(bool), pa.bool_()),
+        }, schema=_ED_PARTIAL_SCHEMA)
+
+    partials = map_key_blocks(postings, ["tok"], pair_block, num_partitions,
+                              sort_blocks=False)
+
+    def confirm_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return _ED_PAIR_SCHEMA.empty_table()
+        g = (block.to_pandas()
+             .groupby(["id_a", "id_b"], sort=True)
+             .agg(cnt=("cnt", "sum"), la=("la", "first"), lb=("lb", "first"),
+                  sa=("sa", "first"), sb=("sb", "first"),
+                  short=("short", "any"))
+             .reset_index())
+        la = g["la"].to_numpy(np.int64)
+        lb = g["lb"].to_numpy(np.int64)
+        bound = np.maximum(la, lb) - q + 1 - k * q
+        cand = g["short"].to_numpy(bool) | (g["cnt"].to_numpy(np.int64)
+                                            >= bound)
+        g = g.loc[cand].reset_index(drop=True)
+        if not len(g):
+            return _ED_PAIR_SCHEMA.empty_table()
+        # padded codepoint panel over the block's candidate strings
+        strs = list(g["sa"]) + list(g["sb"])
+        lens = np.fromiter((len(s) for s in strs), dtype=np.int64,
+                           count=len(strs))
+        W = max(int(lens.max()), 1)
+        codes = np.full((len(strs), W), 0xFFFFFFFF, dtype=np.uint32)
+        for r, s in enumerate(strs):
+            v = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+            codes[r, : v.size] = v
+        n = len(g)
+        dist = _batched_levenshtein(codes, lens,
+                                    np.arange(n, dtype=np.int64),
+                                    np.arange(n, 2 * n, dtype=np.int64))
+        m = dist <= k
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64)[m], pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64)[m], pa.int64()),
+            "dist": pa.array(dist[m], pa.int64()),
+        }, schema=_ED_PAIR_SCHEMA)
+
+    return map_key_blocks(partials, ["id_a", "id_b"], confirm_block,
+                          num_partitions, sort_blocks=False)

@@ -246,3 +246,42 @@ def test_title_lev_pairs_subset_of_title_fuzzy(ray_session):
     indel_set = set(zip(indel_pairs.id_a, indel_pairs.id_b))
     assert len(lev_set) > 0
     assert lev_set <= indel_set
+
+
+def test_edit_distance_pairs_brute(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.dedup_extra import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[-1] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    strs = ["kitten", "sitten", "sitting", "kitchen", "mitten",
+            "ab", "ac", "b", "", "xyxyxy", "yxyxyx",
+            "aaaa", "aaab", "totally different string"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(strs)), pa.int64()),
+        "text": pa.array(strs, pa.string()),
+    }))
+    got = (edit_distance_pairs(ds, k=2, q=2).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = sorted((a, b, lev(strs[a], strs[b]))
+                  for a, b in itertools.combinations(range(len(strs)), 2)
+                  if lev(strs[a], strs[b]) <= 2)
+    assert list(map(tuple, got.to_numpy().tolist())) == want
+    # the short bucket catches gram-free pairs: ("b","") at dist 1,
+    # ("ab","ac") sharing zero bigrams at dist 1
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (7, 8) in pairs and (5, 6) in pairs
