@@ -1715,6 +1715,17 @@ def q_containment(sf_dir: str):
     return containment_pairs(docs, threshold=0.8, ngram=5)
 
 
+def q_tool_pairs(sf_dir: str):
+    """Frequent tool-pair mining (the 2-itemset core of Apriori/SON):
+    unordered tool pairs by conversation-basket support >= 3 — co-usage
+    anywhere in the conversation, the set analog of tool_transitions'
+    adjacency bigrams. Distinct-per-basket exchange + pair-keyed
+    support sum; DISTINCT self-join DuckDB twin."""
+    from epstein_pipeline_ray.stages.transcript_ops import frequent_item_pairs
+
+    return frequent_item_pairs(_noisy_turns(sf_dir), min_support=3)
+
+
 def q_edit_join(sf_dir: str):
     """Edit-distance similarity join (Ed-Join/Gravano q-gram count
     filter + exact DP confirm): doc pairs whose lowercased first-4-word
@@ -2323,6 +2334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine": q_tfidf_cosine,
         "budget_select": q_budget_select,
         "edit_join": q_edit_join,
+        "tool_pairs": q_tool_pairs,
         "event_rank": q_event_rank,
         "bpe_tokens": q_bpe_tokens,
         "unimax_realize": q_unimax_realize,
@@ -2890,6 +2902,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
         """,
+        "tool_pairs": f"""
+            WITH {{NOISY}},
+            b AS (SELECT DISTINCT conv_id, tool FROM nturns
+                  WHERE tool <> '')
+            SELECT a.tool AS item_a, b2.tool AS item_b,
+                   count(*)::BIGINT AS support
+            FROM b a JOIN b b2 ON a.conv_id = b2.conv_id
+                              AND a.tool < b2.tool
+            GROUP BY 1, 2 HAVING count(*) >= 3
+        """.replace("{NOISY}", _NOISY_TURNS_CTE),
         "edit_join": """
             WITH t AS (
                 SELECT doc_id,

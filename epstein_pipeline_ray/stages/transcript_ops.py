@@ -474,3 +474,82 @@ def render_conversations(ds: Dataset, key: str = "conv_id",
 
     return map_key_blocks(pruned, [key], render_block, num_partitions,
                           sort_blocks=False)
+
+
+def frequent_item_pairs(ds: Dataset, min_support: int = 2,
+                        key: str = "conv_id", item_col: str = "tool",
+                        max_basket: int = 1024,
+                        num_partitions: int | None = None) -> Dataset:
+    """Frequent item PAIRS by basket support — the 2-itemset core of
+    Apriori/SON market-basket mining over tool co-usage: a basket is
+    the DISTINCT non-empty ``item_col`` set of one ``key`` group, and a
+    pair (a < b) is emitted with ``support`` = number of baskets
+    containing BOTH, kept when ``support >= min_support``. The
+    tool-pair analog of tool_transitions' bigrams (co-usage anywhere in
+    the conversation, not adjacency).
+
+    Empty items are dropped map-side; one key-keyed exchange builds
+    per-basket distinct items and emits its C(t,2) pairs with a
+    map-side pair-count combiner (baskets are |tools|-bounded; capped
+    at ``max_basket`` with metrics accounting); one pair-keyed exchange
+    sums support. Output: (item_a, item_b, support:int64)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    PAIR = pa.schema([("item_a", pa.string()), ("item_b", pa.string()),
+                      ("support", pa.int64())])
+
+    def only_items(batch: pa.Table) -> pa.Table:
+        b = batch.select([key, item_col])
+        return b.filter(pc.not_equal(b[item_col], ""))
+
+    pruned = ds.map_batches(only_items, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def basket_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        df = (block.to_pandas().drop_duplicates([key, item_col])
+              .sort_values([key, item_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        run_id = np.cumsum(np.r_[True, kv[1:] != kv[:-1]]) - 1
+        run_len = np.bincount(run_id)
+        over = run_len > max_basket
+        items = df[item_col].to_numpy()
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+            pos = np.arange(len(df)) - np.repeat(starts, run_len)
+            keep = pos < max_basket
+            metrics.inc("freqpairs.baskets_capped", int(over.sum()))
+            items, run_id = items[keep], run_id[keep]
+        from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return PAIR.empty_table()
+        g = (pd.DataFrame({"item_a": items[I], "item_b": items[J]})
+             .groupby(["item_a", "item_b"], sort=False).size()
+             .reset_index(name="support"))
+        return pa.table({
+            "item_a": pa.array(g["item_a"], pa.string()),
+            "item_b": pa.array(g["item_b"], pa.string()),
+            "support": pa.array(g["support"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    partials = map_key_blocks(pruned, [key], basket_block, num_partitions,
+                              sort_blocks=False)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        g = (block.to_pandas().groupby(["item_a", "item_b"], sort=True)
+             ["support"].sum().reset_index())
+        g = g.loc[g["support"] >= min_support]
+        return pa.table({
+            "item_a": pa.array(g["item_a"], pa.string()),
+            "item_b": pa.array(g["item_b"], pa.string()),
+            "support": pa.array(g["support"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    return map_key_blocks(partials, ["item_a", "item_b"], sum_block,
+                          num_partitions, sort_blocks=False)

@@ -200,3 +200,26 @@ def test_head_tail_truncate_rules(ray_session):
     }))
     got2 = head_tail_truncate(ds2, head_words=3, tail_words=2).to_pandas()
     assert got2.was_truncated.tolist() == [False]
+
+
+def test_frequent_item_pairs_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.transcript_ops import frequent_item_pairs
+
+    rows = [
+        ("c1", "grep"), ("c1", "read"), ("c1", "grep"),  # dup within basket
+        ("c2", "grep"), ("c2", "read"), ("c2", "edit"),
+        ("c3", "grep"), ("c3", "read"),
+        ("c4", "edit"), ("c4", ""),                       # empty item drops
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array(list(range(len(rows))), pa.int32()),
+        "tool": pa.array([r[1] for r in rows], pa.string()),
+    }))
+    got = (frequent_item_pairs(ds, min_support=2).to_pandas()
+           .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+    # (grep, read) in c1+c2+c3 = 3; all other pairs support 1 -> dropped
+    assert got.values.tolist() == [["grep", "read", 3]]
