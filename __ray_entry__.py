@@ -1946,6 +1946,26 @@ def q_rollup(sf_dir: str):
     return rollup_stats(docs, ["source", "lang"], "n_chars")
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang): every key subset down to the grand
+    total, derived from one leaf exchange (rollup's lattice sibling).
+    Exact CUBE DuckDB twin."""
+    from epstein_pipeline_ray.stages.relational import cube_stats
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    return cube_stats(docs, ["source", "lang"], "n_chars")
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width 20-bin histogram of event values: exact global
+    min/max, identical double bin arithmetic on both engines, map-side
+    bincount partials over a bins-bounded reduce."""
+    from epstein_pipeline_ray.stages.relational import value_histogram
+
+    ev = _read(sf_dir, "events", ["value"])
+    return value_histogram(ev, "value", bins=20)
+
+
 def q_context_windows(sf_dir: str):
     """Turn-granular context-window sharding: turn t joins window
     floor(exclusive_prefix_tokens / 60) — prefix-sum bucketing of long
@@ -2325,6 +2345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": q_quality_gate,
         "context_windows": q_context_windows,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "value_histogram": q_value_histogram,
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
         "events_orders_outer": q_events_orders_outer,
@@ -3041,6 +3063,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_value
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "cube": """
+            SELECT source, lang, count(*)::BIGINT AS n_rows,
+                   sum(n_chars)::BIGINT AS sum_value
+            FROM documents GROUP BY CUBE(source, lang)
+        """,
+        "value_histogram": """
+            WITH mm AS (SELECT min(value)::DOUBLE AS lo,
+                               max(value)::DOUBLE AS hi FROM events),
+            b AS (SELECT least(floor((value - mm.lo) * 20
+                                     / (mm.hi - mm.lo)), 19)::BIGINT AS bin
+                  FROM events, mm),
+            c AS (SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY bin)
+            SELECT bin,
+                   (mm.lo + (mm.hi - mm.lo) * bin / 20)::DOUBLE AS lo,
+                   (mm.lo + (mm.hi - mm.lo) * (bin + 1) / 20)::DOUBLE AS hi,
+                   n
+            FROM c, mm
         """,
         # context_windows twin: exclusive prefix token sum // budget.
         "context_windows": f"""

@@ -1293,3 +1293,125 @@ def budget_select(
                        zero_copy_batch=True),
         ["bucket"], boundary_block, num_partitions, sort_blocks=False)
     return keep_above.union(kept_at)
+
+
+def cube_stats(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """OLAP CUBE over the keys: one row per leaf group plus EVERY key
+    subset with the omitted keys NULLed, down to the grand total —
+    ``GROUP BY CUBE(k1, k2, ...)`` semantics; the lattice sibling of
+    :func:`rollup_stats` (which walks only prefix levels). Same plan:
+    one keyed exchange for the leaf table, every coarser level derived
+    from the groups-bounded leaf driver-side."""
+    import itertools
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    partial_schema = pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [("n_rows", pa.int64()), ("sum_value", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        g = (df.groupby(keys, sort=True)[value_col]
+             .agg(["size", "sum"]).reset_index())
+        cols = {k: pa.array(g[k].astype(str), pa.string()) for k in keys}
+        cols["n_rows"] = pa.array(g["size"].to_numpy(np.int64), pa.int64())
+        cols["sum_value"] = pa.array(g["sum"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols, schema=partial_schema)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return partial_schema.empty_table()
+        g = (block.to_pandas().groupby(keys, sort=True)
+             .agg(n_rows=("n_rows", "sum"), sum_value=("sum_value", "sum"))
+             .reset_index())
+        cols = {k: pa.array(g[k], pa.string()) for k in keys}
+        cols["n_rows"] = pa.array(g["n_rows"].to_numpy(np.int64), pa.int64())
+        cols["sum_value"] = pa.array(g["sum_value"].to_numpy(np.int64),
+                                     pa.int64())
+        return pa.table(cols, schema=partial_schema)
+
+    leaf = (map_key_blocks(
+        ds.select_columns(keys + [value_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys, sum_block, num_partitions, sort_blocks=False)
+        .to_pandas().sort_values(keys).reset_index(drop=True))
+
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for kept in itertools.combinations(keys, r):
+            if len(kept) == len(keys):
+                levels.append(leaf)
+                continue
+            if kept:
+                up = (leaf.groupby(list(kept), sort=True)
+                      .agg(n_rows=("n_rows", "sum"),
+                           sum_value=("sum_value", "sum"))
+                      .reset_index())
+            else:
+                up = pd.DataFrame({"n_rows": [leaf["n_rows"].sum()],
+                                   "sum_value": [leaf["sum_value"].sum()]})
+            for k in keys:
+                if k not in kept:
+                    up[k] = None
+            levels.append(up[keys + ["n_rows", "sum_value"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    cols = {k: pa.array(out[k], pa.string()) for k in keys}
+    cols["n_rows"] = pa.array(out["n_rows"].to_numpy(np.int64), pa.int64())
+    cols["sum_value"] = pa.array(out["sum_value"].to_numpy(np.int64),
+                                 pa.int64())
+    return pa.table(cols)
+
+
+def value_histogram(
+    ds: Dataset,
+    value_col: str,
+    bins: int = 20,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Equi-width histogram: exact global min/max (two cheap
+    aggregates), then bin ``floor((x - min) * bins / (max - min))``
+    clamped to ``bins - 1`` — identical double arithmetic on the SQL
+    side, so edge landings agree. One pass of map-side bincount
+    partials summed over a bins-bounded table driver-side. Output:
+    (bin, lo, hi, n)."""
+    vmin = ds.min(value_col)
+    vmax = ds.max(value_col)
+    if vmin is None or vmax == vmin:
+        n = ds.count()
+        return pa.table({
+            "bin": pa.array([0], pa.int64()),
+            "lo": pa.array([float(vmin or 0)], pa.float64()),
+            "hi": pa.array([float(vmax or 0)], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        })
+    span = float(vmax) - float(vmin)
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        b = np.floor((x - float(vmin)) * bins / span).astype(np.int64)
+        np.clip(b, 0, bins - 1, out=b)
+        counts = np.bincount(b, minlength=bins)
+        return pa.table({"bin": pa.array(np.arange(bins), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    tot = (ds.select_columns([value_col])
+           .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+           .to_pandas().groupby("bin", sort=True)["n"].sum())
+    edges = np.array([float(vmin) + span * i / bins for i in range(bins + 1)])
+    n = tot.reindex(range(bins), fill_value=0).to_numpy(np.int64)
+    keep = n > 0
+    idx = np.arange(bins)[keep]
+    return pa.table({
+        "bin": pa.array(idx, pa.int64()),
+        "lo": pa.array(edges[:-1][keep], pa.float64()),
+        "hi": pa.array(edges[1:][keep], pa.float64()),
+        "n": pa.array(n[keep], pa.int64()),
+    })

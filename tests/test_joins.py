@@ -379,3 +379,45 @@ def test_budget_select_tie_boundary(ray_session):
     # budget smaller than the first row -> nothing survives
     got3 = budget_select(ds, "score", "w", budget=5).to_pandas()
     assert len(got3) == 0
+
+
+def test_cube_stats_lattice(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import cube_stats
+
+    rows = [("a", "en", 10), ("a", "fr", 1), ("b", "en", 2)]
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    got = cube_stats(ds, ["source", "lang"], "n_chars").to_pandas()
+    # lattice: 3 leaves + 2 source-only + 2 lang-only + 1 total = 8
+    assert len(got) == 8
+    lang_only = got[got.source.isna() & got.lang.notna()].set_index("lang")
+    assert lang_only.loc["en"].sum_value == 12
+    assert lang_only.loc["fr"].sum_value == 1
+    total = got[got.source.isna() & got.lang.isna()]
+    assert total.iloc[0].n_rows == 3 and total.iloc[0].sum_value == 13
+
+
+def test_value_histogram_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import value_histogram
+
+    ds = rd.from_arrow(pa.table({
+        "value": pa.array([0.0, 1.0, 2.0, 9.9, 10.0], pa.float64()),
+    }))
+    got = value_histogram(ds, "value", bins=10).to_pandas()
+    idx = got.set_index("bin")["n"]
+    # max lands in the LAST bin (clamped), exact edge 1.0 in bin 1
+    assert idx[0] == 1 and idx[1] == 1 and idx[2] == 1
+    assert idx[9] == 2  # 9.9 and the clamped 10.0
+    # constant column degenerates to one bucket
+    ds2 = rd.from_arrow(pa.table({"value": pa.array([5.0] * 4)}))
+    got2 = value_histogram(ds2, "value", bins=10).to_pandas()
+    assert got2.n.tolist() == [4]
