@@ -1946,6 +1946,40 @@ def q_rollup(sf_dir: str):
     return rollup_stats(docs, ["source", "lang"], "n_chars")
 
 
+def q_source_corr(sf_dir: str):
+    """Per-source Pearson correlation between doc chars and whitespace
+    tokens, from decomposable moment sums (n, Σx, Σy, Σxy, Σx², Σy²) —
+    the twin computes the identical closed form from ITS moment sums,
+    not corr() (whose Welford accumulation differs in low bits)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.functions.textstats import token_count_array
+    from epstein_pipeline_ray.stages.relational import grouped_corr
+
+    docs = _read(sf_dir, "documents", ["source", "text", "n_chars"])
+
+    def add_tokens(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            "n_tokens": token_count_array(batch["text"]),
+        })
+
+    withtok = docs.map_batches(add_tokens, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_corr(withtok, "source", "n_chars", "n_tokens")
+
+
+def q_event_zscore(sf_dir: str):
+    """Per-event-type z-normalized values ((x − μ)/σ_pop with rounded
+    μ/σ attached back through the size-switched join) — the per-domain
+    score standardization step before cross-domain mixing."""
+    from epstein_pipeline_ray.stages.relational import with_group_zscore
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return with_group_zscore(ev, "event_type", "value")
+
+
 def q_cube(sf_dir: str):
     """GROUP BY CUBE(source, lang): every key subset down to the grand
     total, derived from one leaf exchange (rollup's lattice sibling).
@@ -2347,6 +2381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "value_histogram": q_value_histogram,
+        "source_corr": q_source_corr,
+        "event_zscore": q_event_zscore,
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
         "events_orders_outer": q_events_orders_outer,
@@ -3068,6 +3104,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_value
             FROM documents GROUP BY CUBE(source, lang)
+        """,
+        # source_corr twin: the same closed form over SQL moment sums,
+        # token counts via the token_counts convention.
+        "source_corr": """
+            WITH d AS (
+                SELECT source, n_chars::DOUBLE AS x,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(trim(text),
+                                                            '\\s+'))
+                        END)::DOUBLE AS y
+                FROM documents
+            ),
+            m AS (SELECT source, count(*)::DOUBLE AS n,
+                         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy
+                  FROM d GROUP BY source)
+            SELECT source, n::BIGINT AS n,
+                   CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                        THEN round((n*sxy - sx*sy)
+                                   / (sqrt(n*sxx - sx*sx)
+                                      * sqrt(n*syy - sy*sy)), 6)
+                   END AS corr
+            FROM m
+        """,
+        # event_zscore twin: rounded mu/sigma from the same moment
+        # formula (NOT stddev_pop's Welford), then the rounded z.
+        "event_zscore": """
+            WITH m AS (
+                SELECT event_type,
+                       round(sum(value)/count(*), 6) AS mu,
+                       round(sqrt(greatest(sum(value*value)/count(*)
+                             - (sum(value)/count(*))^2, 0)), 6) AS sigma
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN m.sigma > 0
+                        THEN round((e.value - m.mu) / m.sigma, 6)
+                   END AS z
+            FROM events e JOIN m USING (event_type)
         """,
         "value_histogram": """
             WITH mm AS (SELECT min(value)::DOUBLE AS lo,

@@ -1415,3 +1415,162 @@ def value_histogram(
         "hi": pa.array(edges[1:][keep], pa.float64()),
         "n": pa.array(n[keep], pa.int64()),
     })
+
+
+def grouped_corr(
+    ds: Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-group Pearson correlation from decomposable moment sums
+    (n, Σx, Σy, Σxy, Σx², Σy² — the classic one-pass MapReduce
+    statistic): ``(n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))``,
+    6-digit rounded. The DuckDB twin computes the IDENTICAL closed form
+    from its own moment sums (not corr(), whose Welford accumulation
+    would differ in low-order bits). Groups with zero variance on
+    either side yield NULL. Map-side partial moments per batch, one
+    keyed exchange of six numbers per (batch, group)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    M = pa.schema([(key, ktype), ("n", pa.int64()), ("sx", pa.float64()),
+                   ("sy", pa.float64()), ("sxy", pa.float64()),
+                   ("sxx", pa.float64()), ("syy", pa.float64())])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: batch[key].to_pandas(),
+            "x": np.asarray(batch[x_col].to_numpy(zero_copy_only=False),
+                            np.float64),
+            "y": np.asarray(batch[y_col].to_numpy(zero_copy_only=False),
+                            np.float64),
+        })
+        df["xy"] = df.x * df.y
+        df["xx"] = df.x * df.x
+        df["yy"] = df.y * df.y
+        g = df.groupby(key, sort=True).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"),
+        ).reset_index()
+        return pa.table({
+            key: pa.array(g[key], type=ktype, from_pandas=True),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "sx": pa.array(g["sx"].to_numpy(np.float64), pa.float64()),
+            "sy": pa.array(g["sy"].to_numpy(np.float64), pa.float64()),
+            "sxy": pa.array(g["sxy"].to_numpy(np.float64), pa.float64()),
+            "sxx": pa.array(g["sxx"].to_numpy(np.float64), pa.float64()),
+            "syy": pa.array(g["syy"].to_numpy(np.float64), pa.float64()),
+        }, schema=M)
+
+    partials = ds.select_columns([key, x_col, y_col]).map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT = pa.schema([(key, ktype), ("n", pa.int64()),
+                     ("corr", pa.float64())])
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = block.to_pandas().groupby(key, sort=True).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sxx=("sxx", "sum"), syy=("syy", "sum"),
+        ).reset_index()
+        n = g["n"].to_numpy(np.float64)
+        num = n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy()
+        vx = n * g["sxx"].to_numpy() - np.square(g["sx"].to_numpy())
+        vy = n * g["syy"].to_numpy() - np.square(g["sy"].to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = num / (np.sqrt(vx) * np.sqrt(vy))
+        r = np.where((vx > 0) & (vy > 0), sql_round(r, 6), np.nan)
+        return pa.table({
+            key: pa.array(g[key], type=ktype, from_pandas=True),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "corr": pa.array(r, pa.float64(), from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(partials, [key], reduce_block, num_partitions,
+                          sort_blocks=False)
+
+
+def with_group_zscore(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "z",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-group z-normalization ``(x − mean) / stddev_pop`` (the
+    per-domain score standardization step before mixing quality signals
+    across domains): group moments via one keyed exchange of partials,
+    then a size-switched attach of the 6-digit-rounded mean/std back to
+    every row; z itself is also rounded 6. Zero-variance groups yield
+    NULL z."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    M = pa.schema([(key, ktype), ("n", pa.int64()), ("sx", pa.float64()),
+                   ("sxx", pa.float64())])
+
+    def part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: batch[key].to_pandas(),
+            "x": np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                            np.float64),
+        })
+        df["xx"] = df.x * df.x
+        g = df.groupby(key, sort=True).agg(
+            n=("x", "size"), sx=("x", "sum"), sxx=("xx", "sum")).reset_index()
+        return pa.table({
+            key: pa.array(g[key], type=ktype, from_pandas=True),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "sx": pa.array(g["sx"].to_numpy(np.float64), pa.float64()),
+            "sxx": pa.array(g["sxx"].to_numpy(np.float64), pa.float64()),
+        }, schema=M)
+
+    STATS = pa.schema([(key, ktype), ("mu", pa.float64()),
+                       ("sigma", pa.float64())])
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return STATS.empty_table()
+        g = block.to_pandas().groupby(key, sort=True).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum")).reset_index()
+        n = g["n"].to_numpy(np.float64)
+        mu = g["sx"].to_numpy() / n
+        var = g["sxx"].to_numpy() / n - np.square(mu)
+        sigma = np.sqrt(np.maximum(var, 0.0))
+        return pa.table({
+            key: pa.array(g[key], type=ktype, from_pandas=True),
+            "mu": pa.array(sql_round(mu, 6), pa.float64()),
+            "sigma": pa.array(sql_round(sigma, 6), pa.float64()),
+        }, schema=STATS)
+
+    stats = map_key_blocks(
+        ds.select_columns([key, value_col]).map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True),
+        [key], reduce_block, num_partitions, sort_blocks=False)
+
+    withmu = attach_column(ds, stats, key, key, "mu", "__mu",
+                           num_partitions=num_partitions)
+    both = attach_column(withmu, stats, key, key, "sigma", "__sigma",
+                         num_partitions=num_partitions)
+
+    def zed(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        mu = np.asarray(batch["__mu"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        sg = np.asarray(batch["__sigma"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(sg > 0, sql_round((x - mu) / sg, 6), np.nan)
+        out = batch.drop_columns(["__mu", "__sigma"])
+        return out.append_column(out_col, pa.array(z, pa.float64(),
+                                                   from_pandas=True))
+
+    return both.map_batches(zed, batch_format="pyarrow", zero_copy_batch=True)
