@@ -1946,6 +1946,18 @@ def q_rollup(sf_dir: str):
     return rollup_stats(docs, ["source", "lang"], "n_chars")
 
 
+def q_dataset_diff(sf_dir: str):
+    """Corpus version diff (added/removed/changed keys between two
+    SQL-rebuildable releases): normalized-content-hash comparison over
+    the FULL OUTER exchange join — the release-audit report a corpus
+    pipeline runs between versions. Hashes ship, never text."""
+    from epstein_pipeline_ray.sources.derive import versioned_docs_from_documents
+    from epstein_pipeline_ray.stages.exact import dataset_diff
+
+    v1, v2 = versioned_docs_from_documents(sf_dir)
+    return dataset_diff(v1, v2)
+
+
 def q_source_corr(sf_dir: str):
     """Per-source Pearson correlation between doc chars and whitespace
     tokens, from decomposable moment sums (n, Σx, Σy, Σxy, Σx², Σy²) —
@@ -2382,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": q_cube,
         "value_histogram": q_value_histogram,
         "source_corr": q_source_corr,
+        "dataset_diff": q_dataset_diff,
         "event_zscore": q_event_zscore,
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
@@ -3104,6 +3117,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_value
             FROM documents GROUP BY CUBE(source, lang)
+        """,
+        # dataset_diff twin: v2 rebuilt with the identical integer
+        # arithmetic; text equality == normalized-hash equality here
+        # because both releases share the normalization.
+        "dataset_diff": """
+            WITH v1 AS (SELECT doc_id, text FROM documents),
+            v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 1 THEN text || ' v2edit'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 5
+                UNION ALL
+                SELECT doc_id + 300000000,
+                       'fresh d'||doc_id||'a d'||doc_id||'b d'||doc_id||'c'
+                FROM documents WHERE doc_id % 13 = 8
+            ),
+            n AS (SELECT v1.doc_id AS id1, v2.doc_id AS id2,
+                         trim(regexp_replace(lower(v1.text), '\\s+', ' ', 'g'))
+                             AS t1,
+                         trim(regexp_replace(lower(v2.text), '\\s+', ' ', 'g'))
+                             AS t2
+                  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+            SELECT coalesce(id1, id2) AS doc_id,
+                   CASE WHEN id1 IS NULL THEN 'added'
+                        WHEN id2 IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM n
+            WHERE id1 IS NULL OR id2 IS NULL OR t1 <> t2
         """,
         # source_corr twin: the same closed form over SQL moment sums,
         # token counts via the token_counts convention.

@@ -278,3 +278,42 @@ def snapshot_docs_from_documents(sf_dir: str) -> tuple[Dataset, Dataset]:
     new = old.map_batches(derive_new, batch_format="pyarrow",
                           zero_copy_batch=True)
     return new, old
+
+
+def versioned_docs_from_documents(sf_dir: str) -> tuple[Dataset, Dataset]:
+    """documents.parquet → (v1, v2) for the dataset-diff operator:
+    v1 = the corpus as-is; v2 = a deterministic next release where
+    doc_id % 13 == 1 documents are edited (text + ' v2edit'),
+    doc_id % 13 == 5 documents are dropped, and fresh documents appear
+    under doc_id + 300_000_000 for doc_id % 13 == 8. Pure integer
+    arithmetic → the DuckDB twin rebuilds both sides exactly."""
+
+    def derive_v2(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_id: list[int] = []
+        out_text: list[str] = []
+        for doc_id, text in zip(ids, texts):
+            t = text or ""
+            r = doc_id % 13
+            if r == 5:
+                continue
+            if r == 1:
+                out_id.append(int(doc_id))
+                out_text.append(t + " v2edit")
+            else:
+                out_id.append(int(doc_id))
+                out_text.append(t)
+            if r == 8:
+                out_id.append(int(doc_id) + 300_000_000)
+                out_text.append(f"fresh d{doc_id}a d{doc_id}b d{doc_id}c")
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "text": pa.array(out_text, pa.string()),
+        })
+
+    v1 = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    v2 = v1.map_batches(derive_v2, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return v1, v2

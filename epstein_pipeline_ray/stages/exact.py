@@ -184,3 +184,48 @@ def soft_dedup_weights(docs: Dataset, id_col: str = "doc_id",
 
     return map_key_blocks(pruned, ["content_hash"], per_block, num_partitions,
                           sort_blocks=False)
+
+
+def dataset_diff(
+    old: Dataset,
+    new: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Version diff between two releases of a corpus: one row per
+    changed key — ``status`` in {'added', 'removed', 'changed'}
+    (unchanged rows are dropped). Content identity is the normalized
+    SHA-256 (the exact-dedup convention), so the comparison ships
+    hashes, never text; the FULL OUTER join is joins.hash_join's
+    exchange plan (unmatched keys on either side surface as typed
+    nulls)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import hash_join
+
+    def hashed(ds: Dataset) -> Dataset:
+        h = with_content_hash(ds.select_columns([id_col, text_col]),
+                              text_col=text_col)
+        return h.select_columns([id_col, "content_hash"])
+
+    j = hash_join(hashed(old), hashed(new), id_col, how="outer",
+                  num_partitions=num_partitions)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        hl = batch["content_hash_l"]
+        hr = batch["content_hash_r"]
+        added = pc.is_null(hl)
+        removed = pc.is_null(hr)
+        changed = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(hl), pc.is_valid(hr)),
+            pc.not_equal(hl, hr))
+        changed = pc.fill_null(changed, False)
+        status = pc.if_else(added, pa.scalar("added"),
+                            pc.if_else(removed, pa.scalar("removed"),
+                                       pa.scalar("changed")))
+        keep = pc.or_(pc.or_(added, removed), changed)
+        out = pa.table({id_col: batch[id_col], "status": status})
+        return out.filter(keep)
+
+    return j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -421,3 +421,26 @@ def test_value_histogram_edges(ray_session):
     ds2 = rd.from_arrow(pa.table({"value": pa.array([5.0] * 4)}))
     got2 = value_histogram(ds2, "value", bins=10).to_pandas()
     assert got2.n.tolist() == [4]
+
+
+def test_dataset_diff_statuses(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.exact import dataset_diff
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same", "will change", "gone", "Same  WS"],
+                         pa.string()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 4, 9], pa.int64()),
+        "text": pa.array(["same", "did change", "same ws", "brand new"],
+                         pa.string()),
+    }))
+    got = (dataset_diff(old, new).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # doc 4: 'Same  WS' vs 'same ws' are IDENTICAL after normalization
+    assert got.values.tolist() == [
+        [2, "changed"], [3, "removed"], [9, "added"]]
