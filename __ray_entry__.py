@@ -1946,6 +1946,17 @@ def q_rollup(sf_dir: str):
     return rollup_stats(docs, ["source", "lang"], "n_chars")
 
 
+def q_event_quartiles(sf_dir: str):
+    """NTILE(4) per event_type over (value ASC, event_id) — SQL NTILE
+    size semantics exactly (first n%4 tiles get the extra row); one
+    keyed exchange, vectorized position arithmetic."""
+    from epstein_pipeline_ray.stages.relational import with_group_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return with_group_ntile(ev, "event_type", "value", "event_id",
+                            n_tiles=4)
+
+
 def q_dataset_diff(sf_dir: str):
     """Corpus version diff (added/removed/changed keys between two
     SQL-rebuildable releases): normalized-content-hash comparison over
@@ -2395,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "source_corr": q_source_corr,
         "dataset_diff": q_dataset_diff,
+        "event_quartiles": q_event_quartiles,
         "event_zscore": q_event_zscore,
         "events_orders_join": q_events_orders_join,
         "events_orders_left": q_events_orders_left,
@@ -3117,6 +3129,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, lang, count(*)::BIGINT AS n_rows,
                    sum(n_chars)::BIGINT AS sum_value
             FROM documents GROUP BY CUBE(source, lang)
+        """,
+        "event_quartiles": """
+            SELECT event_id, event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id)::BIGINT AS tile
+            FROM events
         """,
         # dataset_diff twin: v2 rebuilt with the identical integer
         # arithmetic; text equality == normalized-hash equality here

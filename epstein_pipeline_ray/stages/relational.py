@@ -1574,3 +1574,52 @@ def with_group_zscore(
                                                    from_pandas=True))
 
     return both.map_batches(zed, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def with_group_ntile(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    tie_col: str,
+    n_tiles: int = 4,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """NTILE(n) per group over the (value ASC, tie ASC) order — SQL
+    NTILE semantics exactly: the first ``n_rows % n`` tiles hold
+    ``ceil(n_rows / n)`` rows, the rest ``floor(n_rows / n)``; tiles
+    are 1-based. One keyed exchange, vectorized position arithmetic
+    per key-sorted block."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    names = ds.schema().names
+    types = dict(zip(names, ds.schema().types))
+    out_schema = pa.schema([(c, types[c]) for c in names]
+                           + [(out_col, pa.int64())])
+
+    def tile_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, value_col, tie_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        new_grp = np.r_[True, kv[1:] != kv[:-1]]
+        starts = np.flatnonzero(new_grp)
+        run_len = np.diff(np.r_[starts, len(df)])
+        pos = np.arange(len(df)) - np.repeat(starts, run_len)
+        n = np.repeat(run_len, run_len)
+        big = n // n_tiles + 1
+        r = n % n_tiles
+        cut = r * big
+        small = np.maximum(n // n_tiles, 1)
+        tile = np.where(pos < cut, pos // big,
+                        r + (pos - cut) // small) + 1
+        df[out_col] = tile.astype(np.int64)
+        arrays = [pa.array(df[c], type=out_schema.field(c).type,
+                           from_pandas=True) for c in out_schema.names]
+        return pa.table(dict(zip(out_schema.names, arrays)),
+                        schema=out_schema)
+
+    return map_key_blocks(ds, [key], tile_block, num_partitions,
+                          sort_blocks=False)

@@ -444,3 +444,22 @@ def test_dataset_diff_statuses(ray_session):
     # doc 4: 'Same  WS' vs 'same ws' are IDENTICAL after normalization
     assert got.values.tolist() == [
         [2, "changed"], [3, "removed"], [9, "added"]]
+
+
+def test_with_group_ntile_sql_sizes(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import with_group_ntile
+
+    # 7 rows into 4 tiles: sizes 2,2,2,1 (first n%4=3 tiles get the
+    # extra row over floor(7/4)=1... SQL: ceil sizes 2,2,2 then 1)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1] * 7 + [2] * 2, pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60, 70, 5, 6], pa.float64()),
+        "id": pa.array(list(range(9)), pa.int64()),
+    }))
+    got = (with_group_ntile(ds, "k", "v", "id", n_tiles=4).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    assert got[got.k == 1].tile.tolist() == [1, 1, 2, 2, 3, 3, 4]
+    assert got[got.k == 2].tile.tolist() == [1, 2]
