@@ -2075,6 +2075,39 @@ def q_weighted_sample(sf_dir: str):
     return weighted_sample(docs, k=50, weight_col="n_chars")
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank (edge mass ∝ weight / out-weight-sum, the KG
+    co-occurrence variant) over the order graph with deterministic
+    integer weights — 6 rounds against the exactly-unrolled weighted
+    twin (stages/graph_algo.pagerank_weighted_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import pagerank_weighted
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(modcol(batch["o_orderkey"], 211),
+                                        pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(modcol(batch["o_custkey"], 211),
+                                        pa.string()), ""),
+            "weight": pc.add(modcol(batch["o_orderkey"], 7),
+                             pa.scalar(1, pa.int64())),
+        })
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pagerank_weighted(edges, iters=6)
+
+
 def q_label_prop(sf_dir: str):
     """Synchronous label-propagation communities (Raghavan 2007,
     deterministic min-label tie-break, 4 rounds) over the mod-1009
@@ -2398,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "temperature_mix": q_temperature_mix,
         "label_prop": q_label_prop,
+        "pagerank_weighted": q_pagerank_weighted,
         "weighted_sample": q_weighted_sample,
         "quality_gate": q_quality_gate,
         "context_windows": q_context_windows,
@@ -2578,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.graph_algo import (
         label_propagation_sql,
         pagerank_sql,
+        pagerank_weighted_sql,
     )
 
     terms_values = ", ".join(f"('{t}')" for t in _TERMS)
@@ -2820,6 +2855,10 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": label_propagation_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", iters=4),
+        "pagerank_weighted": pagerank_weighted_sql(
+            "edges(src, dst, w) AS (SELECT 'n' || (o_orderkey % 211), "
+            "'n' || (o_custkey % 211), (o_orderkey % 7 + 1)::DOUBLE "
+            "FROM orders)", iters=6),
         "pagerank": pagerank_sql(
             "edges AS (SELECT 'n' || (o_custkey % 211) AS src, "
             "'n' || (o_orderkey % 211) AS dst FROM orders)",

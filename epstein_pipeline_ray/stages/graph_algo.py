@@ -519,3 +519,162 @@ def label_propagation_sql(edges_cte: str, iters: int = 4) -> str:
     parts.append(f"""
         SELECT node::BIGINT AS node, lab::BIGINT AS label FROM l{iters}""")
     return "".join(parts)
+
+
+def pagerank_weighted(
+    edges: Dataset,
+    damping: float = 0.85,
+    iters: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Weighted PageRank: pr(v) = (1−d)/N + d·Σ_{u→v} pr(u)·w(u,v)/W(u)
+    with W(u) = Σ of u's out-edge weights — the KG variant where edge
+    mass follows co-occurrence counts (term_cooccur weights) instead of
+    uniform splits. Same iterative-exchange loop and per-round rounding
+    as :func:`pagerank`; kept as a SEPARATE function so the green
+    unweighted twin stays untouched. Weights are int64/float; rows with
+    non-positive weight are dropped."""
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def clean(batch: pa.Table) -> pa.Table:
+        w = pc_.cast(batch[weight_col], pa.float64())
+        t = pa.table({"src": pc_.cast(batch[src_col], pa.string()),
+                      "dst": pc_.cast(batch[dst_col], pa.string()),
+                      "w": w})
+        return t.filter(pc_.greater(t["w"], pa.scalar(0.0)))
+
+    e = edges.map_batches(clean, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    NODE = pa.schema([("node", pa.string())])
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        a = batch["src"]
+        b = batch["dst"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])}, schema=NODE)
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NODE.empty_table()
+        u = sorted(set(block["node"].to_pylist()))
+        return pa.table({"node": pa.array(u, pa.string())}, schema=NODE)
+
+    nodes = map_key_blocks(
+        e.map_batches(node_rows, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node"], distinct_block, num_partitions).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.string()),
+                                "pr": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+
+    WS = pa.schema([("node", pa.string()), ("wout", pa.float64())])
+
+    def wsum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return WS.empty_table()
+        g = block.to_pandas().groupby("src", sort=True)["w"].sum()
+        return pa.table({"node": pa.array(g.index, pa.string()),
+                         "wout": pa.array(g.to_numpy(np.float64),
+                                          pa.float64())}, schema=WS)
+
+    wout = map_key_blocks(e.select_columns(["src", "w"]), ["src"],
+                          wsum_block, num_partitions, sort_blocks=False)
+    e = attach_column(e, wout, "src", "node", "wout", "wout",
+                      num_partitions=num_partitions).materialize()
+
+    base = (1.0 - damping) / n_nodes
+    pr0 = float(sql_round(1.0 / n_nodes, round_digits))
+    pr = nodes.map_batches(
+        lambda b, v=pr0: b.append_column(
+            "pr", pa.array([v] * b.num_rows, pa.float64())),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    IN = pa.schema([("dst", pa.string()), ("inflow", pa.float64())])
+
+    def inflow_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return IN.empty_table()
+        df = pd.DataFrame({
+            "dst": block["dst"].to_pandas(),
+            "c": (np.asarray(block["pr"].to_numpy(zero_copy_only=False))
+                  * np.asarray(block["w"].to_numpy(zero_copy_only=False))
+                  / np.asarray(block["wout"].to_numpy(zero_copy_only=False))),
+        })
+        g = df.groupby("dst", sort=True)["c"].sum().reset_index()
+        return pa.table({"dst": pa.array(g["dst"], pa.string()),
+                         "inflow": pa.array(g["c"], pa.float64())},
+                        schema=IN)
+
+    for _ in range(iters):
+        contrib = attach_column(e, pr, "src", "node", "pr", "pr",
+                                num_partitions=num_partitions)
+        inflow = map_key_blocks(contrib, ["dst"], inflow_block,
+                                num_partitions)
+        stepped = attach_column(nodes, inflow, "node", "dst",
+                                "inflow", "inflow",
+                                num_partitions=num_partitions)
+
+        def update(batch: pa.Table, b=base, d=damping,
+                   r=round_digits) -> pa.Table:
+            infl = np.asarray(pc_.fill_null(
+                batch["inflow"].combine_chunks()
+                if isinstance(batch["inflow"], pa.ChunkedArray)
+                else batch["inflow"], 0.0).to_numpy(zero_copy_only=False))
+            newpr = sql_round(b + d * infl, r)
+            return pa.table({"node": batch["node"],
+                             "pr": pa.array(newpr, pa.float64())})
+
+        pr = stepped.map_batches(update, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+        gc_exchange_dirs()
+    return pr
+
+
+def pagerank_weighted_sql(edges_cte: str, damping: float = 0.85,
+                          iters: int = 6, round_digits: int = 9) -> str:
+    """Exactly-unrolled DuckDB twin of :func:`pagerank_weighted`.
+    ``edges_cte`` must define ``edges(src, dst, w)`` with w > 0."""
+    d = damping
+    parts = [f"""WITH {edges_cte},
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        wo AS (SELECT src, sum(w)::DOUBLE AS wout FROM edges GROUP BY src),
+        p0 AS (SELECT node, round(1.0 / nn.n, {round_digits}) AS pr
+               FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        p{i} AS (
+            SELECT nodes.node,
+                   round((1.0 - {d}) / nn.n + {d} * coalesce(f.inflow, 0.0),
+                         {round_digits}) AS pr
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(p.pr * e.w / wo.wout) AS inflow
+                FROM edges e
+                JOIN p{i - 1} p ON p.node = e.src
+                JOIN wo ON wo.src = e.src
+                GROUP BY e.dst
+            ) f ON f.node = nodes.node
+        )""")
+    parts.append(f"""
+        SELECT node, pr FROM p{iters}""")
+    return "".join(parts)

@@ -211,3 +211,36 @@ def test_label_propagation_two_communities(ray_session):
     assert got.label.nunique() == 2
     assert lab[lab.index < 12].nunique() == 1
     assert lab[lab.index >= 20].nunique() == 1
+
+
+def test_pagerank_weighted_twin_and_mass(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import (
+        pagerank_weighted, pagerank_weighted_sql)
+
+    rng = np.random.RandomState(5)
+    E = {}
+    for _ in range(200):
+        s, d = int(rng.randint(0, 25)), int(rng.randint(0, 25))
+        if s != d:
+            E[(s, d)] = E.get((s, d), 0) + int(rng.randint(1, 9))
+    rows = sorted((f"n{s}", f"n{d}", w) for (s, d), w in E.items())
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.string()),
+        "dst": pa.array([r[1] for r in rows], pa.string()),
+        "weight": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    got = (pagerank_weighted(edges, iters=6).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    vals = ", ".join(f"('{a}','{b}',{w})" for a, b, w in rows)
+    con = duckdb.connect()
+    want = (con.sql(pagerank_weighted_sql(
+        f"edges(src,dst,w) AS (VALUES {vals})", iters=6)).df()
+        .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert abs(got.pr.sum() - 1.0) < 1e-6  # probability mass conserved
