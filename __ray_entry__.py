@@ -2075,6 +2075,31 @@ def q_weighted_sample(sf_dir: str):
     return weighted_sample(docs, k=50, weight_col="n_chars")
 
 
+def q_bfs_hops(sf_dir: str):
+    """BFS hop distances from node 0 over the mod-1009 order graph,
+    bounded to 4 synchronous relaxations (the Bellman-Ford frontier
+    loop as keyed exchanges) — exactly-unrolled SQL twin
+    (stages/graph_algo.bfs_hops_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import bfs_hops
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return bfs_hops(edges, source=0, rounds=4)
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Weighted PageRank (edge mass ∝ weight / out-weight-sum, the KG
     co-occurrence variant) over the order graph with deterministic
@@ -2432,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "label_prop": q_label_prop,
         "pagerank_weighted": q_pagerank_weighted,
+        "bfs_hops": q_bfs_hops,
         "weighted_sample": q_weighted_sample,
         "quality_gate": q_quality_gate,
         "context_windows": q_context_windows,
@@ -2610,6 +2636,7 @@ def _quality_logit_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.embed import kmeans_sql
     from epstein_pipeline_ray.stages.graph_algo import (
+        bfs_hops_sql,
         label_propagation_sql,
         pagerank_sql,
         pagerank_weighted_sql,
@@ -2855,6 +2882,9 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": label_propagation_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", iters=4),
+        "bfs_hops": bfs_hops_sql(
+            "edges(src, dst) AS (SELECT o_orderkey % 1009, "
+            "o_custkey % 1009 FROM orders)", source=0, rounds=4),
         "pagerank_weighted": pagerank_weighted_sql(
             "edges(src, dst, w) AS (SELECT 'n' || (o_orderkey % 211), "
             "'n' || (o_custkey % 211), (o_orderkey % 7 + 1)::DOUBLE "

@@ -678,3 +678,148 @@ def pagerank_weighted_sql(edges_cte: str, damping: float = 0.85,
     parts.append(f"""
         SELECT node, pr FROM p{iters}""")
     return "".join(parts)
+
+
+_BFS_INF = 1 << 30
+
+
+def bfs_hops(
+    edges: Dataset,
+    source: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Unweighted shortest-path hop counts from ``source`` over the
+    undirected graph, bounded to ``rounds`` synchronous relaxations —
+    the Bellman-Ford/BFS frontier loop as keyed exchanges
+    (dist(v) ← min(dist(v), min over neighbors dist(u) + 1) per round).
+    Returns ``(node, dist)`` for nodes REACHED within ``rounds`` hops;
+    fixed rounds unroll to the exact SQL twin (:func:`bfs_hops_sql`).
+    Int64 nodes; self-loops dropped, parallel edges collapsed."""
+    import pandas as _pd
+
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = _pd.DataFrame({"s": np.concatenate([s, d]),
+                            "d": np.concatenate([d, s])}).drop_duplicates()
+        return pa.table({"s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                         "d": pa.array(df["d"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates().sort_values(["s", "d"])
+        return pa.table({"s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                         "d": pa.array(df["d"].to_numpy(np.int64), pa.int64())})
+
+    de = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["s", "d"], distinct_block, num_partitions,
+        sort_blocks=False).materialize()
+
+    NODE = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def node_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NODE.empty_table()
+        u = np.unique(np.asarray(block["s"].to_numpy(zero_copy_only=False)))
+        d = np.where(u == source, 0, _BFS_INF).astype(np.int64)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "dist": pa.array(d, pa.int64())}, schema=NODE)
+
+    dist = map_key_blocks(de.select_columns(["s"]), ["s"], node_block,
+                          num_partitions, sort_blocks=False).materialize()
+
+    def relax_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NODE.empty_table()
+        df = block.to_pandas()
+        g = df.groupby("d", sort=True)["dist"].min().reset_index()
+        return pa.table({
+            "node": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "dist": pa.array(np.minimum(g["dist"].to_numpy(np.int64)
+                                        + 1, _BFS_INF), pa.int64()),
+        }, schema=NODE)
+
+    for _ in range(rounds):
+        tagged = attach_column(de, dist, "s", "node", "dist", "dist",
+                               num_partitions=num_partitions)
+        relaxed = map_key_blocks(tagged, ["d"], relax_block,
+                                 num_partitions, sort_blocks=False)
+        stepped = attach_column(dist, relaxed, "node", "node",
+                                "dist", "nbr", num_partitions=num_partitions)
+
+        def take_min(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            cur = np.asarray(batch["dist"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            nbr = np.asarray(pc_.fill_null(
+                batch["nbr"].combine_chunks()
+                if isinstance(batch["nbr"], pa.ChunkedArray)
+                else batch["nbr"], _BFS_INF).to_numpy(zero_copy_only=False),
+                np.int64)
+            return pa.table({"node": batch["node"],
+                             "dist": pa.array(np.minimum(cur, nbr),
+                                              pa.int64())}, schema=NODE)
+
+        dist = stepped.map_batches(take_min, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+        gc_exchange_dirs()
+
+    def reached(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return batch.filter(pc_.less(batch["dist"],
+                                     pa.scalar(_BFS_INF, pa.int64())))
+
+    return dist.map_batches(reached, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def bfs_hops_sql(edges_cte: str, source: int, rounds: int = 4) -> str:
+    """Exactly-unrolled DuckDB twin of :func:`bfs_hops`. ``edges_cte``
+    must define ``edges(src, dst)``."""
+    INF = _BFS_INF
+    parts = [f"""WITH {edges_cte},
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        de AS (SELECT a AS s, b AS d FROM und
+               UNION ALL SELECT b, a FROM und),
+        n0 AS (SELECT DISTINCT s AS node FROM de),
+        d0 AS (SELECT node,
+                      CASE WHEN node = {source} THEN 0
+                           ELSE {INF} END::BIGINT AS dist FROM n0)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        d{i} AS (
+            SELECT p.node,
+                   least(p.dist,
+                         coalesce(m.md, {INF}))::BIGINT AS dist
+            FROM d{i - 1} p
+            LEFT JOIN (
+                SELECT e.d AS node,
+                       least(min(q.dist) + 1, {INF}) AS md
+                FROM de e JOIN d{i - 1} q ON q.node = e.s
+                GROUP BY e.d
+            ) m ON m.node = p.node
+        )""")
+    parts.append(f"""
+        SELECT node, dist FROM d{rounds} WHERE dist < {INF}""")
+    return "".join(parts)

@@ -244,3 +244,31 @@ def test_pagerank_weighted_twin_and_mass(ray_session):
         .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert abs(got.pr.sum() - 1.0) < 1e-6  # probability mass conserved
+
+
+def test_bfs_hops_twin_and_hand_truth(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import bfs_hops, bfs_hops_sql
+
+    # a 6-hop path plus a clique hanging off node 2
+    E = [(i, i + 1) for i in range(6)] + [
+        (2, 10), (10, 11), (11, 12), (12, 13), (10, 12), (11, 13)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64()),
+    }))
+    got = (bfs_hops(edges, source=0, rounds=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    vals = ", ".join(f"({a},{b})" for a, b in E)
+    con = duckdb.connect()
+    want = (con.sql(bfs_hops_sql(f"edges(src,dst) AS (VALUES {vals})",
+                                 source=0, rounds=4)).df()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # nodes 5, 6, 13 are 5+ hops out -> unreached within 4 rounds
+    assert dict(zip(got.node, got.dist)) == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 3, 11: 4, 12: 4}
