@@ -2075,6 +2075,31 @@ def q_weighted_sample(sf_dir: str):
     return weighted_sample(docs, k=50, weight_col="n_chars")
 
 
+def q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction over the mod-1009 order graph:
+    node pairs with >= 3 shared neighbors plus neighborhood Jaccard —
+    the unoriented wedge exchange (triangle machinery without the
+    degree orientation) + degree attaches. Wedge-join DuckDB twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import common_neighbors
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return common_neighbors(edges, min_common=3)
+
+
 def q_bfs_hops(sf_dir: str):
     """BFS hop distances from node 0 over the mod-1009 order graph,
     bounded to 4 synchronous relaxations (the Bellman-Ford frontier
@@ -2458,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "pagerank_weighted": q_pagerank_weighted,
         "bfs_hops": q_bfs_hops,
+        "link_predict": q_link_predict,
         "weighted_sample": q_weighted_sample,
         "quality_gate": q_quality_gate,
         "context_windows": q_context_windows,
@@ -2882,6 +2908,31 @@ def oracle_sql() -> dict[str, str]:
         "label_prop": label_propagation_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", iters=4),
+        "link_predict": """
+            WITH raw AS (
+                SELECT o_orderkey % 1009 AS s, o_custkey % 1009 AS d
+                FROM orders
+            ),
+            und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                    FROM raw WHERE s <> d),
+            de AS (SELECT a AS u, b AS v FROM und
+                   UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT u AS node, count(*)::BIGINT AS deg
+                    FROM de GROUP BY u),
+            cn AS (
+                SELECT least(e1.v, e2.v) AS id_a,
+                       greatest(e1.v, e2.v) AS id_b,
+                       count(*)::BIGINT AS n_common
+                FROM de e1 JOIN de e2 ON e1.u = e2.u AND e1.v < e2.v
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common::DOUBLE
+                         / (da.deg + db.deg - n_common), 6) AS jaccard
+            FROM cn
+            JOIN deg da ON da.node = id_a
+            JOIN deg db ON db.node = id_b
+        """,
         "bfs_hops": bfs_hops_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", source=0, rounds=4),

@@ -823,3 +823,162 @@ def bfs_hops_sql(edges_cte: str, source: int, rounds: int = 4) -> str:
     parts.append(f"""
         SELECT node, dist FROM d{rounds} WHERE dist < {INF}""")
     return "".join(parts)
+
+
+_CN_SCHEMA = pa.schema([
+    ("id_a", pa.int64()),
+    ("id_b", pa.int64()),
+    ("n_common", pa.int64()),
+    ("jaccard", pa.float64()),
+])
+
+
+def common_neighbors(
+    edges: Dataset,
+    min_common: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    max_wedge_degree: int = 4096,
+) -> Dataset:
+    """Link-prediction scores: for every node pair with at least
+    ``min_common`` shared neighbors, the common-neighbor count and the
+    neighborhood Jaccard ``|N(a) ∩ N(b)| / |N(a) ∪ N(b)|``
+    (= cn / (deg_a + deg_b − cn); the union double-counts nothing —
+    a and b themselves are counted only if adjacent to the other,
+    documented convention). The wedge machinery of triangle_counts
+    WITHOUT degree orientation (every wedge center votes once); hub
+    adjacency lists above ``max_wedge_degree`` truncate with metrics
+    accounting. Self-loops dropped, parallel edges collapsed."""
+    import pandas as _pd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = _pd.DataFrame({"a": np.minimum(s, d),
+                            "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates().sort_values(["a", "b"])
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions, sort_blocks=False)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"u": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "v": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    de = und.map_batches(both_dirs, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return DEG.empty_table()
+        g = block.to_pandas().groupby("u", sort=True).size()
+        return pa.table({"node": pa.array(g.index.to_numpy(np.int64),
+                                          pa.int64()),
+                         "deg": pa.array(g.to_numpy(np.int64), pa.int64())},
+                        schema=DEG)
+
+    degrees = map_key_blocks(de.select_columns(["u"]), ["u"], deg_block,
+                             num_partitions, sort_blocks=False)
+
+    WEDGE = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                       ("cnt", pa.int64())])
+
+    def wedge_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < 2:
+            return WEDGE.empty_table()
+        df = (block.to_pandas().sort_values(["u", "v"], kind="mergesort")
+              .reset_index(drop=True))
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        new_run = np.r_[True, u[1:] != u[:-1]]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        over = run_len > max_wedge_degree
+        if over.any():
+            from epstein_pipeline_ray.state import metrics
+            pos = np.arange(u.size) - np.repeat(np.flatnonzero(new_run),
+                                                run_len)
+            keep = pos < max_wedge_degree
+            metrics.inc("common_nbrs.wedge_capped", int(over.sum()))
+            metrics.inc("common_nbrs.rows_capped", int((~keep).sum()))
+            u, v, run_id = u[keep], v[keep], run_id[keep]
+        from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
+        I, J = _run_pairs(run_id)
+        if I.size == 0:
+            return WEDGE.empty_table()
+        g = (_pd.DataFrame({"id_a": np.minimum(v[I], v[J]),
+                            "id_b": np.maximum(v[I], v[J])})
+             .groupby(["id_a", "id_b"], sort=False).size()
+             .reset_index(name="cnt"))
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+        }, schema=WEDGE)
+
+    partials = map_key_blocks(de, ["u"], wedge_block, num_partitions,
+                              sort_blocks=False)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return WEDGE.empty_table()
+        g = (block.to_pandas().groupby(["id_a", "id_b"], sort=True)["cnt"]
+             .sum().reset_index())
+        g = g.loc[g["cnt"] >= min_common]
+        return pa.table({
+            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
+            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
+        }, schema=WEDGE)
+
+    cn = map_key_blocks(partials, ["id_a", "id_b"], sum_block,
+                        num_partitions, sort_blocks=False)
+    cn = attach_column(cn, degrees, "id_a", "node", "deg", "da",
+                       num_partitions=num_partitions)
+    cn = attach_column(cn, degrees, "id_b", "node", "deg", "db",
+                       num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CN_SCHEMA.empty_table()
+        c = np.asarray(batch["cnt"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        da = np.asarray(batch["da"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        db = np.asarray(batch["db"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        j = sql_round(c / (da + db - c), 6)
+        return pa.table({
+            "id_a": batch["id_a"],
+            "id_b": batch["id_b"],
+            "n_common": batch["cnt"],
+            "jaccard": pa.array(j, pa.float64()),
+        }, schema=_CN_SCHEMA)
+
+    return cn.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)

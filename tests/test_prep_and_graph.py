@@ -272,3 +272,28 @@ def test_bfs_hops_twin_and_hand_truth(ray_session):
     # nodes 5, 6, 13 are 5+ hops out -> unreached within 4 rounds
     assert dict(zip(got.node, got.dist)) == {
         0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 10: 3, 11: 4, 12: 4}
+
+
+def test_common_neighbors_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import common_neighbors
+
+    # star: hub 0 adjacent to 1..4; plus edge (1,2).
+    # pairs among leaves share neighbor {0}: cn=1; pair (1,2) shares
+    # only 0 too (their own edge is not a common NEIGHBOR).
+    E = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64()),
+    }))
+    got = (common_neighbors(edges, min_common=1).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    m = {(a, b): (c, j) for a, b, c, j in got.to_numpy()}
+    # (3,4): cn=1 (hub), deg 1 each -> jaccard 1/(1+1-1) = 1.0
+    assert m[(3, 4)] == (1, 1.0)
+    # (1,2): cn=1, deg 2 each -> 1/(2+2-1) = 0.333333
+    assert m[(1, 2)] == (1, 0.333333)
+    # hub 0 vs leaf 3: common neighbor? N(0)={1,2,3,4}, N(3)={0} -> none
+    assert (0, 3) not in m
