@@ -2158,6 +2158,31 @@ def q_pagerank_weighted(sf_dir: str):
     return pagerank_weighted(edges, iters=6)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg JACM'99) over the mod-211
+    order graph, 5 L1-normalized iterations with per-round rounding —
+    the engine's iterative push exchanges against the exactly-unrolled
+    SQL twin (stages/graph_algo.hits_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import hits
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=211):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_custkey"]),
+                         "dst": modcol(batch["o_orderkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return hits(edges, iters=5)
+
+
 def q_label_prop(sf_dir: str):
     """Synchronous label-propagation communities (Raghavan 2007,
     deterministic min-label tie-break, 4 rounds) over the mod-1009
@@ -2482,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "label_prop": q_label_prop,
         "pagerank_weighted": q_pagerank_weighted,
+        "hits": q_hits,
         "bfs_hops": q_bfs_hops,
         "link_predict": q_link_predict,
         "weighted_sample": q_weighted_sample,
@@ -2663,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.embed import kmeans_sql
     from epstein_pipeline_ray.stages.graph_algo import (
         bfs_hops_sql,
+        hits_sql,
         label_propagation_sql,
         pagerank_sql,
         pagerank_weighted_sql,
@@ -2936,6 +2963,9 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": bfs_hops_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", source=0, rounds=4),
+        "hits": hits_sql(
+            "edges(src, dst) AS (SELECT o_custkey % 211, "
+            "o_orderkey % 211 FROM orders)", iters=5),
         "pagerank_weighted": pagerank_weighted_sql(
             "edges(src, dst, w) AS (SELECT 'n' || (o_orderkey % 211), "
             "'n' || (o_custkey % 211), (o_orderkey % 7 + 1)::DOUBLE "

@@ -982,3 +982,186 @@ def common_neighbors(
 
     return cn.map_batches(finish, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def hits(
+    edges: Dataset,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """HITS hubs & authorities (Kleinberg JACM'99) over the DIRECTED
+    distinct edge set, L1-normalized each half-step (L1 instead of the
+    classic L2 keeps the twin free of sqrt-accumulation drift; ranks
+    are unaffected by the norm choice) with per-round rounding — the
+    pagerank house convention, so a fixed ``iters`` unrolls to the
+    exact SQL twin (:func:`hits_sql`). Returns
+    ``(node, hub, authority)``; nodes with no in-edges get authority 0,
+    no out-edges hub 0."""
+    import pandas as _pd
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = _pd.DataFrame({
+            "s": np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                            np.int64),
+            "d": np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                            np.int64),
+        }).drop_duplicates()
+        return pa.table({"s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                         "d": pa.array(df["d"].to_numpy(np.int64), pa.int64())})
+
+    E = pa.schema([("s", pa.int64()), ("d", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return E.empty_table()
+        df = block.to_pandas().drop_duplicates().sort_values(["s", "d"])
+        return pa.table({"s": pa.array(df["s"].to_numpy(np.int64), pa.int64()),
+                         "d": pa.array(df["d"].to_numpy(np.int64), pa.int64())})
+
+    de = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["s", "d"], distinct_block, num_partitions,
+        sort_blocks=False).materialize()
+
+    NODE = pa.schema([("node", pa.int64()), ("x", pa.float64())])
+
+    def node_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return NODE.empty_table()
+        u = np.unique(np.asarray(block["node"].to_numpy(
+            zero_copy_only=False)))
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "x": pa.array(np.ones(u.size), pa.float64())},
+                        schema=NODE)
+
+    ends = de.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays([
+            b["s"].combine_chunks() if isinstance(b["s"], pa.ChunkedArray)
+            else b["s"],
+            b["d"].combine_chunks() if isinstance(b["d"], pa.ChunkedArray)
+            else b["d"]])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nodes = map_key_blocks(ends, ["node"], node_block, num_partitions,
+                           sort_blocks=False).materialize()
+
+    def normalized(vec: Dataset, col_from: str) -> Dataset:
+        total = float(vec.sum("x") or 0.0)
+
+        def norm(batch: pa.Table, t=total) -> pa.Table:
+            x = np.asarray(batch["x"].to_numpy(zero_copy_only=False),
+                           np.float64)
+            y = sql_round(x / t, round_digits) if t > 0 else x
+            return pa.table({"node": batch["node"],
+                             "x": pa.array(y, pa.float64())}, schema=NODE)
+
+        return vec.map_batches(norm, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def push(vec: Dataset, from_col: str, to_col: str) -> Dataset:
+        """out[to] = Σ over edges (from → to) of vec[from], 0-filled."""
+        tagged = attach_column(de, vec, from_col, "node", "x", "x",
+                               num_partitions=num_partitions)
+
+        SUM = pa.schema([(to_col, pa.int64()), ("x", pa.float64())])
+
+        def sum_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return SUM.empty_table()
+            g = block.to_pandas().groupby(to_col, sort=True)["x"].sum()
+            return pa.table({to_col: pa.array(g.index.to_numpy(np.int64),
+                                              pa.int64()),
+                             "x": pa.array(g.to_numpy(np.float64),
+                                           pa.float64())}, schema=SUM)
+
+        summed = map_key_blocks(tagged, [to_col], sum_block,
+                                num_partitions, sort_blocks=False)
+        stepped = attach_column(nodes, summed, "node", to_col, "x", "nx",
+                                num_partitions=num_partitions)
+
+        def fill(batch: pa.Table) -> pa.Table:
+            nx = pc_.fill_null(
+                batch["nx"].combine_chunks()
+                if isinstance(batch["nx"], pa.ChunkedArray)
+                else batch["nx"], 0.0)
+            return pa.table({"node": batch["node"], "x": nx}, schema=NODE)
+
+        return stepped.map_batches(fill, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    hub = normalized(nodes, "init")
+    auth = hub
+    for _ in range(iters):
+        auth = normalized(push(hub, "s", "d"), "auth")
+        hub = normalized(push(auth, "d", "s"), "hub")
+        gc_exchange_dirs()
+
+    joined = attach_column(hub, auth, "node", "node", "x", "authority",
+                           num_partitions=num_partitions)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table({
+            "node": batch["node"],
+            "hub": batch["x"],
+            "authority": pc2.fill_null(
+                batch["authority"].combine_chunks()
+                if isinstance(batch["authority"], pa.ChunkedArray)
+                else batch["authority"], 0.0),
+        })
+
+    return joined.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def hits_sql(edges_cte: str, iters: int = 5, round_digits: int = 9) -> str:
+    """Exactly-unrolled DuckDB twin of :func:`hits`. ``edges_cte`` must
+    define ``edges(src, dst)``."""
+    r = round_digits
+    # every CTE that is referenced more than once is MATERIALIZED —
+    # DuckDB re-expands plain CTEs per reference, which is exponential
+    # across an unrolled iteration chain
+    parts = [f"""WITH {edges_cte},
+        de AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+            SELECT s AS node FROM de UNION ALL SELECT d FROM de)),
+        h0 AS MATERIALIZED (
+            SELECT node, round(1.0 / (SELECT count(*) FROM nodes), {r}) AS x
+            FROM nodes)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+        ar{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(s.v, 0.0) AS x
+            FROM nodes n LEFT JOIN (
+                SELECT de.d AS node, sum(p.x) AS v
+                FROM de JOIN {prev_h} p ON p.node = de.s GROUP BY de.d
+            ) s ON s.node = n.node),
+        a{i} AS MATERIALIZED (
+            SELECT node, CASE WHEN (SELECT sum(x) FROM ar{i}) > 0
+                THEN round(x / (SELECT sum(x) FROM ar{i}), {r})
+                ELSE x END AS x FROM ar{i}),
+        hr{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(s.v, 0.0) AS x
+            FROM nodes n LEFT JOIN (
+                SELECT de.s AS node, sum(p.x) AS v
+                FROM de JOIN a{i} p ON p.node = de.d GROUP BY de.s
+            ) s ON s.node = n.node),
+        h{i} AS MATERIALIZED (
+            SELECT node, CASE WHEN (SELECT sum(x) FROM hr{i}) > 0
+                THEN round(x / (SELECT sum(x) FROM hr{i}), {r})
+                ELSE x END AS x FROM hr{i})""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+        SELECT h.node, h.x AS hub, a.x AS authority
+        FROM h{iters} h JOIN a{iters} a USING (node)""")
+    return "".join(parts)

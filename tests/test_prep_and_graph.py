@@ -297,3 +297,56 @@ def test_common_neighbors_hand_truth(ray_session):
     assert m[(1, 2)] == (1, 0.333333)
     # hub 0 vs leaf 3: common neighbor? N(0)={1,2,3,4}, N(3)={0} -> none
     assert (0, 3) not in m
+
+
+def test_hits_twin_and_hand_truth(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import hits, hits_sql
+
+    rng = np.random.RandomState(7)
+    E = sorted({(int(rng.randint(0, 20)), int(rng.randint(0, 20)))
+                for _ in range(120)})
+    # duplicate a few edges + a self loop: hits() must distinct first
+    raw = E + E[:5] + [(3, 3)]
+    E = sorted(set(raw))
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in raw], pa.int64()),
+        "dst": pa.array([e[1] for e in raw], pa.int64()),
+    }))
+    got = (hits(edges, iters=5).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    vals = ", ".join(f"({a},{b})" for a, b in raw)
+    con = duckdb.connect()
+    want = (con.sql(hits_sql(f"edges(src, dst) AS (VALUES {vals})",
+                             iters=5)).df()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # L1 normalization: both score vectors sum to ~1
+    assert abs(got.hub.sum() - 1.0) < 1e-6
+    assert abs(got.authority.sum() - 1.0) < 1e-6
+
+
+def test_hits_star_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import hits
+
+    # all leaves point AT node 0: node 0 is the sole authority
+    # (authority 1.0, hub 0.0); every leaf is a pure equal hub.
+    E = [(i, 0) for i in range(1, 5)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64()),
+    }))
+    got = hits(edges, iters=3).to_pandas().set_index("node")
+    assert got.loc[0, "authority"] == 1.0
+    assert got.loc[0, "hub"] == 0.0
+    for leaf in range(1, 5):
+        assert got.loc[leaf, "hub"] == 0.25
+        assert got.loc[leaf, "authority"] == 0.0
