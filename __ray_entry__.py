@@ -2183,6 +2183,41 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_connected_components(sf_dir: str):
+    """Standalone oracled connected components: the flagship's
+    distributed min-label propagation (stages/cluster.py
+    min_label_propagation — pointer-jumping keyed exchanges, the
+    clustering core behind transcript_clusters) run to convergence over
+    a SPARSE order graph, against a DuckDB WITH RECURSIVE fixpoint
+    twin. Label = lexicographic-min member id of each component."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.cluster import min_label_propagation
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        def modcol(col, m):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        keep = pc.equal(modcol(batch["o_orderkey"], 13),
+                        pa.scalar(0, pa.int64()))
+        t = batch.filter(keep)
+
+        def node(col):
+            return pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(modcol(col, 8009), pa.string()), "")
+
+        return pa.table({"id_a": node(t["o_orderkey"]),
+                         "id_b": node(t["o_custkey"])})
+
+    pairs = orders.map_batches(to_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return min_label_propagation(pairs)
+
+
 def q_label_prop(sf_dir: str):
     """Synchronous label-propagation communities (Raghavan 2007,
     deterministic min-label tie-break, 4 rounds) over the mod-1009
@@ -2508,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "pagerank_weighted": q_pagerank_weighted,
         "hits": q_hits,
+        "connected_components": q_connected_components,
         "bfs_hops": q_bfs_hops,
         "link_predict": q_link_predict,
         "weighted_sample": q_weighted_sample,
@@ -2963,6 +2999,23 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": bfs_hops_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", source=0, rounds=4),
+        "connected_components": """
+            -- fixpoint twin of the engine's min-label propagation:
+            -- every node accumulates the labels of all reachable
+            -- nodes via a recursive walk; component = min label
+            WITH RECURSIVE
+            e AS (SELECT 'n' || (o_orderkey % 8009) AS a,
+                         'n' || (o_custkey % 8009) AS b
+                  FROM orders WHERE o_orderkey % 13 = 0),
+            nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+            ud AS (SELECT a AS s, b AS d FROM e WHERE a <> b
+                   UNION SELECT b, a FROM e WHERE a <> b),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT ud.d, walk.lbl FROM walk JOIN ud ON ud.s = walk.node)
+            SELECT node, min(lbl) AS label FROM walk GROUP BY node
+        """,
         "hits": hits_sql(
             "edges(src, dst) AS (SELECT o_custkey % 211, "
             "o_orderkey % 211 FROM orders)", iters=5),
