@@ -2183,6 +2183,31 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_kcore(sf_dir: str):
+    """k-core peel (Seidman 1983) bounded to 6 synchronous rounds over
+    the mod-1009 order graph — per-round degree exchange + membership
+    attaches against the exactly-unrolled SQL twin
+    (stages/graph_algo.kcore_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import kcore
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return kcore(edges, k=3, rounds=6)
+
+
 def q_connected_components(sf_dir: str):
     """Standalone oracled connected components: the flagship's
     distributed min-label propagation (stages/cluster.py
@@ -2543,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "pagerank_weighted": q_pagerank_weighted,
         "hits": q_hits,
+        "kcore": q_kcore,
         "connected_components": q_connected_components,
         "bfs_hops": q_bfs_hops,
         "link_predict": q_link_predict,
@@ -2726,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.graph_algo import (
         bfs_hops_sql,
         hits_sql,
+        kcore_sql,
         label_propagation_sql,
         pagerank_sql,
         pagerank_weighted_sql,
@@ -3019,6 +3046,9 @@ def oracle_sql() -> dict[str, str]:
         "hits": hits_sql(
             "edges(src, dst) AS (SELECT o_custkey % 211, "
             "o_orderkey % 211 FROM orders)", iters=5),
+        "kcore": kcore_sql(
+            "edges(src, dst) AS (SELECT o_orderkey % 1009, "
+            "o_custkey % 1009 FROM orders)", k=3, rounds=6),
         "pagerank_weighted": pagerank_weighted_sql(
             "edges(src, dst, w) AS (SELECT 'n' || (o_orderkey % 211), "
             "'n' || (o_custkey % 211), (o_orderkey % 7 + 1)::DOUBLE "

@@ -1165,3 +1165,128 @@ def hits_sql(edges_cte: str, iters: int = 5, round_digits: int = 9) -> str:
         SELECT h.node, h.x AS hub, a.x AS authority
         FROM h{iters} h JOIN a{iters} a USING (node)""")
     return "".join(parts)
+
+
+def kcore(
+    edges: Dataset,
+    k: int = 3,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """k-core peel (Seidman 1983) bounded to exactly ``rounds``
+    synchronous rounds — each round drops every node whose degree in
+    the current surviving subgraph is < ``k`` and restricts the edge
+    set to surviving endpoints; with ``rounds`` ≥ the peel depth this
+    is the true k-core. Fixed rounds unroll to the exact SQL twin
+    (:func:`kcore_sql`, the bfs_hops convention). Runs over the
+    undirected simple graph (self-loops dropped, parallel edges
+    collapsed). Returns ``(node, deg)`` — survivors of the final round
+    with their degree inside the surviving subgraph.
+
+    Per round: one degree exchange + two size-switched membership
+    attaches onto the directed edge list; everything edge/node
+    proportional."""
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates().sort_values(["a", "b"])
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions, sort_blocks=False)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "d": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    de = und.map_batches(both_dirs, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return DEG.empty_table()
+        s = np.asarray(block["s"].to_numpy(zero_copy_only=False), np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())},
+                        schema=DEG)
+
+    def degrees(d: Dataset) -> Dataset:
+        return map_key_blocks(d.select_columns(["s"]), ["s"], deg_block,
+                              num_partitions, sort_blocks=False)
+
+    for _ in range(rounds):
+        deg = degrees(de).materialize()
+        keep = deg.filter(expr=f"deg >= {int(k)}")
+        tagged = attach_column(de, keep, "s", "node", "deg", "__fs",
+                               num_partitions=num_partitions)
+        tagged = attach_column(tagged, keep, "d", "node", "deg", "__fd",
+                               num_partitions=num_partitions)
+
+        def restrict(batch: pa.Table) -> pa.Table:
+            m = pc_.and_(pc_.is_valid(batch["__fs"]),
+                         pc_.is_valid(batch["__fd"]))
+            t = batch.filter(m)
+            return pa.table({"s": t["s"], "d": t["d"]})
+
+        de = tagged.map_batches(restrict, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        gc_exchange_dirs()
+
+    return degrees(de)
+
+
+def kcore_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """Exactly-unrolled DuckDB twin of :func:`kcore` — one
+    degree/keep/restrict CTE triple per round (MATERIALIZED: a plain
+    CTE re-expands per reference, exponential across the chain).
+    ``edges_cte`` must define ``edges(src, dst)``."""
+    parts = [f"""WITH {edges_cte},
+        und AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst),
+        e0 AS MATERIALIZED (
+            SELECT a AS s, b AS d FROM und UNION ALL SELECT b, a FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        deg{i} AS MATERIALIZED (
+            SELECT s AS node, count(*) AS c FROM e{i - 1} GROUP BY s),
+        keep{i} AS MATERIALIZED (
+            SELECT node FROM deg{i} WHERE c >= {int(k)}),
+        e{i} AS MATERIALIZED (
+            SELECT e.s, e.d FROM e{i - 1} e
+            JOIN keep{i} ka ON ka.node = e.s
+            JOIN keep{i} kb ON kb.node = e.d)""")
+    parts.append(f"""
+        SELECT s::BIGINT AS node, count(*)::BIGINT AS deg
+        FROM e{rounds} GROUP BY s""")
+    return "".join(parts)

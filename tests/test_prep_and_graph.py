@@ -350,3 +350,48 @@ def test_hits_star_hand_truth(ray_session):
     for leaf in range(1, 5):
         assert got.loc[leaf, "hub"] == 0.25
         assert got.loc[leaf, "authority"] == 0.0
+
+
+def test_kcore_twin(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import kcore, kcore_sql
+
+    rng = np.random.RandomState(11)
+    E = sorted({(int(rng.randint(0, 30)), int(rng.randint(0, 30)))
+                for _ in range(140)})
+    raw = E + E[:7] + [(4, 4)]  # parallel edges + self loop must collapse
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in raw], pa.int64()),
+        "dst": pa.array([e[1] for e in raw], pa.int64())}))
+    got = (kcore(edges, k=4, rounds=5).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    vals = ",".join(f"({s},{d})" for s, d in raw)
+    con = duckdb.connect()
+    want = (con.sql(kcore_sql(f"edges(src, dst) AS (VALUES {vals})",
+                              k=4, rounds=5)).df()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_kcore_clique_and_tail(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import kcore
+
+    # K4 clique with a 3-node tail: the k=3 peel eats the tail back to
+    # the clique (multi-round cascade), clique survives with deg 3 each
+    E = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 10), (10, 11), (11, 12)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64())}))
+    got = (kcore(edges, k=3, rounds=4).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert got.node.tolist() == [0, 1, 2, 3]
+    assert got.deg.tolist() == [3, 3, 3, 3]
