@@ -1335,6 +1335,30 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_value_cms(sf_dir: str):
+    """Count-Min sketch point estimates over bucketed event values at a
+    colliding width (w=64 < the 100-value domain, so overcounts are
+    real) — unlike KMV/HLL the pinned hash rows make the sketch FULLY
+    deterministic, and the DuckDB twin recomputes the identical
+    counters and min-over-rows estimates (relational.cms_sql)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.relational import cms_count_per_key
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch["value"]), pa.int64())
+        b = pc.subtract(v, pc.multiply(
+            pc.divide(v, pa.scalar(100, pa.int64())),
+            pa.scalar(100, pa.int64())))
+        return pa.table({"v": b})
+
+    buck = ev.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return cms_count_per_key(buck, "v", d=4, w=64)
+
+
 def q_type_value_p90_sampled(sf_dir: str):
     """Bottom-k-by-hash quantile sketch in its exact regime (k=1e6 >=
     every group, so the deterministic sample IS the group and the
@@ -2504,6 +2528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distinct_kmv": q_value_distinct_kmv,
         "value_distinct_kmv_exact": q_value_distinct_kmv_exact,
         "value_distinct_hll": q_value_distinct_hll,
+        "value_cms": q_value_cms,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
@@ -2749,6 +2774,7 @@ def _quality_logit_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.embed import kmeans_sql
+    from epstein_pipeline_ray.stages.relational import cms_sql
     from epstein_pipeline_ray.stages.graph_algo import (
         bfs_hops_sql,
         hits_sql,
@@ -3492,6 +3518,9 @@ def oracle_sql() -> dict[str, str]:
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
         """,
+        "value_cms": cms_sql(
+            "t AS (SELECT CAST(floor(value) AS BIGINT) % 100 AS v "
+            "FROM events)", value_col="v", d=4, w=64),
         "value_distinct_kmv_exact": """
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est

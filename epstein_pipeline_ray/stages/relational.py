@@ -1623,3 +1623,128 @@ def with_group_ntile(
 
     return map_key_blocks(ds, [key], tile_block, num_partitions,
                           sort_blocks=False)
+
+
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def cms_params(d: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) hash-row parameters for the Count-Min
+    sketch — pinned LCG-derived constants so the DuckDB twin can inline
+    the exact same values (:func:`cms_sql`)."""
+    return [((1103515245 * (j + 1) + 12345) % _CMS_P,
+             (22695477 * (j + 1) + 1) % _CMS_P) for j in range(d)]
+
+
+def cms_count_per_key(ds: Dataset, value_col: str, d: int = 4, w: int = 512,
+                      num_partitions: int | None = None) -> Dataset:
+    """Count-Min sketch point estimates (Cormode & Muthukrishnan 2005)
+    over a NON-NEGATIVE int64 key column (< 2^32; bucket first):
+    ``est(v) = min_j counter[j][h_j(v)]`` with
+    ``h_j(v) = ((a_j*v + b_j) mod P) mod w`` — always >= the true count,
+    within eps*N with prob 1-delta at w=ceil(e/eps), d=ceil(ln 1/delta).
+
+    Unlike KMV/HLL this sketch is FULLY deterministic given the pinned
+    hash rows (:func:`cms_params`), so the DuckDB twin (:func:`cms_sql`)
+    matches hash-exactly — the oracle covers the sketch itself, not just
+    a rows-only shape. Mergeability = counter addition, which IS the
+    exchange sum below.
+
+    Plan: vectorized per-batch bincount partials (nonzero cells only,
+    <= d*w rows per batch) -> one cell-keyed exchange sum -> the d*w
+    counter matrix (FIXED SIZE — the driver pull is sketch-sized, never
+    corpus-sized) broadcast over a distinct-key exchange for the min-
+    over-rows estimate. Output: (value_col, est) per distinct key."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    params = cms_params(d)
+    pruned = ds.select_columns([value_col])
+
+    CELL = pa.schema([("cell", pa.int64()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        cells = []
+        counts = []
+        for j, (a, b) in enumerate(params):
+            idx = ((a * v + b) % _CMS_P) % w
+            bc = np.bincount(idx, minlength=w)
+            nz = np.nonzero(bc)[0]
+            cells.append(nz + j * w)
+            counts.append(bc[nz])
+        return pa.table({
+            "cell": pa.array(np.concatenate(cells), pa.int64()),
+            "c": pa.array(np.concatenate(counts).astype(np.int64),
+                          pa.int64())}, schema=CELL)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return CELL.empty_table()
+        cell = np.asarray(block["cell"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        c = np.asarray(block["c"].to_numpy(zero_copy_only=False), np.int64)
+        u, inv = np.unique(cell, return_inverse=True)
+        s = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"cell": pa.array(u, pa.int64()),
+                         "c": pa.array(s, pa.int64())}, schema=CELL)
+
+    sk = map_key_blocks(
+        pruned.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["cell"], sum_block, num_partitions, sort_blocks=False).to_pandas()
+    counter = np.zeros(d * w, dtype=np.int64)
+    counter[sk["cell"].to_numpy(np.int64)] = sk["c"].to_numpy(np.int64)
+
+    KEY = pa.schema([(value_col, pa.int64())])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.asarray(
+            batch[value_col].to_numpy(zero_copy_only=False), np.int64))
+        return pa.table({value_col: pa.array(v, pa.int64())}, schema=KEY)
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return KEY.empty_table()
+        v = np.unique(np.asarray(
+            block[value_col].to_numpy(zero_copy_only=False), np.int64))
+        return pa.table({value_col: pa.array(v, pa.int64())}, schema=KEY)
+
+    keys = map_key_blocks(
+        pruned.map_batches(key_rows, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [value_col], distinct_block, num_partitions, sort_blocks=False)
+
+    def estimate(batch: pa.Table, counter=counter) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        est = np.full(v.size, np.iinfo(np.int64).max, dtype=np.int64)
+        for j, (a, b) in enumerate(params):
+            idx = ((a * v + b) % _CMS_P) % w
+            np.minimum(est, counter[idx + j * w], out=est)
+        return pa.table({value_col: pa.array(v, pa.int64()),
+                         "est": pa.array(est, pa.int64())})
+
+    return keys.map_batches(estimate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def cms_sql(values_cte: str, value_col: str = "v", d: int = 4,
+            w: int = 512) -> str:
+    """Exact DuckDB twin of :func:`cms_count_per_key` — identical pinned
+    hash rows, bucket sums, and min-over-rows estimate. ``values_cte``
+    must define ``t(v)`` (non-negative int keys)."""
+    rows = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(cms_params(d)))
+    return f"""WITH {values_cte},
+        params(j, a, b) AS (VALUES {rows}),
+        sk AS MATERIALIZED (
+            SELECT p.j, ((p.a * t.v::BIGINT + p.b) % {_CMS_P}) % {w} AS bucket,
+                   count(*) AS c
+            FROM t CROSS JOIN params p GROUP BY 1, 2),
+        keys AS (SELECT DISTINCT v FROM t)
+        SELECT k.v AS {value_col}, min(sk.c)::BIGINT AS est
+        FROM keys k CROSS JOIN params p
+        JOIN sk ON sk.j = p.j
+               AND sk.bucket = ((p.a * k.v::BIGINT + p.b) % {_CMS_P}) % {w}
+        GROUP BY k.v"""

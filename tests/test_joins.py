@@ -463,3 +463,41 @@ def test_with_group_ntile_sql_sizes(ray_session):
            .sort_values(["k", "v"]).reset_index(drop=True))
     assert got[got.k == 1].tile.tolist() == [1, 1, 2, 2, 3, 3, 4]
     assert got[got.k == 2].tile.tolist() == [1, 2]
+
+
+def test_cms_overcount_and_twin(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import (
+        cms_count_per_key, cms_sql)
+
+    rng = np.random.RandomState(23)
+    vals = rng.zipf(1.6, 3000) % 200  # skewed, 200-value domain
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+
+    got = (cms_count_per_key(ds, "v", d=4, w=32).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    con = duckdb.connect()
+    lst = ",".join(f"({int(x)})" for x in vals)
+    want = (con.sql(cms_sql(f"t(v) AS (VALUES {lst})", d=4, w=32)).df()
+            .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # CMS one-sided error: est >= exact everywhere; at w=32 << 200-value
+    # domain collisions MUST produce at least one strict overcount
+    exact = pd.Series(vals).value_counts()
+    est = got.set_index("v")["est"]
+    assert (est >= exact.reindex(est.index)).all()
+    assert (est > exact.reindex(est.index)).any()
+
+    # counter addition is exact merge: a different batching cannot change
+    # any estimate (KMV/HLL-style merge-order sensitivity does not exist)
+    rebatched = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})) \
+        .repartition(7)
+    got2 = (cms_count_per_key(rebatched, "v", d=4, w=32).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
