@@ -1335,6 +1335,17 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_lang_pivot(sf_dir: str):
+    """Wide pivot aggregate: per-source document counts pivoted over
+    the fixed language domain — map-side wide partials, one keyed
+    exchange (relational.pivot_counts); CASE-sum DuckDB twin."""
+    from epstein_pipeline_ray.stages.relational import pivot_counts
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    return pivot_counts(docs, "source", "lang",
+                        ["de", "en", "es", "fr", "zh"])
+
+
 def q_value_cms(sf_dir: str):
     """Count-Min sketch point estimates over bucketed event values at a
     colliding width (w=64 < the 100-value domain, so overcounts are
@@ -2529,6 +2540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distinct_kmv_exact": q_value_distinct_kmv_exact,
         "value_distinct_hll": q_value_distinct_hll,
         "value_cms": q_value_cms,
+        "lang_pivot": q_lang_pivot,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
@@ -3517,6 +3529,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT tool_from, tool_to, count(*) AS n
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
+        """,
+        "lang_pivot": """
+            SELECT source,
+                   sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+                   sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+                   sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+                   sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+            FROM documents GROUP BY source
         """,
         "value_cms": cms_sql(
             "t AS (SELECT CAST(floor(value) AS BIGINT) % 100 AS v "

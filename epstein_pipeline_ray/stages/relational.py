@@ -1748,3 +1748,59 @@ def cms_sql(values_cte: str, value_col: str = "v", d: int = 4,
         JOIN sk ON sk.j = p.j
                AND sk.bucket = ((p.a * k.v::BIGINT + p.b) % {_CMS_P}) % {w}
         GROUP BY k.v"""
+
+
+def pivot_counts(ds: Dataset, row_key: str, col_key: str,
+                 col_values: list[str],
+                 num_partitions: int | None = None) -> Dataset:
+    """Wide pivot aggregate: one output row per ``row_key`` with a
+    ``n_<v>`` count column per value in the FIXED ``col_values`` domain
+    (SQL PIVOT requires the domain up front too; values outside it are
+    ignored). Map-side partials go straight to wide form — per batch a
+    (row_key x domain) count matrix via vectorized dictionary codes —
+    so the single keyed exchange ships one already-wide row per
+    (batch, key), never the raw rows.
+
+    Twin shape: ``SELECT row, sum(CASE WHEN col='v' THEN 1 ELSE 0 END)
+    AS n_v, ... GROUP BY row``."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    cols = [f"n_{v}" for v in col_values]
+    val_idx = {v: i for i, v in enumerate(col_values)}
+    key_type = dict(zip(ds.schema().names, ds.schema().types))[row_key]
+    OUT = pa.schema([(row_key, key_type)]
+                    + [(c, pa.int64()) for c in cols])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return OUT.empty_table()
+        df = pd.DataFrame({
+            "k": batch[row_key].to_pandas(),
+            "c": batch[col_key].to_pandas().map(val_idx),
+        })
+        df = df.dropna(subset=["c"])
+        if not len(df):
+            return OUT.empty_table()
+        keys, kinv = np.unique(df["k"].to_numpy(), return_inverse=True)
+        ci = df["c"].to_numpy(dtype=np.int64)
+        m = np.zeros((keys.size, len(col_values)), dtype=np.int64)
+        np.add.at(m, (kinv, ci), 1)
+        out = {row_key: pa.array(keys, key_type)}
+        for i, c in enumerate(cols):
+            out[c] = pa.array(m[:, i], pa.int64())
+        return pa.table(out, schema=OUT)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas()
+        g = df.groupby(row_key, sort=True, as_index=False)[cols].sum()
+        out = {row_key: pa.array(g[row_key], key_type)}
+        for c in cols:
+            out[c] = pa.array(g[c].to_numpy(np.int64), pa.int64())
+        return pa.table(out, schema=OUT)
+
+    parts = ds.select_columns([row_key, col_key]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(parts, [row_key], sum_block, num_partitions,
+                          sort_blocks=False)

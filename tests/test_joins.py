@@ -501,3 +501,34 @@ def test_cms_overcount_and_twin(ray_session):
     got2 = (cms_count_per_key(rebatched, "v", d=4, w=32).to_pandas()
             .sort_values("v").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pivot_counts_domain_and_batching(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import pivot_counts
+
+    rng = np.random.RandomState(31)
+    n = 500
+    ks = [f"s{int(x)}" for x in rng.randint(0, 7, n)]
+    cs = [["a", "b", "c", "zz"][int(x)] for x in rng.randint(0, 4, n)]
+    tbl = pa.table({"k": pa.array(ks, pa.string()),
+                    "c": pa.array(cs, pa.string())})
+    # 'zz' is OUTSIDE the declared domain -> ignored, not an error
+    got = (pivot_counts(rd.from_arrow(tbl), "k", "c", ["a", "b", "c"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = pd.DataFrame({"k": ks, "c": cs})
+    want = (df[df.c != "zz"].groupby(["k", "c"]).size().unstack(fill_value=0)
+            .rename(columns=lambda c: f"n_{c}").reset_index()
+            .rename_axis(None, axis=1).sort_values("k")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # wide-partial sums are batching-invariant
+    got2 = (pivot_counts(rd.from_arrow(tbl).repartition(9), "k", "c",
+                         ["a", "b", "c"])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
