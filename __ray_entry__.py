@@ -1335,6 +1335,30 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_rank_stats(sf_dir: str):
+    """The tie-aware window-rank family (RANK with gaps, DENSE_RANK,
+    PERCENT_RANK, CUME_DIST) per user over BUCKETED event values (ties
+    abound at a 20-value domain) — one keyed exchange
+    (relational.with_group_rank_stats); direct window-function twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.relational import with_group_rank_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch["value"]), pa.int64())
+        b = pc.subtract(v, pc.multiply(
+            pc.divide(v, pa.scalar(20, pa.int64())),
+            pa.scalar(20, pa.int64())))
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"], "v": b})
+
+    buck = ev.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return with_group_rank_stats(buck, "user_id", "v")
+
+
 def q_lang_pivot(sf_dir: str):
     """Wide pivot aggregate: per-source document counts pivoted over
     the fixed language domain — map-side wide partials, one keyed
@@ -2541,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distinct_hll": q_value_distinct_hll,
         "value_cms": q_value_cms,
         "lang_pivot": q_lang_pivot,
+        "rank_stats": q_rank_stats,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
@@ -3529,6 +3554,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT tool_from, tool_to, count(*) AS n
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
+        """,
+        "rank_stats": """
+            SELECT event_id, user_id,
+                   CAST(floor(value) AS BIGINT) % 20 AS v,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   round(percent_rank() OVER w, 9) AS prank,
+                   round(cume_dist() OVER w, 9) AS cdist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(value) AS BIGINT) % 20 DESC)
         """,
         "lang_pivot": """
             SELECT source,

@@ -1804,3 +1804,71 @@ def pivot_counts(ds: Dataset, row_key: str, col_key: str,
         partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(parts, [row_key], sum_block, num_partitions,
                           sort_blocks=False)
+
+
+def with_group_rank_stats(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """The tie-aware window-rank family in one keyed exchange: RANK
+    (gaps), DENSE_RANK, PERCENT_RANK and CUME_DIST per row, ordered by
+    ``value_col`` DESC within ``key`` — ties share ranks on the order
+    value alone (the SQL semantics; ROW_NUMBER's tie_col sibling is
+    :func:`with_group_rank`). Fractions are rounded to ``round_digits``
+    (the house convention) so the twin
+    ``rank()/dense_rank()/round(percent_rank(),9)/round(cume_dist(),9)
+    OVER (PARTITION BY key ORDER BY value DESC)`` matches hash-exactly.
+    One vectorized pass per key-sorted block."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    names = ds.schema().names
+    types = dict(zip(names, ds.schema().types))
+    out_schema = pa.schema(
+        [(c, types[c]) for c in names]
+        + [("rnk", pa.int64()), ("drnk", pa.int64()),
+           ("prank", pa.float64()), ("cdist", pa.float64())])
+
+    def stats_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, value_col], ascending=[True, False],
+                           kind="mergesort")
+              .reset_index(drop=True))
+        n = len(df)
+        kv = df[key].to_numpy()
+        vv = df[value_col].to_numpy()
+        new_grp = np.r_[True, kv[1:] != kv[:-1]]
+        new_val = new_grp | np.r_[True, vv[1:] != vv[:-1]]
+        gstarts = np.flatnonzero(new_grp)
+        glen = np.diff(np.r_[gstarts, n])
+        gstart_of = np.repeat(gstarts, glen)          # group start index
+        gsize_of = np.repeat(glen, glen).astype(np.float64)
+        vstarts = np.flatnonzero(new_val)
+        vlen = np.diff(np.r_[vstarts, n])
+        vstart_of = np.repeat(vstarts, vlen)          # tie-run start
+        vend_of = np.repeat(vstarts + vlen, vlen)     # one past tie-run end
+        rnk = (vstart_of - gstart_of + 1).astype(np.int64)
+        # dense rank = # of tie-runs from group start through this run
+        run_in_grp = (np.cumsum(new_val)
+                      - np.repeat(np.cumsum(new_val)[gstarts], glen))
+        drnk = (run_in_grp + 1).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            prank = np.where(gsize_of > 1,
+                             (rnk - 1) / np.maximum(gsize_of - 1, 1), 0.0)
+        cdist = (vend_of - gstart_of) / gsize_of
+        df["rnk"] = rnk
+        df["drnk"] = drnk
+        df["prank"] = sql_round(prank, round_digits)
+        df["cdist"] = sql_round(cdist, round_digits)
+        arrays = [pa.array(df[c], type=out_schema.field(c).type,
+                           from_pandas=True) for c in out_schema.names]
+        return pa.table(dict(zip(out_schema.names, arrays)),
+                        schema=out_schema)
+
+    return map_key_blocks(ds, [key], stats_block, num_partitions,
+                          sort_blocks=False)

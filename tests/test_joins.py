@@ -532,3 +532,29 @@ def test_pivot_counts_domain_and_batching(ray_session):
                          ["a", "b", "c"])
             .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_rank_stats_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import with_group_rank_stats
+
+    # group g: values 9,9,7,7,7,2 (DESC) -> rnk 1,1,3,3,3,6; drnk 1,1,2,2,2,3
+    # prank (n=6): 0,0,.4,.4,.4,1 ; cdist: 2/6,2/6,5/6,5/6,5/6,1
+    # group h: single row -> rnk 1, drnk 1, prank 0, cdist 1
+    tbl = pa.table({
+        "id": pa.array(list(range(7)), pa.int64()),
+        "k": pa.array(["g"] * 6 + ["h"], pa.string()),
+        "v": pa.array([9, 7, 2, 9, 7, 7, 5], pa.int64()),
+    })
+    got = (with_group_rank_stats(rd.from_arrow(tbl), "k", "v")
+           .to_pandas().sort_values(["k", "v", "id"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    assert got.rnk.tolist() == [1, 1, 3, 3, 3, 6, 1]
+    assert got.drnk.tolist() == [1, 1, 2, 2, 2, 3, 1]
+    assert got.prank.tolist() == [0.0, 0.0, 0.4, 0.4, 0.4, 1.0, 0.0]
+    assert [round(c, 9) for c in got.cdist.tolist()] == [
+        round(2 / 6, 9)] * 2 + [round(5 / 6, 9)] * 3 + [1.0, 1.0]
