@@ -1335,6 +1335,18 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Daily cohort retention matrix: cohort = each user's first active
+    epoch-day, cell = DISTINCT users active at (cohort, day offset) —
+    min exchange + size-switched cohort attach + distinct-triple
+    exchange (relational.cohort_retention); count(DISTINCT) twin over
+    identical integer day arithmetic."""
+    from epstein_pipeline_ray.stages.relational import cohort_retention
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev, "user_id", "ts", period_s=86400)
+
+
 def q_rank_stats(sf_dir: str):
     """The tie-aware window-rank family (RANK with gaps, DENSE_RANK,
     PERCENT_RANK, CUME_DIST) per user over BUCKETED event values (ties
@@ -2566,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cms": q_value_cms,
         "lang_pivot": q_lang_pivot,
         "rank_stats": q_rank_stats,
+        "cohort_retention": q_cohort_retention,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
@@ -3554,6 +3567,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT tool_from, tool_to, count(*) AS n
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
+        """,
+        "cohort_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS wk
+                FROM events
+            ),
+            f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+            SELECT f.cw AS cohort_period, w.wk - f.cw AS period_offset,
+                   count(DISTINCT w.user_id)::BIGINT AS n_users
+            FROM w JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "rank_stats": """
             SELECT event_id, user_id,

@@ -1872,3 +1872,98 @@ def with_group_rank_stats(
 
     return map_key_blocks(ds, [key], stats_block, num_partitions,
                           sort_blocks=False)
+
+
+def cohort_retention(
+    ds: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604800,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Cohort retention matrix: cohort(user) = the user's first activity
+    period (``floor(epoch_seconds / period_s)``, default weekly), and
+    per (cohort, period offset) the count of DISTINCT active users.
+
+    Three stages, all user/period proportional: (1) map-side per-batch
+    min + one user-keyed exchange -> first period per user; (2)
+    size-switched cohort attach back onto the period rows; (3) map-side
+    distinct (cohort, offset, user) triples + one (cohort, offset)-keyed
+    exchange with a per-block nunique. Twin: ``count(DISTINCT user)
+    GROUP BY cohort, offset`` over the identical integer period
+    arithmetic. Output: (cohort_period, period_offset, n_users)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    utype = dict(zip(ds.schema().names, ds.schema().types))[user_col]
+    W = pa.schema([(user_col, utype), ("wk", pa.int64())])
+
+    def to_periods(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        np.int64)
+        wk = (us // 1_000_000) // period_s
+        return pa.table({user_col: batch[user_col],
+                         "wk": pa.array(wk, pa.int64())}, schema=W)
+
+    weeks = ds.select_columns([user_col, ts_col]).map_batches(
+        to_periods, batch_format="pyarrow", zero_copy_batch=True)
+
+    F = pa.schema([(user_col, utype), ("cw", pa.int64())])
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, [user_col]).aggregate([("wk", "min")])
+        return pa.table({user_col: g[user_col], "cw": g["wk_min"]},
+                        schema=F)
+
+    def min_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return F.empty_table()
+        g = pa.TableGroupBy(block, [user_col]).aggregate([("cw", "min")])
+        return pa.table({user_col: g[user_col], "cw": g["cw_min"]},
+                        schema=F)
+
+    first = map_key_blocks(
+        weeks.map_batches(min_partial, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        [user_col], min_block, num_partitions, sort_blocks=False)
+
+    tagged = attach_column(weeks, first, user_col, user_col, "cw", "cw",
+                           num_partitions=num_partitions)
+
+    T = pa.schema([("cohort_period", pa.int64()),
+                   ("period_offset", pa.int64()), (user_col, utype)])
+
+    def triples(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["period_offset"] = df["wk"] - df["cw"]
+        df = df.rename(columns={"cw": "cohort_period"})
+        df = df[["cohort_period", "period_offset", user_col]].drop_duplicates()
+        arrays = [pa.array(df[c], type=T.field(c).type, from_pandas=True)
+                  for c in T.names]
+        return pa.table(dict(zip(T.names, arrays)), schema=T)
+
+    OUT = pa.schema([("cohort_period", pa.int64()),
+                     ("period_offset", pa.int64()),
+                     ("n_users", pa.int64())])
+
+    def count_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        g = (df.groupby(["cohort_period", "period_offset"], sort=True)
+             [user_col].nunique().rename("n_users").reset_index())
+        return pa.table({
+            "cohort_period": pa.array(g["cohort_period"].to_numpy(np.int64),
+                                      pa.int64()),
+            "period_offset": pa.array(g["period_offset"].to_numpy(np.int64),
+                                      pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(np.int64), pa.int64()),
+        }, schema=OUT)
+
+    trip = tagged.map_batches(triples, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return map_key_blocks(trip, ["cohort_period", "period_offset"],
+                          count_block, num_partitions, sort_blocks=False)

@@ -558,3 +558,34 @@ def test_rank_stats_hand_truth(ray_session):
     assert got.prank.tolist() == [0.0, 0.0, 0.4, 0.4, 0.4, 1.0, 0.0]
     assert [round(c, 9) for c in got.cdist.tolist()] == [
         round(2 / 6, 9)] * 2 + [round(5 / 6, 9)] * 3 + [1.0, 1.0]
+
+
+def test_cohort_retention_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import cohort_retention
+
+    DAY = 86_400_000_000  # microseconds
+    rows = [  # (user, day): u1 first day0, active d0,d2; u2 d0,d1; u3 d2
+        (1, 0), (1, 0), (1, 2),       # duplicate same-day activity counts once
+        (2, 0), (2, 1),
+        (3, 2),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * DAY + 1 for r in rows],
+                       pa.timestamp("us")),
+    })
+    got = (cohort_retention(rd.from_arrow(tbl), period_s=86400)
+           .to_pandas().sort_values(["cohort_period", "period_offset"])
+           .reset_index(drop=True))
+    # cohort day 0: offset 0 -> {1,2}; offset 1 -> {2}; offset 2 -> {1}
+    # cohort day 2: offset 0 -> {3}
+    want = pd.DataFrame({
+        "cohort_period": [0, 0, 0, 2],
+        "period_offset": [0, 1, 2, 0],
+        "n_users": [2, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
