@@ -1335,6 +1335,17 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_funnel(sf_dir: str):
+    """Ordered min-ts funnel view→click→purchase per user (step k needs
+    a step-k event at/after the step k-1 timestamp) — one user-keyed
+    exchange over map-side-filtered step rows
+    (relational.funnel_steps); chained min-ts CTE-ladder twin."""
+    from epstein_pipeline_ray.stages.relational import funnel_steps
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
 def q_cohort_retention(sf_dir: str):
     """Daily cohort retention matrix: cohort = each user's first active
     epoch-day, cell = DISTINCT users active at (cohort, day offset) —
@@ -2579,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pivot": q_lang_pivot,
         "rank_stats": q_rank_stats,
         "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
@@ -3567,6 +3579,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tool_from, tool_to, count(*) AS n
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
+        """,
+        "funnel": """
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS ts1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS ts2
+                FROM events e JOIN t1 ON t1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts >= t1.ts1
+                GROUP BY e.user_id),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS ts3
+                FROM events e JOIN t2 ON t2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2
+                GROUP BY e.user_id)
+            SELECT t1.user_id,
+                   (CASE WHEN t3.user_id IS NOT NULL THEN 3
+                         WHEN t2.user_id IS NOT NULL THEN 2
+                         ELSE 1 END)::BIGINT AS max_step
+            FROM t1 LEFT JOIN t2 USING (user_id)
+                    LEFT JOIN t3 USING (user_id)
         """,
         "cohort_retention": """
             WITH w AS (

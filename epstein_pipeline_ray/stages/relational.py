@@ -1967,3 +1967,78 @@ def cohort_retention(
                               zero_copy_batch=True)
     return map_key_blocks(trip, ["cohort_period", "period_offset"],
                           count_block, num_partitions, sort_blocks=False)
+
+
+def funnel_steps(
+    ds: Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Ordered min-ts funnel: per user, step 1 is reached at the min ts
+    of a ``steps[0]`` event; step k at the min ts of a ``steps[k-1]``
+    event AT OR AFTER the step k-1 timestamp. Output: (user_col,
+    max_step) for every user with at least one step-1 event — the
+    per-user table, so downstream conversion aggregates stay
+    composable. Equal timestamps count (>=, the inclusive convention).
+
+    ONE user-keyed exchange over only the step-typed rows (map-side
+    filter), then a vectorized per-block pass: for the fixed small step
+    list, per-user thresholds advance via groupby-min per step. Twin:
+    the chained ``min(ts) .. WHERE ts >= prev`` CTE ladder."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    utype = dict(zip(ds.schema().names, ds.schema().types))[user_col]
+    step_idx = {s: i for i, s in enumerate(steps)}
+    ROW = pa.schema([(user_col, utype), ("__s", pa.int8()),
+                     ("__ts", pa.int64())])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": batch[user_col].to_pandas(),
+            "s": batch[type_col].to_pandas().map(step_idx),
+            "t": np.asarray(batch[ts_col].combine_chunks().cast(pa.int64())
+                            .to_numpy(zero_copy_only=False)
+                            if isinstance(batch[ts_col], pa.ChunkedArray)
+                            else batch[ts_col].cast(pa.int64())
+                            .to_numpy(zero_copy_only=False), np.int64),
+        }).dropna(subset=["s"])
+        return pa.table({
+            user_col: pa.array(df["u"], utype, from_pandas=True),
+            "__s": pa.array(df["s"].to_numpy(np.int8), pa.int8()),
+            "__ts": pa.array(df["t"].to_numpy(np.int64), pa.int64()),
+        }, schema=ROW)
+
+    rows = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT = pa.schema([(user_col, utype), ("max_step", pa.int64())])
+
+    def funnel_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas()
+        thr = (df[df["__s"] == 0].groupby(user_col)["__ts"].min())
+        reached = pd.Series(np.int64(1), index=thr.index)
+        for k in range(1, len(steps)):
+            dk = df[df["__s"] == k]
+            dk = dk[dk[user_col].isin(thr.index)]
+            if not len(dk):
+                break
+            ok = dk[dk["__ts"].to_numpy()
+                    >= thr.reindex(dk[user_col]).to_numpy()]
+            if not len(ok):
+                break
+            thr = ok.groupby(user_col)["__ts"].min()
+            reached.loc[thr.index] = k + 1
+        out = reached.sort_index()
+        return pa.table({
+            user_col: pa.array(out.index.to_numpy(), utype,
+                               from_pandas=True),
+            "max_step": pa.array(out.to_numpy(np.int64), pa.int64()),
+        }, schema=OUT)
+
+    return map_key_blocks(rows, [user_col], funnel_block, num_partitions,
+                          sort_blocks=False)

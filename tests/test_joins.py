@@ -589,3 +589,37 @@ def test_cohort_retention_hand_truth(ray_session):
         "n_users": [2, 1, 1, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_steps_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import funnel_steps
+
+    rows = [
+        # u1: full funnel in order -> 3
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click BEFORE the first view -> stuck at 1
+        (2, "click", 5), (2, "view", 10),
+        # u3: purchase before click -> 2 (click at 40, purchase never after)
+        (3, "view", 10), (3, "purchase", 20), (3, "click", 40),
+        # u4: never views (click+purchase only) -> absent from output
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: equal timestamps count (>= inclusive) -> 3
+        (5, "view", 7), (5, "click", 7), (5, "purchase", 7),
+        # noise types are ignored
+        (1, "error", 1), (2, "signup", 1),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array([r[2] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+    })
+    got = (funnel_steps(rd.from_arrow(tbl), ["view", "click", "purchase"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    want = pd.DataFrame({"user_id": [1, 2, 3, 5],
+                         "max_step": [3, 1, 2, 3]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
