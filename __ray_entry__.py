@@ -1335,6 +1335,48 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_event_gini(sf_dir: str):
+    """Gini coefficient of event values per type (rank closed form,
+    tie-invariant) — one keyed exchange (relational.grouped_gini);
+    row_number-window twin with identical arithmetic."""
+    from epstein_pipeline_ray.stages.relational import grouped_gini
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_gini(ev, "event_type", "value")
+
+
+def q_source_geomean(sf_dir: str):
+    """Geometric mean document length per source — decomposable
+    log-sum partials, one keyed exchange
+    (relational.grouped_geomean); exp(avg(ln)) twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_geomean
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return grouped_geomean(docs, "source", "n_chars")
+
+
+def q_type_entropy(sf_dir: str):
+    """Shannon entropy (nats) of the bucketed value distribution per
+    event_type — (group,value)-count partials, one keyed exchange
+    (relational.grouped_entropy); ln(n)-sum(c*ln c)/n twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.relational import grouped_entropy
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch["value"]), pa.int64())
+        b = pc.subtract(v, pc.multiply(
+            pc.divide(v, pa.scalar(100, pa.int64())),
+            pa.scalar(100, pa.int64())))
+        return pa.table({"event_type": batch["event_type"], "v": b})
+
+    buck = ev.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return grouped_entropy(buck, "event_type", "v")
+
+
 def q_funnel(sf_dir: str):
     """Ordered min-ts funnel view→click→purchase per user (step k needs
     a step-k event at/after the step k-1 timestamp) — one user-keyed
@@ -2591,6 +2633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_stats": q_rank_stats,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
+        "event_gini": q_event_gini,
+        "source_geomean": q_source_geomean,
+        "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
         "soft_dedup": q_soft_dedup,
@@ -3579,6 +3624,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT tool_from, tool_to, count(*) AS n
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
+        """,
+        "event_gini": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS i
+                FROM events
+            )
+            SELECT event_type,
+                   round(2.0 * sum(i * value) / (count(*) * sum(value))
+                         - (count(*) + 1.0) / count(*), 9) AS gini
+            FROM r GROUP BY event_type
+        """,
+        "source_geomean": """
+            SELECT source,
+                   round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
+                       AS geomean
+            FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "type_entropy": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value) AS BIGINT) % 100 AS v
+                FROM events
+            ),
+            c AS (
+                SELECT event_type, v, count(*)::DOUBLE AS c
+                FROM b GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 9)
+                       AS entropy
+            FROM c GROUP BY event_type
         """,
         "funnel": """
             WITH t1 AS (

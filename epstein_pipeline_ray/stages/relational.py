@@ -2042,3 +2042,149 @@ def funnel_steps(
 
     return map_key_blocks(rows, [user_col], funnel_block, num_partitions,
                           sort_blocks=False)
+
+
+def grouped_gini(ds: Dataset, key: str, value_col: str,
+                 round_digits: int = 9,
+                 num_partitions: int | None = None) -> Dataset:
+    """Gini coefficient per group over NON-NEGATIVE values:
+    ``G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n`` with 1-based ranks
+    over the ascending sort — tie order does not matter (equal values
+    make ``i*x`` rank-invariant), so the twin's ``row_number() OVER
+    (ORDER BY v)`` matches regardless of tie placement. One keyed
+    exchange, per-block vectorized sort + closed form. Groups with
+    ``sum(x)=0`` emit NULL (the SQL division convention is an error;
+    both engines drop them -- we filter those groups out)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("gini", pa.float64())])
+
+    def gini_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, value_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        x = df[value_col].to_numpy(dtype=np.float64)
+        new_grp = np.r_[True, kv[1:] != kv[:-1]]
+        starts = np.flatnonzero(new_grp)
+        glen = np.diff(np.r_[starts, len(df)])
+        i = (np.arange(len(df)) - np.repeat(starts, glen) + 1).astype(
+            np.float64)
+        ix = i * x
+        csum_ix = np.r_[0.0, np.cumsum(ix)]
+        csum_x = np.r_[0.0, np.cumsum(x)]
+        ends = starts + glen
+        sum_ix = csum_ix[ends] - csum_ix[starts]
+        sum_x = csum_x[ends] - csum_x[starts]
+        n = glen.astype(np.float64)
+        keep = sum_x > 0
+        g = 2.0 * sum_ix[keep] / (n[keep] * sum_x[keep]) \
+            - (n[keep] + 1.0) / n[keep]
+        return pa.table({
+            key: pa.array(kv[starts][keep], ktype, from_pandas=True),
+            "gini": pa.array(sql_round(g, round_digits), pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(ds.select_columns([key, value_col]), [key],
+                          gini_block, num_partitions, sort_blocks=False)
+
+
+def grouped_geomean(ds: Dataset, key: str, value_col: str,
+                    round_digits: int = 9,
+                    num_partitions: int | None = None) -> Dataset:
+    """Geometric mean per group over POSITIVE values:
+    ``exp(sum(ln x)/n)`` — decomposable log-sum partials per batch, one
+    keyed exchange, identical closed form in the twin
+    (``round(exp(sum(ln(v))/count(*)), 9)``). Non-positive values are
+    dropped on both sides (ln domain)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    PART = pa.schema([(key, ktype), ("__ls", pa.float64()),
+                      ("__n", pa.int64())])
+    OUT = pa.schema([(key, ktype), ("geomean", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch[key].to_pandas(),
+            "x": np.asarray(batch[value_col].to_numpy(
+                zero_copy_only=False), np.float64),
+        })
+        df = df[df["x"] > 0]
+        if not len(df):
+            return PART.empty_table()
+        df["lx"] = np.log(df["x"].to_numpy())
+        g = df.groupby("k", sort=False).agg(
+            __ls=("lx", "sum"), __n=("lx", "size")).reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "__ls": pa.array(g["__ls"].to_numpy(np.float64), pa.float64()),
+            "__n": pa.array(g["__n"].to_numpy(np.int64), pa.int64()),
+        }, schema=PART)
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby(key, sort=True)
+             .agg(ls=("__ls", "sum"), n=("__n", "sum")).reset_index())
+        gm = np.exp(g["ls"].to_numpy(np.float64)
+                    / g["n"].to_numpy(np.float64))
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "geomean": pa.array(sql_round(gm, round_digits), pa.float64()),
+        }, schema=OUT)
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(parts, [key], reduce_block, num_partitions,
+                          sort_blocks=False)
+
+
+def grouped_entropy(ds: Dataset, key: str, value_col: str,
+                    round_digits: int = 9,
+                    num_partitions: int | None = None) -> Dataset:
+    """Shannon entropy (nats) of the categorical ``value_col``
+    distribution per group: ``H = ln(n) - sum(c*ln(c))/n`` over the
+    per-(group, value) counts ``c`` — (group, value)-count partials per
+    batch, one keyed exchange, identical closed form in the twin."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    vtype = dict(zip(ds.schema().names, ds.schema().types))[value_col]
+    PART = pa.schema([(key, ktype), (value_col, vtype),
+                      ("__c", pa.int64())])
+    OUT = pa.schema([(key, ktype), ("entropy", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([key, value_col]),
+                            [key, value_col]).aggregate([([], "count_all")])
+        return pa.table({key: g[key], value_col: g[value_col],
+                         "__c": g["count_all"]}, schema=PART)
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .groupby([key, value_col], sort=False, as_index=False)
+              ["__c"].sum())
+        g = df.groupby(key, sort=True)
+        n = g["__c"].sum()
+        clnc = df.assign(t=df["__c"] * np.log(df["__c"])) \
+                 .groupby(key, sort=True)["t"].sum()
+        h = np.log(n.to_numpy(np.float64)) \
+            - clnc.to_numpy(np.float64) / n.to_numpy(np.float64)
+        return pa.table({
+            key: pa.array(n.index.to_numpy(), ktype, from_pandas=True),
+            "entropy": pa.array(sql_round(h, round_digits), pa.float64()),
+        }, schema=OUT)
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(parts, [key], reduce_block, num_partitions,
+                          sort_blocks=False)

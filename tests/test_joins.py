@@ -623,3 +623,55 @@ def test_funnel_steps_hand_truth(ray_session):
     want = pd.DataFrame({"user_id": [1, 2, 3, 5],
                          "max_step": [3, 1, 2, 3]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_gini_geomean_entropy_closed_forms(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import (
+        grouped_entropy, grouped_geomean, grouped_gini)
+
+    # gini: perfect equality -> 0; one-holder extreme -> (n-1)/n
+    tbl = pa.table({
+        "k": pa.array(["eq"] * 4 + ["ex"] * 4, pa.string()),
+        "x": pa.array([5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 8.0],
+                      pa.float64()),
+    })
+    g = (grouped_gini(rd.from_arrow(tbl), "k", "x").to_pandas()
+         .set_index("k")["gini"])
+    assert g["eq"] == 0.0
+    assert g["ex"] == round((4 - 1) / 4, 9)
+
+    # geomean: {2,8} -> 4; non-positive values dropped
+    t2 = pa.table({"k": pa.array(["a"] * 3, pa.string()),
+                   "x": pa.array([2.0, 8.0, 0.0], pa.float64())})
+    gm = (grouped_geomean(rd.from_arrow(t2), "k", "x").to_pandas()
+          .set_index("k")["geomean"])
+    assert abs(gm["a"] - 4.0) < 1e-9
+
+    # entropy: uniform over 4 values -> ln 4; constant -> 0
+    t3 = pa.table({
+        "k": pa.array(["u"] * 4 + ["c"] * 4, pa.string()),
+        "v": pa.array([1, 2, 3, 4, 7, 7, 7, 7], pa.int64()),
+    })
+    h = (grouped_entropy(rd.from_arrow(t3), "k", "v").to_pandas()
+         .set_index("k")["entropy"])
+    assert abs(h["u"] - math.log(4)) < 1e-9
+    assert h["c"] == 0.0
+
+    # gini batching invariance (one exchange -> same blocks regardless)
+    rng = np.random.RandomState(5)
+    big = pa.table({
+        "k": pa.array([f"g{i % 3}" for i in range(300)], pa.string()),
+        "x": pa.array(rng.rand(300) * 10, pa.float64()),
+    })
+    a = (grouped_gini(rd.from_arrow(big), "k", "x").to_pandas()
+         .sort_values("k").reset_index(drop=True))
+    b = (grouped_gini(rd.from_arrow(big).repartition(11), "k", "x")
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
