@@ -2307,6 +2307,32 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_clustering_coef(sf_dir: str):
+    """Local clustering coefficient (Watts–Strogatz) per deg>=2 node
+    over the mod-1009 order graph — triangle_counts composed with a
+    degree exchange + size-switched attach
+    (stages/graph_algo.clustering_coefficient); 3-way-self-join +
+    degree-CTE twin with the identical rounded formula."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import clustering_coefficient
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return clustering_coefficient(edges)
+
+
 def q_kcore(sf_dir: str):
     """k-core peel (Seidman 1983) bounded to 6 synchronous rounds over
     the mod-1009 order graph — per-round degree exchange + membership
@@ -2701,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": q_pagerank_weighted,
         "hits": q_hits,
         "kcore": q_kcore,
+        "clustering_coef": q_clustering_coef,
         "connected_components": q_connected_components,
         "bfs_hops": q_bfs_hops,
         "link_predict": q_link_predict,
@@ -3179,6 +3206,40 @@ def oracle_sql() -> dict[str, str]:
         "hits": hits_sql(
             "edges(src, dst) AS (SELECT o_custkey % 211, "
             "o_orderkey % 211 FROM orders)", iters=5),
+        "clustering_coef": """
+            WITH raw AS (
+                SELECT o_orderkey % 1009 AS s, o_custkey % 1009 AS d
+                FROM orders
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ),
+            deg AS (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tcount AS (
+                SELECT node, count(*)::BIGINT AS t FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY node
+            )
+            SELECT d.node::BIGINT AS node, d.deg,
+                   coalesce(t.t, 0)::BIGINT AS n_triangles,
+                   round(2.0 * coalesce(t.t, 0)
+                         / (d.deg * (d.deg - 1.0)), 9) AS coef
+            FROM deg d LEFT JOIN tcount t USING (node)
+            WHERE d.deg >= 2
+        """,
         "kcore": kcore_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", k=3, rounds=6),

@@ -1290,3 +1290,102 @@ def kcore_sql(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
         SELECT s::BIGINT AS node, count(*)::BIGINT AS deg
         FROM e{rounds} GROUP BY s""")
     return "".join(parts)
+
+
+def clustering_coefficient(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Local clustering coefficient (Watts–Strogatz 1998) per node with
+    degree >= 2: ``C(v) = 2*T(v) / (deg(v)*(deg(v)-1))`` over the
+    undirected simple graph — composes :func:`triangle_counts` (the
+    degree-ordered compact-forward plan) with a degree exchange and one
+    size-switched triangle attach. Output
+    ``(node, deg, n_triangles, coef)``; triangle-free nodes get 0.
+
+    Twin shape: the triangles 3-way self-join + a degree CTE + LEFT
+    JOIN with the identical rounded formula."""
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions, sort_blocks=False)
+
+    DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def ends(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64())})
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return DEG.empty_table()
+        v = np.asarray(block["node"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())},
+                        schema=DEG)
+
+    deg = map_key_blocks(
+        und.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], deg_block, num_partitions, sort_blocks=False)
+
+    tri = triangle_counts(edges, src_col=src_col, dst_col=dst_col,
+                          num_partitions=num_partitions)
+    joined = attach_column(deg, tri, "node", "node", "n_triangles",
+                           "n_triangles", num_partitions=num_partitions)
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["deg"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        t = np.asarray(pc_.fill_null(
+            batch["n_triangles"].combine_chunks()
+            if isinstance(batch["n_triangles"], pa.ChunkedArray)
+            else batch["n_triangles"], 0).to_numpy(zero_copy_only=False),
+            np.float64)
+        keep = d >= 2
+        coef = 2.0 * t[keep] / (d[keep] * (d[keep] - 1.0))
+        return pa.table({
+            "node": pa.array(np.asarray(
+                batch["node"].to_numpy(zero_copy_only=False),
+                np.int64)[keep], pa.int64()),
+            "deg": pa.array(d[keep].astype(np.int64), pa.int64()),
+            "n_triangles": pa.array(t[keep].astype(np.int64), pa.int64()),
+            "coef": pa.array(sql_round(coef, round_digits), pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

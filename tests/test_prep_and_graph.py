@@ -395,3 +395,26 @@ def test_kcore_clique_and_tail(ray_session):
            .sort_values("node").reset_index(drop=True))
     assert got.node.tolist() == [0, 1, 2, 3]
     assert got.deg.tolist() == [3, 3, 3, 3]
+
+
+def test_clustering_coefficient_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import clustering_coefficient
+
+    # K4 (coef 1.0 each, deg 3) + a path b-c-d (c: deg 2, 0 triangles,
+    # coef 0; b,d deg 1 -> excluded) + bridge 3-20 raises deg(3) to 4
+    E = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (20, 21), (21, 22), (3, 20)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64())}))
+    got = (clustering_coefficient(edges).to_pandas()
+           .set_index("node").sort_index())
+    assert got.loc[0, "coef"] == 1.0 and got.loc[0, "deg"] == 3
+    assert got.loc[3, "deg"] == 4 and got.loc[3, "n_triangles"] == 3
+    assert got.loc[3, "coef"] == 0.5  # 2*3/(4*3)
+    assert got.loc[20, "coef"] == 0.0 and got.loc[20, "deg"] == 2
+    assert got.loc[21, "coef"] == 0.0
+    assert 22 not in got.index and 1 in got.index
