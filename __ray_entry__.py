@@ -1335,6 +1335,30 @@ def q_heavy_event_values(sf_dir: str):
                                       capacity=1024)
 
 
+def q_price_wmedian(sf_dir: str):
+    """Exact lower weighted median extended price per return flag,
+    weighted by quantity — values-only keyed exchange + vectorized
+    per-group running-weight pass
+    (relational.grouped_weighted_median); window-cumsum twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_median(li, "l_returnflag", "l_extendedprice",
+                                   "l_quantity")
+
+
+def q_latest_event(sf_dir: str):
+    """Whole-row argmax per user: each user's latest event (max ts,
+    ties to smallest event_id) — one keyed exchange, first-of-run pass
+    (relational.grouped_argmax); row_number()=1 twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_argmax
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type", "value"])
+    return grouped_argmax(ev, "user_id", "ts", "event_id")
+
+
 def q_event_gini(sf_dir: str):
     """Gini coefficient of event values per type (rank closed form,
     tie-invariant) — one keyed exchange (relational.grouped_gini);
@@ -2660,6 +2684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
         "event_gini": q_event_gini,
+        "price_wmedian": q_price_wmedian,
+        "latest_event": q_latest_event,
         "source_geomean": q_source_geomean,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
@@ -3685,6 +3711,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT tool_from, tool_to, count(*) AS n
             FROM l WHERE tool_from IS NOT NULL
             GROUP BY tool_from, tool_to
+        """,
+        "price_wmedian": """
+            WITH r AS (
+                SELECT l_returnflag,
+                       l_extendedprice::DOUBLE AS v,
+                       sum(l_quantity::DOUBLE) OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+                       sum(l_quantity::DOUBLE) OVER (
+                           PARTITION BY l_returnflag) AS tw
+                FROM lineitem WHERE l_quantity > 0
+            )
+            SELECT l_returnflag, min(v) AS wmedian
+            FROM r WHERE cw >= tw / 2.0 GROUP BY l_returnflag
+        """,
+        "latest_event": """
+            SELECT user_id, ts, event_id, event_type, value FROM (
+                SELECT user_id, ts, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "event_gini": """
             WITH r AS (

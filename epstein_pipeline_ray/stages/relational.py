@@ -2188,3 +2188,85 @@ def grouped_entropy(ds: Dataset, key: str, value_col: str,
         partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(parts, [key], reduce_block, num_partitions,
                           sort_blocks=False)
+
+
+def grouped_weighted_median(
+    ds: Dataset, key: str, value_col: str, weight_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact lower weighted median per group: the smallest value whose
+    running weight (over the value-ascending sort) reaches half the
+    group's total weight — ``min(v) WHERE cumsum(w) >= sum(w)/2``, the
+    window-cumsum twin. Like the plain median it is not decomposable,
+    so one values-only keyed exchange + a vectorized cumsum pass per
+    key-sorted block. Non-positive weights are dropped on both sides.
+    Output: (key, wmedian)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("wmedian", pa.float64())])
+
+    def med_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .query(f"{weight_col} > 0")
+              .sort_values([key, value_col], kind="mergesort")
+              .reset_index(drop=True))
+        if not len(df):
+            return OUT.empty_table()
+        kv = df[key].to_numpy()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        g = df.groupby(key, sort=False)[weight_col]
+        # per-group cumsum (no cross-group float leak — matches the
+        # twin's windowed running sum addition order)
+        run_w = g.cumsum().to_numpy(dtype=np.float64)
+        tot = g.transform("sum").to_numpy(dtype=np.float64)
+        hit = run_w >= tot / 2.0
+        # first hit per group = the lower weighted median (gid over hit
+        # rows is nondecreasing, so unique's first-occurrence indices
+        # ARE the per-group first hits)
+        new_grp = np.r_[True, kv[1:] != kv[:-1]]
+        starts = np.flatnonzero(new_grp)
+        glen = np.diff(np.r_[starts, len(df)])
+        gid = np.repeat(np.arange(starts.size), glen)
+        idx = np.flatnonzero(hit)
+        take = idx[np.unique(gid[idx], return_index=True)[1]]
+        return pa.table({
+            key: pa.array(kv[take], ktype, from_pandas=True),
+            "wmedian": pa.array(v[take], pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(ds.select_columns([key, value_col, weight_col]),
+                          [key], med_block, num_partitions,
+                          sort_blocks=False)
+
+
+def grouped_argmax(
+    ds: Dataset, key: str, order_col: str, tie_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Whole-row argmax per group: the row with the max ``order_col``
+    (ties to the SMALLEST ``tie_col`` — pinned, SQL ``max_by`` leaves
+    ties unspecified). One keyed exchange carrying the full payload,
+    one vectorized first-of-run pass per key-sorted block. Twin:
+    ``row_number() OVER (PARTITION BY key ORDER BY ord DESC, tie)
+    = 1``."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    out_schema = pa.schema(list(zip(ds.schema().names, ds.schema().types)))
+
+    def top_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, order_col, tie_col],
+                           ascending=[True, False, True], kind="mergesort"))
+        top = df.drop_duplicates(subset=[key], keep="first")
+        arrays = [pa.array(top[c], type=out_schema.field(c).type,
+                           from_pandas=True) for c in out_schema.names]
+        return pa.table(dict(zip(out_schema.names, arrays)),
+                        schema=out_schema)
+
+    return map_key_blocks(ds, [key], top_block, num_partitions,
+                          sort_blocks=False)

@@ -675,3 +675,38 @@ def test_gini_geomean_entropy_closed_forms(ray_session):
          .to_pandas().sort_values("k").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_weighted_median_and_argmax_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import (
+        grouped_argmax, grouped_weighted_median)
+
+    # g: values 1,2,3 weights 1,1,10 -> running 1,2,12 vs tot/2=6 -> 3
+    # h: values 1,2 weights 3,1 -> running 3,4 vs 2 -> 1 (lower median)
+    # z: zero/negative weights dropped -> only v=5 survives
+    tbl = pa.table({
+        "k": pa.array(["g", "g", "g", "h", "h", "z", "z"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 9.0, 5.0], pa.float64()),
+        "w": pa.array([1.0, 1.0, 10.0, 3.0, 1.0, 0.0, 2.0], pa.float64()),
+    })
+    got = (grouped_weighted_median(rd.from_arrow(tbl), "k", "v", "w")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": ["g", "h", "z"],
+                         "wmedian": [3.0, 1.0, 5.0]})
+    pd.testing.assert_frame_equal(got, want)
+
+    # argmax: max order, tie -> smallest tie_col, full row preserved
+    t2 = pa.table({
+        "k": pa.array(["a", "a", "a", "b"], pa.string()),
+        "o": pa.array([5, 9, 9, 1], pa.int64()),
+        "t": pa.array([7, 4, 2, 0], pa.int64()),
+        "payload": pa.array(["x", "y", "z", "w"], pa.string()),
+    })
+    top = (grouped_argmax(rd.from_arrow(t2), "k", "o", "t")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert top.payload.tolist() == ["z", "w"]  # o=9 tie -> t=2 wins
+    assert top.o.tolist() == [9, 1]
