@@ -1379,6 +1379,39 @@ def q_source_geomean(sf_dir: str):
     return grouped_geomean(docs, "source", "n_chars")
 
 
+def q_rolling_wau(sf_dir: str):
+    """Rolling 7-day distinct active users per day — the sliding
+    window turned into a plain groupby by a bounded x7 explode of
+    distinct (user, day) pairs (relational.rolling_active_users);
+    generate_series-explode twin."""
+    from epstein_pipeline_ray.stages.relational import rolling_active_users
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ev, "user_id", "ts", window=7)
+
+
+def q_dup_rate(sf_dir: str):
+    """Per-source exact-duplicate exposure (share of docs whose
+    normalized content hash repeats ANYWHERE in the corpus) — hash
+    exchange for global group sizes + per-source aggregate
+    (exact.dup_rate_by_group); twin groups by the normalized text
+    itself (the exact_dedup_docs★ convention)."""
+    from epstein_pipeline_ray.stages.exact import dup_rate_by_group
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return dup_rate_by_group(docs)
+
+
+def q_source_harmonic(sf_dir: str):
+    """Harmonic mean document length per source — reciprocal-sum
+    partials, one keyed exchange (relational.grouped_harmonic);
+    n/sum(1/v) twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_harmonic
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return grouped_harmonic(docs, "source", "n_chars")
+
+
 def q_type_entropy(sf_dir: str):
     """Shannon entropy (nats) of the bucketed value distribution per
     event_type — (group,value)-count partials, one keyed exchange
@@ -1612,6 +1645,16 @@ def q_token_budget(sf_dir: str):
     from epstein_pipeline_ray.stages.transcript_ops import truncate_to_token_budget
 
     return truncate_to_token_budget(_noisy_turns(sf_dir), budget=40)
+
+
+def q_turn_latency(sf_dir: str):
+    """Inter-turn latency per conversation (mean/max gap seconds in
+    turn order; planted ts regressions surface as negative gaps) — one
+    ids+ts keyed exchange (transcript_ops.turn_latency); lag-window
+    twin over the SQL-rebuilt noisy turn table."""
+    from epstein_pipeline_ray.stages.transcript_ops import turn_latency
+
+    return turn_latency(_noisy_turns(sf_dir))
 
 
 def q_tool_transitions(sf_dir: str):
@@ -2331,6 +2374,55 @@ def q_hits(sf_dir: str):
     return hits(edges, iters=5)
 
 
+def q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity over the mod-211 order graph — one
+    unordered-pair exchange counting directions per pair
+    (stages/graph_algo.reciprocity); reversed-key self-join twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import reciprocity
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=211):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return reciprocity(edges)
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002, symmetric convention) of the
+    mod-211 order graph — degree exchange + attaches + exact integer
+    moment sums (stages/graph_algo.degree_assortativity); identical
+    closed-form twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import degree_assortativity
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=211):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return degree_assortativity(edges)
+
+
 def q_clustering_coef(sf_dir: str):
     """Local clustering coefficient (Watts–Strogatz) per deg>=2 node
     over the mod-1009 order graph — triangle_counts composed with a
@@ -2687,6 +2779,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_wmedian": q_price_wmedian,
         "latest_event": q_latest_event,
         "source_geomean": q_source_geomean,
+        "source_harmonic": q_source_harmonic,
+        "dup_rate": q_dup_rate,
+        "rolling_wau": q_rolling_wau,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -2706,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,
         "corpus_sample": q_corpus_sample,
         "conv_health": q_conv_health,
+        "turn_latency": q_turn_latency,
         "collapse_repeats": q_collapse_repeats,
         "token_budget": q_token_budget,
         "tool_transitions": q_tool_transitions,
@@ -2754,6 +2850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "kcore": q_kcore,
         "clustering_coef": q_clustering_coef,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
         "connected_components": q_connected_components,
         "bfs_hops": q_bfs_hops,
         "link_predict": q_link_predict,
@@ -3232,6 +3330,49 @@ def oracle_sql() -> dict[str, str]:
         "hits": hits_sql(
             "edges(src, dst) AS (SELECT o_custkey % 211, "
             "o_orderkey % 211 FROM orders)", iters=5),
+        "reciprocity": """
+            WITH raw AS (
+                SELECT DISTINCT o_orderkey % 211 AS s, o_custkey % 211 AS d
+                FROM orders WHERE o_orderkey % 211 <> o_custkey % 211
+            ),
+            r AS (
+                SELECT count(*)::BIGINT AS n_rec
+                FROM raw e1 JOIN raw e2 ON e2.s = e1.d AND e2.d = e1.s
+            )
+            SELECT (SELECT count(*) FROM raw)::BIGINT AS n_directed,
+                   (SELECT n_rec FROM r) AS n_reciprocal,
+                   round((SELECT n_rec FROM r)::DOUBLE
+                         / (SELECT count(*) FROM raw), 9) AS reciprocity
+        """,
+        "assortativity": """
+            WITH raw AS (
+                SELECT o_orderkey % 211 AS s, o_custkey % 211 AS d
+                FROM orders
+            ),
+            e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ),
+            deg AS (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            ),
+            de AS (
+                SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e
+            ),
+            j AS (
+                SELECT dx.deg::DOUBLE AS x, dy.deg::DOUBLE AS y
+                FROM de JOIN deg dx ON dx.node = de.x
+                        JOIN deg dy ON dy.node = de.y
+            )
+            SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   round((sum(x*y) - sum(x)*sum(y)/count(*))
+                         / sqrt((sum(x*x) - sum(x)*sum(x)/count(*))
+                                * (sum(y*y) - sum(y)*sum(y)/count(*))),
+                         9) AS assortativity
+            FROM j
+        """,
         "clustering_coef": """
             WITH raw AS (
                 SELECT o_orderkey % 1009 AS s, o_custkey % 1009 AS d
@@ -3404,6 +3545,19 @@ def oracle_sql() -> dict[str, str]:
         # (sources/derive.noisy_turns_from_documents) is pure integer
         # arithmetic on (doc_id, window index), rebuilt verbatim here —
         # ts enters only through order-preserving per-conv offsets.
+        "turn_latency": f"""
+            WITH {_NOISY_TURNS_CTE},
+            g AS (
+              SELECT conv_id,
+                     (ts_off - lag(ts_off) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx))
+                     / 1000000.0 AS gap
+              FROM nturns)
+            SELECT conv_id, count(*)::BIGINT AS n_turns,
+                   round(avg(gap), 9) AS mean_gap_s,
+                   round(max(gap), 9) AS max_gap_s
+            FROM g GROUP BY conv_id HAVING count(*) >= 2
+        """,
         "conv_health": f"""
             WITH {_NOISY_TURNS_CTE},
             l AS (
@@ -3751,6 +3905,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
+            FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "rolling_wau": """
+            WITH w AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+                FROM events
+            ),
+            x AS (
+                SELECT DISTINCT user_id, d + o AS period
+                FROM w, LATERAL unnest(generate_series(0, 6)) AS u(o)
+            )
+            SELECT period, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM x GROUP BY period
+        """,
+        "dup_rate": f"""
+            WITH n AS (SELECT source, {_NORM_SQL} AS t FROM documents),
+            c AS (SELECT t, count(*) AS c FROM n GROUP BY t)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   (count(*) FILTER (c.c > 1))::BIGINT AS n_dup_docs,
+                   round((count(*) FILTER (c.c > 1))::DOUBLE
+                         / count(*), 9) AS dup_rate
+            FROM n JOIN c USING (t) GROUP BY source
+        """,
+        "source_harmonic": """
+            SELECT source,
+                   round(count(*) / sum(1.0 / n_chars), 9) AS harmonic
             FROM documents WHERE n_chars > 0 GROUP BY source
         """,
         "type_entropy": """

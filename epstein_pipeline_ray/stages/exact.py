@@ -229,3 +229,72 @@ def dataset_diff(
         return out.filter(keep)
 
     return j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_rate_by_group(docs: Dataset, group_col: str = "source",
+                      id_col: str = "doc_id", text_col: str = "text",
+                      round_digits: int = 9,
+                      num_partitions: int | None = None) -> Dataset:
+    """Per-``group_col`` exact-duplicate exposure report: of each
+    group's docs, how many share their normalized content hash with ANY
+    other doc in the WHOLE corpus (cross-group duplication counts), and
+    the resulting dup rate. The corpus-health headline a dedup run
+    starts from.
+
+    Plan: content hash per batch -> hash-keyed exchange for global
+    group sizes (hashes+group ship, never text) -> per-group aggregate
+    in a second exchange. Twin groups by the normalized text itself
+    (equivalent partition — the oracle convention of exact_dedup_docs★).
+    Output: (group_col, n_docs, n_dup_docs, dup_rate)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    gtype = dict(zip(docs.schema().names, docs.schema().types))[group_col]
+    hashed = with_content_hash(docs.select_columns(
+        [id_col, group_col, text_col]), text_col=text_col)
+
+    ROW = pa.schema([("h", pa.string()), (group_col, gtype)])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": batch["content_hash"],
+                         group_col: batch[group_col]}, schema=ROW)
+
+    rows = hashed.map_batches(prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    FLAG = pa.schema([(group_col, gtype), ("dup", pa.int8())])
+
+    def flag_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return FLAG.empty_table()
+        df = block.to_pandas()
+        sz = df.groupby("h")["h"].transform("size")
+        return pa.table({
+            group_col: pa.array(df[group_col], gtype, from_pandas=True),
+            "dup": pa.array((sz > 1).to_numpy().astype(np.int8), pa.int8()),
+        }, schema=FLAG)
+
+    flagged = map_key_blocks(rows, ["h"], flag_block, num_partitions,
+                             sort_blocks=False)
+
+    OUT = pa.schema([(group_col, gtype), ("n_docs", pa.int64()),
+                     ("n_dup_docs", pa.int64()),
+                     ("dup_rate", pa.float64())])
+
+    def agg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby(group_col, sort=True)["dup"]
+             .agg(n="size", nd="sum").reset_index())
+        n = g["n"].to_numpy(np.float64)
+        nd = g["nd"].to_numpy(np.float64)
+        return pa.table({
+            group_col: pa.array(g[group_col], gtype, from_pandas=True),
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+            "n_dup_docs": pa.array(nd.astype(np.int64), pa.int64()),
+            "dup_rate": pa.array(sql_round(nd / n, round_digits),
+                                 pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(flagged, [group_col], agg_block, num_partitions,
+                          sort_blocks=False)

@@ -1389,3 +1389,194 @@ def clustering_coefficient(
 
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def reciprocity(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Directed-graph reciprocity: the fraction of distinct non-loop
+    directed edges whose reverse edge also exists — ONE unordered-pair
+    keyed exchange; each pair block counts its directions (1 or 2), so
+    ``r = sum(pairs with both directions) * 2 / n_directed``. Returns a
+    single row ``(n_directed, n_reciprocal, reciprocity)``. Twin: a
+    distinct-edge self-join on the reversed key."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({
+            "a": np.minimum(s, d), "b": np.maximum(s, d),
+            "fwd": (s < d).astype(np.int8),
+        }).drop_duplicates()
+        return pa.table({
+            "a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(df["b"].to_numpy(np.int64), pa.int64()),
+            "fwd": pa.array(df["fwd"].to_numpy(np.int8), pa.int8()),
+        })
+
+    PART = pa.schema([("n_dir", pa.int64()), ("n_rec", pa.int64())])
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PART.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        g = df.groupby(["a", "b"], sort=False)["fwd"].nunique()
+        n_dir = int(g.sum())               # 1 or 2 directions per pair
+        n_rec = int((g == 2).sum()) * 2    # both-direction pairs -> 2 edges
+        return pa.table({"n_dir": pa.array([n_dir], pa.int64()),
+                         "n_rec": pa.array([n_rec], pa.int64())},
+                        schema=PART)
+
+    parts = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], pair_block, num_partitions, sort_blocks=False)
+
+    import ray
+
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    n_dir = sum(int(t["n_dir"].to_pandas().sum()) for t in tabs)
+    n_rec = sum(int(t["n_rec"].to_pandas().sum()) for t in tabs)
+    r = float(sql_round(np.array([n_rec / n_dir if n_dir else 0.0]),
+                        round_digits)[0])
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_directed": pa.array([n_dir], pa.int64()),
+        "n_reciprocal": pa.array([n_rec], pa.int64()),
+        "reciprocity": pa.array([r], pa.float64()),
+    }))
+
+
+def degree_assortativity(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Degree assortativity (Newman 2002) of the undirected simple
+    graph: the Pearson correlation of (deg(a), deg(b)) over BOTH
+    orientations of every distinct edge (the symmetric convention, so
+    the coefficient is orientation-free) — degree exchange + two
+    size-switched attaches + exact moment sums. Returns one row
+    ``(n_edges, assortativity)``; the twin computes the identical
+    closed-form moments. Degenerate variance (e.g. regular graphs)
+    yields NULL on both sides."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions,
+        sort_blocks=False).materialize()
+
+    DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def ends(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64())})
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return DEG.empty_table()
+        v = np.asarray(block["node"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())},
+                        schema=DEG)
+
+    deg = map_key_blocks(
+        und.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], deg_block, num_partitions, sort_blocks=False)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"x": pa.array(np.concatenate([a, b]), pa.int64()),
+                         "y": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    de = und.map_batches(both_dirs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    de = attach_column(de, deg, "x", "node", "deg", "dx",
+                       num_partitions=num_partitions)
+    de = attach_column(de, deg, "y", "node", "deg", "dy",
+                       num_partitions=num_partitions)
+
+    MOM = pa.schema([("n", pa.int64()), ("sx", pa.float64()),
+                     ("sy", pa.float64()), ("sxx", pa.float64()),
+                     ("syy", pa.float64()), ("sxy", pa.float64())])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["dx"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        y = np.asarray(batch["dy"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())], pa.float64()),
+            "sy": pa.array([float(y.sum())], pa.float64()),
+            "sxx": pa.array([float((x * x).sum())], pa.float64()),
+            "syy": pa.array([float((y * y).sum())], pa.float64()),
+            "sxy": pa.array([float((x * y).sum())], pa.float64()),
+        }, schema=MOM)
+
+    import ray
+    import ray.data as rd
+
+    tabs = [t for t in ray.get(
+        de.map_batches(moments, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    agg = {c: sum(float(t[c].to_pandas().sum()) for t in tabs)
+           for c in MOM.names}
+    n = agg["n"]
+    cov = agg["sxy"] - agg["sx"] * agg["sy"] / n
+    vx = agg["sxx"] - agg["sx"] ** 2 / n
+    vy = agg["syy"] - agg["sy"] ** 2 / n
+    if vx > 0 and vy > 0:
+        r = pa.array(
+            [float(sql_round(np.array([cov / np.sqrt(vx * vy)]),
+                             round_digits)[0])], pa.float64())
+    else:
+        r = pa.nulls(1, pa.float64())
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([int(n) // 2], pa.int64()),
+        "assortativity": r,
+    }))

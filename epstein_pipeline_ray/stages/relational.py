@@ -2270,3 +2270,142 @@ def grouped_argmax(
 
     return map_key_blocks(ds, [key], top_block, num_partitions,
                           sort_blocks=False)
+
+
+def grouped_harmonic(ds: Dataset, key: str, value_col: str,
+                     round_digits: int = 9,
+                     num_partitions: int | None = None) -> Dataset:
+    """Harmonic mean per group over POSITIVE values: ``n / sum(1/x)`` —
+    the reciprocal-sum sibling of :func:`grouped_geomean` (decomposable
+    partials, one keyed exchange, identical closed form in the twin:
+    ``round(count(*) / sum(1.0/v), 9)``). Non-positive values dropped
+    on both sides."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    PART = pa.schema([(key, ktype), ("__rs", pa.float64()),
+                      ("__n", pa.int64())])
+    OUT = pa.schema([(key, ktype), ("harmonic", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch[key].to_pandas(),
+            "x": np.asarray(batch[value_col].to_numpy(
+                zero_copy_only=False), np.float64),
+        })
+        df = df[df["x"] > 0]
+        if not len(df):
+            return PART.empty_table()
+        df["rx"] = 1.0 / df["x"].to_numpy()
+        g = df.groupby("k", sort=False).agg(
+            __rs=("rx", "sum"), __n=("rx", "size")).reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "__rs": pa.array(g["__rs"].to_numpy(np.float64), pa.float64()),
+            "__n": pa.array(g["__n"].to_numpy(np.int64), pa.int64()),
+        }, schema=PART)
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby(key, sort=True)
+             .agg(rs=("__rs", "sum"), n=("__n", "sum")).reset_index())
+        hm = g["n"].to_numpy(np.float64) / g["rs"].to_numpy(np.float64)
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "harmonic": pa.array(sql_round(hm, round_digits), pa.float64()),
+        }, schema=OUT)
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(parts, [key], reduce_block, num_partitions,
+                          sort_blocks=False)
+
+
+def rolling_active_users(
+    ds: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window: int = 7,
+    period_s: int = 86400,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Rolling window-distinct actives (the DAU/WAU family): for every
+    period ``d``, the count of DISTINCT users active in the ``window``
+    periods ending at ``d``. Exact sliding-window distinct without any
+    window state: each distinct (user, period) pair contributes to
+    exactly ``window`` report periods, so a bounded explode turns the
+    sliding window into a plain groupby — distinct-pair exchange
+    (map-side dedup) -> x``window`` explode -> period-keyed distinct
+    count. Report periods run past the last active period (partial
+    tail windows are reported; the twin does the same generate_series
+    explode). Output: (period, n_users)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    utype = dict(zip(ds.schema().names, ds.schema().types))[user_col]
+    PAIR = pa.schema([(user_col, utype), ("d", pa.int64())])
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        np.int64)
+        df = pd.DataFrame({
+            "u": batch[user_col].to_pandas(),
+            "d": (us // 1_000_000) // period_s,
+        }).drop_duplicates()
+        return pa.table({user_col: pa.array(df["u"], utype,
+                                            from_pandas=True),
+                         "d": pa.array(df["d"].to_numpy(np.int64),
+                                       pa.int64())}, schema=PAIR)
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        return pa.table({user_col: pa.array(df["u"] if "u" in df
+                                            else df[user_col], utype,
+                                            from_pandas=True),
+                         "d": pa.array(df["d"].to_numpy(np.int64),
+                                       pa.int64())}, schema=PAIR)
+
+    pairs = map_key_blocks(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            to_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col, "d"], distinct_block, num_partitions,
+        sort_blocks=False)
+
+    EXP = pa.schema([("period", pa.int64()), (user_col, utype)])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["d"].to_numpy(zero_copy_only=False), np.int64)
+        n = d.size
+        offs = np.tile(np.arange(window, dtype=np.int64), n)
+        rep = pa.array(np.repeat(np.arange(n), window))
+        u = batch[user_col]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table({
+            "period": pa.array(np.repeat(d, window) + offs, pa.int64()),
+            user_col: u.take(rep),
+        }, schema=EXP)
+
+    OUT = pa.schema([("period", pa.int64()), ("n_users", pa.int64())])
+
+    def count_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby("period", sort=True)[user_col]
+             .nunique().rename("n_users").reset_index())
+        return pa.table({
+            "period": pa.array(g["period"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(np.int64),
+                                pa.int64()),
+        }, schema=OUT)
+
+    exploded = pairs.map_batches(explode, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return map_key_blocks(exploded, ["period"], count_block,
+                          num_partitions, sort_blocks=False)

@@ -553,3 +553,66 @@ def frequent_item_pairs(ds: Dataset, min_support: int = 2,
 
     return map_key_blocks(partials, ["item_a", "item_b"], sum_block,
                           num_partitions, sort_blocks=False)
+
+
+def turn_latency(ds: Dataset, key: str = "conv_id",
+                 idx_col: str = "turn_idx", ts_col: str = "ts",
+                 round_digits: int = 9,
+                 num_partitions: int | None = None) -> Dataset:
+    """Inter-turn latency report per conversation: count of turns plus
+    the mean and max gap in SECONDS between consecutive turns in
+    ``idx_col`` order (timestamp regressions show up as negative gaps —
+    they are data, not errors; conv_health flags them). Only
+    conversations with >= 2 turns emit a row (a single turn has no
+    gap). One ids+ts keyed exchange — text never ships. Twin:
+    ``lag(ts) OVER (PARTITION BY conv ORDER BY idx)`` + avg/max with
+    the identical /1e6 second arithmetic."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    OUT = pa.schema([(key, pa.string()), ("n_turns", pa.int64()),
+                     ("mean_gap_s", pa.float64()),
+                     ("max_gap_s", pa.float64())])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table({
+            key: batch[key],
+            idx_col: batch[idx_col],
+            "__us": ts.cast(pa.int64()),
+        })
+
+    def lat_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, idx_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        us = df["__us"].to_numpy(dtype=np.int64)
+        same = np.r_[False, kv[1:] == kv[:-1]]
+        gap = np.where(same, np.r_[0, np.diff(us)] / 1e6, np.nan)
+        df["__gap"] = gap
+        g = df.groupby(key, sort=True)
+        n = g.size()
+        mean_g = g["__gap"].mean()
+        max_g = g["__gap"].max()
+        keep = n >= 2
+        return pa.table({
+            key: pa.array(n.index.to_numpy()[keep.to_numpy()],
+                          pa.string(), from_pandas=True),
+            "n_turns": pa.array(n[keep].to_numpy(np.int64), pa.int64()),
+            "mean_gap_s": pa.array(
+                sql_round(mean_g[keep].to_numpy(np.float64), round_digits),
+                pa.float64()),
+            "max_gap_s": pa.array(
+                sql_round(max_g[keep].to_numpy(np.float64), round_digits),
+                pa.float64()),
+        }, schema=OUT)
+
+    rows = ds.select_columns([key, idx_col, ts_col]).map_batches(
+        to_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(rows, [key], lat_block, num_partitions,
+                          sort_blocks=False)

@@ -474,3 +474,28 @@ def test_temperature_mixture_closed_form(ray_session):
     import numpy as np
     s = np.sqrt(5) + 1 + 0
     assert got.weight.tolist() == [round(np.sqrt(5) / s, 6), round(1 / s, 6), 0.0]
+
+
+def test_dup_rate_by_group_cross_source(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.exact import dup_rate_by_group
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "source": pa.array(["A", "A", "A", "B", "B"], pa.string()),
+        # "x" repeats across sources (and normalization folds case/space)
+        "text": pa.array(["x y", "X  y", "unique a", "x y", "unique b"],
+                         pa.string()),
+    })
+    got = (dup_rate_by_group(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    want = pd.DataFrame({
+        "source": ["A", "B"],
+        "n_docs": [3, 2],
+        "n_dup_docs": [2, 1],
+        "dup_rate": [round(2 / 3, 9), 0.5],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -710,3 +710,44 @@ def test_weighted_median_and_argmax_hand_truth(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert top.payload.tolist() == ["z", "w"]  # o=9 tie -> t=2 wins
     assert top.o.tolist() == [9, 1]
+
+
+def test_harmonic_mean_closed_form(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_harmonic
+
+    # {2,6,12}: 3 / (1/2+1/6+1/12) = 4; zero dropped
+    tbl = pa.table({
+        "k": pa.array(["a"] * 4, pa.string()),
+        "x": pa.array([2.0, 6.0, 12.0, 0.0], pa.float64()),
+    })
+    got = (grouped_harmonic(rd.from_arrow(tbl), "k", "x").to_pandas()
+           .set_index("k")["harmonic"])
+    assert abs(got["a"] - 4.0) < 1e-9
+
+
+def test_rolling_active_users_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import rolling_active_users
+
+    DAY = 86_400_000_000
+    rows = [(1, 0), (1, 0), (2, 0), (1, 2), (3, 5)]  # (user, day)
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * DAY + 5 for r in rows],
+                       pa.timestamp("us")),
+    })
+    got = (rolling_active_users(rd.from_arrow(tbl), window=3)
+           .to_pandas().sort_values("period").reset_index(drop=True))
+    # window=3: day d covers active days d-2..d
+    # actives: day0 {1,2}, day2 {1}, day5 {3}
+    want = pd.DataFrame({
+        "period": [0, 1, 2, 3, 4, 5, 6, 7],
+        "n_users": [2, 2, 2, 1, 1, 1, 1, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -418,3 +418,54 @@ def test_clustering_coefficient_hand_truth(ray_session):
     assert got.loc[20, "coef"] == 0.0 and got.loc[20, "deg"] == 2
     assert got.loc[21, "coef"] == 0.0
     assert 22 not in got.index and 1 in got.index
+
+
+def test_reciprocity_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import reciprocity
+
+    # (0,1) reciprocated, (2,3) not; dup edges and a self loop collapse
+    E = [(0, 1), (1, 0), (2, 3), (0, 1), (4, 4)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64())}))
+    got = reciprocity(edges).to_pandas().iloc[0]
+    assert got.n_directed == 3 and got.n_reciprocal == 2
+    assert got.reciprocity == round(2 / 3, 9)
+
+
+def test_degree_assortativity_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import degree_assortativity
+
+    rng = np.random.RandomState(13)
+    E = sorted({(int(rng.randint(0, 25)), int(rng.randint(0, 25)))
+                for _ in range(90)})
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64())}))
+    got = degree_assortativity(edges).to_pandas().iloc[0]
+
+    und = sorted({(min(s, d), max(s, d)) for s, d in E if s != d})
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in und] + [deg[b] for a, b in und]
+    ys = [deg[b] for a, b in und] + [deg[a] for a, b in und]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert got.n_edges == len(und)
+    assert abs(got.assortativity - want) < 1e-9
+
+    # star graph: perfectly disassortative -> -1
+    S = [(0, i) for i in range(1, 5)]
+    star = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in S], pa.int64()),
+        "dst": pa.array([e[1] for e in S], pa.int64())}))
+    g2 = degree_assortativity(star).to_pandas().iloc[0]
+    assert g2.assortativity == -1.0

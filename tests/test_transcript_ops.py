@@ -223,3 +223,37 @@ def test_frequent_item_pairs_hand_truth(ray_session):
            .sort_values(["item_a", "item_b"]).reset_index(drop=True))
     # (grep, read) in c1+c2+c3 = 3; all other pairs support 1 -> dropped
     assert got.values.tolist() == [["grep", "read", 3]]
+
+
+def test_turn_latency_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.transcript_ops import turn_latency
+
+    US = 1_000_000
+    rows = [
+        # conv a: ts 0, 5s, 3s (regression -> negative gap), 13s
+        ("a", 0, 0), ("a", 1, 5 * US), ("a", 2, 3 * US), ("a", 3, 13 * US),
+        # conv b: single turn -> no output row
+        ("b", 0, 0),
+        # conv c: rows arrive out of idx order; gaps follow turn_idx
+        ("c", 1, 10 * US), ("c", 0, 0),
+    ]
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array(["t"] * len(rows), pa.string()),
+    })
+    got = (turn_latency(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    want = pd.DataFrame({
+        "conv_id": ["a", "c"],
+        "n_turns": [4, 2],
+        "mean_gap_s": [round((5 - 2 + 10) / 3, 9), 10.0],
+        "max_gap_s": [10.0, 10.0],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
