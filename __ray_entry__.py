@@ -1379,6 +1379,30 @@ def q_source_geomean(sf_dir: str):
     return grouped_geomean(docs, "source", "n_chars")
 
 
+def q_event_trend(sf_dir: str):
+    """Daily activity trend per event type: OLS slope + intercept of
+    per-day counts over the day index (exact integer moment sums;
+    relational.grouped_trend); identical closed-form twin (NOT
+    regr_slope — its internal arithmetic is unspecified)."""
+    from epstein_pipeline_ray.stages.relational import grouped_trend
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return grouped_trend(ev, "event_type", "ts", period_s=86400)
+
+
+def q_event_markov(sf_dir: str):
+    """First-order Markov transition matrix over each user's event-type
+    sequence (ts order, event_id ties): counts + row-normalized
+    probabilities (relational.markov_transitions); lag-window +
+    sum-over-partition twin."""
+    from epstein_pipeline_ray.stages.relational import markov_transitions
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id"])
+    return markov_transitions(ev, "user_id", "event_type", "ts",
+                              "event_id")
+
+
 def q_rolling_wau(sf_dir: str):
     """Rolling 7-day distinct active users per day — the sliding
     window turned into a plain groupby by a bounded x7 explode of
@@ -2782,6 +2806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_harmonic": q_source_harmonic,
         "dup_rate": q_dup_rate,
         "rolling_wau": q_rolling_wau,
+        "event_trend": q_event_trend,
+        "event_markov": q_event_markov,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -3906,6 +3932,49 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "event_trend": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, count(*)::BIGINT AS n_periods,
+                       sum(d::DOUBLE) AS sx, sum(c::DOUBLE) AS sy,
+                       sum(d::DOUBLE * c::DOUBLE) AS sxy,
+                       sum(d::DOUBLE * d::DOUBLE) AS sxx
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, n_periods,
+                   CASE WHEN n_periods * sxx - sx * sx <> 0 THEN
+                       round((n_periods * sxy - sx * sy)
+                             / (n_periods * sxx - sx * sx), 9)
+                   END AS slope,
+                   CASE WHEN n_periods * sxx - sx * sx <> 0 THEN
+                       round((sy - (n_periods * sxy - sx * sy)
+                              / (n_periods * sxx - sx * sx) * sx)
+                             / n_periods, 9)
+                   END AS intercept
+            FROM m
+        """,
+        "event_markov": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            c AS (
+                SELECT prev AS from_state, event_type AS to_state,
+                       count(*)::BIGINT AS n
+                FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_state, to_state, n,
+                   round(n::DOUBLE / sum(n) OVER (
+                       PARTITION BY from_state), 9) AS p
+            FROM c
         """,
         "rolling_wau": """
             WITH w AS (

@@ -2409,3 +2409,163 @@ def rolling_active_users(
                                  zero_copy_batch=True)
     return map_key_blocks(exploded, ["period"], count_block,
                           num_partitions, sort_blocks=False)
+
+
+def grouped_trend(
+    ds: Dataset, key: str, ts_col: str = "ts",
+    period_s: int = 86400, round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Activity trend per group: the OLS slope (and intercept) of the
+    per-period row count over the period index — two exchanges
+    ((key, period) count partials, then per-key closed-form moments:
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``). All moment inputs
+    are integers, so the sums are exact doubles and the twin's
+    identical closed form (NOT regr_slope, whose internal arithmetic is
+    unspecified) matches hash-exactly. Groups with a single active
+    period emit NULL slope on both sides. Output: (key, n_periods,
+    slope, intercept)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    CNT = pa.schema([(key, ktype), ("d", pa.int64()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        np.int64)
+        df = pd.DataFrame({"k": batch[key].to_pandas(),
+                           "d": (us // 1_000_000) // period_s})
+        g = df.groupby(["k", "d"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return CNT.empty_table()
+        g = (block.to_pandas()
+             .groupby([key, "d"], sort=False, as_index=False)["c"].sum())
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    counts = map_key_blocks(
+        ds.select_columns([key, ts_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "d"], sum_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([(key, ktype), ("n_periods", pa.int64()),
+                     ("slope", pa.float64()),
+                     ("intercept", pa.float64())])
+
+    def trend_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas()
+        df["x"] = df["d"].astype(np.float64)
+        df["y"] = df["c"].astype(np.float64)
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        g = df.groupby(key, sort=True).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index()
+        n = g["n"].to_numpy(np.float64)
+        sx = g["sx"].to_numpy(np.float64)
+        sy = g["sy"].to_numpy(np.float64)
+        sxy = g["sxy"].to_numpy(np.float64)
+        sxx = g["sxx"].to_numpy(np.float64)
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den != 0, (n * sxy - sx * sy) / den, np.nan)
+            intercept = np.where(den != 0, (sy - slope * sx) / n, np.nan)
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "n_periods": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "slope": pa.array(sql_round(slope, round_digits),
+                              pa.float64(), from_pandas=True),
+            "intercept": pa.array(sql_round(intercept, round_digits),
+                                  pa.float64(), from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(counts, [key], trend_block, num_partitions,
+                          sort_blocks=False)
+
+
+def markov_transitions(
+    ds: Dataset, key: str, state_col: str, ts_col: str, tie_col: str,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """First-order Markov transition matrix over per-``key`` state
+    sequences ordered by (``ts_col``, ``tie_col``): counts and
+    row-normalized probabilities per (from_state, to_state). Two
+    exchanges — key-sorted blocks emit consecutive state pairs
+    (vectorized shift within key runs), then a from_state-keyed
+    exchange sums counts and normalizes within the block (every row of
+    one from_state lands together). Twin: lag window + count + a
+    sum-over-partition ratio, rounded identically. Output:
+    (from_state, to_state, n, p)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    stype = dict(zip(ds.schema().names, ds.schema().types))[state_col]
+    PAIR = pa.schema([("from_state", stype), ("to_state", stype),
+                      ("n", pa.int64())])
+
+    def pair_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, ts_col, tie_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        same = np.r_[False, kv[1:] == kv[:-1]]
+        frm = df[state_col].shift(1)
+        sub = pd.DataFrame({"from_state": frm[same],
+                            "to_state": df[state_col][same]})
+        if not len(sub):
+            return PAIR.empty_table()
+        g = (sub.groupby(["from_state", "to_state"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.table({
+            "from_state": pa.array(g["from_state"], stype,
+                                   from_pandas=True),
+            "to_state": pa.array(g["to_state"], stype, from_pandas=True),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    pairs = map_key_blocks(
+        ds.select_columns([key, state_col, ts_col, tie_col]),
+        [key], pair_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([("from_state", stype), ("to_state", stype),
+                     ("n", pa.int64()), ("p", pa.float64())])
+
+    def norm_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .groupby(["from_state", "to_state"], sort=True,
+                       as_index=False)["n"].sum())
+        tot = df.groupby("from_state")["n"].transform("sum") \
+                .to_numpy(np.float64)
+        n = df["n"].to_numpy(np.float64)
+        return pa.table({
+            "from_state": pa.array(df["from_state"], stype,
+                                   from_pandas=True),
+            "to_state": pa.array(df["to_state"], stype, from_pandas=True),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "p": pa.array(sql_round(n / tot, round_digits), pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(pairs, ["from_state"], norm_block,
+                          num_partitions, sort_blocks=False)

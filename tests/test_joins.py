@@ -751,3 +751,47 @@ def test_rolling_active_users_hand_truth(ray_session):
         "n_users": [2, 2, 2, 1, 1, 1, 1, 1],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_trend_and_markov_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import (
+        grouped_trend, markov_transitions)
+
+    DAY = 86_400_000_000
+    # type a: counts day0=1, day1=2, day2=3 -> slope 1, intercept 1
+    # type b: single day -> NULL slope/intercept
+    rows = [("a", 0), ("a", 1), ("a", 1), ("a", 2), ("a", 2), ("a", 2),
+            ("b", 4), ("b", 4)]
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] * DAY + 3 for r in rows],
+                       pa.timestamp("us")),
+    })
+    got = (grouped_trend(rd.from_arrow(tbl), "event_type", "ts")
+           .to_pandas().set_index("event_type"))
+    assert got.loc["a", "slope"] == 1.0
+    assert got.loc["a", "intercept"] == 1.0
+    assert got.loc["a", "n_periods"] == 3
+    assert pd.isna(got.loc["b", "slope"])
+
+    # markov: user 1 sequence x->y->x ; user 2: x->y
+    # transitions: x->y (2), y->x (1); p(x->y)=1.0, p(y->x)=1.0
+    m = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["x", "y", "x", "x", "y"], pa.string()),
+        "ts": pa.array([1, 2, 3, 1, 2], pa.timestamp("us")),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    got2 = (markov_transitions(rd.from_arrow(m), "user_id", "event_type",
+                               "ts", "event_id")
+            .to_pandas().sort_values(["from_state", "to_state"])
+            .reset_index(drop=True))
+    want = pd.DataFrame({
+        "from_state": ["x", "y"], "to_state": ["y", "x"],
+        "n": [2, 1], "p": [1.0, 1.0],
+    })
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
