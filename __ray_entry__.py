@@ -1379,6 +1379,29 @@ def q_source_geomean(sf_dir: str):
     return grouped_geomean(docs, "source", "n_chars")
 
 
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps'-law diagnostic): distinct-token
+    count among the first N docs at every 100-doc boundary — token-
+    keyed min exchange, buckets-bounded cumsum
+    (textops.vocab_growth); min(doc_id)-per-token + window-cumsum
+    twin."""
+    from epstein_pipeline_ray.stages.textops import vocab_growth
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_growth(docs, bucket=100)
+
+
+def q_novelty_growth(sf_dir: str):
+    """Distinct-content novelty curve over crawl order (the dedup-rate
+    view of Heaps' law): count of distinct normalized documents among
+    the first N ids at every 50-doc boundary — vocab_growth in content
+    mode; min(doc_id)-per-normalized-text + window-cumsum twin."""
+    from epstein_pipeline_ray.stages.textops import vocab_growth
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_growth(docs, bucket=50, mode="content")
+
+
 def q_event_trend(sf_dir: str):
     """Daily activity trend per event type: OLS slope + intercept of
     per-day counts over the day index (exact integer moment sums;
@@ -2808,6 +2831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_wau": q_rolling_wau,
         "event_trend": q_event_trend,
         "event_markov": q_event_markov,
+        "vocab_growth": q_vocab_growth,
+        "novelty_growth": q_novelty_growth,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -3932,6 +3957,35 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "novelty_growth": f"""
+            WITH f AS (
+                SELECT {_NORM_SQL} AS t, min(doc_id) AS fd
+                FROM documents GROUP BY 1
+            ),
+            b AS (
+                SELECT (fd // 50)::BIGINT AS bucket, count(*) AS c
+                FROM f GROUP BY 1
+            )
+            SELECT ((bucket + 1) * 50)::BIGINT AS prefix_docs,
+                   (sum(c) OVER (ORDER BY bucket))::BIGINT AS vocab_size
+            FROM b
+        """,
+        "vocab_growth": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(
+                           text, '[a-zA-Z0-9]+'))) AS t
+                FROM documents
+            ),
+            f AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+            b AS (
+                SELECT (fd // 100)::BIGINT AS bucket, count(*) AS c
+                FROM f GROUP BY 1
+            )
+            SELECT ((bucket + 1) * 100)::BIGINT AS prefix_docs,
+                   (sum(c) OVER (ORDER BY bucket))::BIGINT AS vocab_size
+            FROM b
         """,
         "event_trend": """
             WITH c AS (

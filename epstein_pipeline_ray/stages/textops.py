@@ -475,3 +475,93 @@ def head_tail_truncate(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def vocab_growth(docs: Dataset, id_col: str = "doc_id",
+                 text_col: str = "text", bucket: int = 100,
+                 mode: str = "tokens",
+                 num_partitions: int | None = None) -> Dataset:
+    """Vocabulary growth curve (the Heaps'-law diagnostic): distinct
+    token count among the first N docs, for N at every ``bucket``
+    boundary — each token contributes at its FIRST doc (min id), so a
+    token-keyed min exchange + a buckets-bounded cumulative sum give
+    the whole curve without re-scanning prefixes. Tokens follow the
+    ranking.py convention (`[a-zA-Z0-9]+`, lowercased after
+    extraction). Output: (prefix_docs, vocab_size) with
+    ``prefix_docs = (bucket_idx + 1) * bucket`` — 'vocab among docs
+    with id < prefix_docs'. Twin: min(doc_id) per token + a window
+    cumsum over bucket counts."""
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.ranking import WORD_RE
+
+    assert mode in ("tokens", "content")
+    F = pa.schema([("t", pa.string()), ("fd", pa.int64())])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        if mode == "content":
+            texts = normalize_array(
+                batch[text_col].combine_chunks()
+                if isinstance(batch[text_col], pa.ChunkedArray)
+                else batch[text_col]).to_pylist()
+        else:
+            texts = batch[text_col].to_pylist()
+        best: dict[str, int] = {}
+        for i, tx in zip(ids, texts):
+            units = ([tx or ""] if mode == "content"
+                     else (m.lower() for m in WORD_RE.findall(tx or "")))
+            for w in units:
+                if w not in best or i < best[w]:
+                    best[w] = i
+        if not best:
+            return F.empty_table()
+        items = sorted(best.items())
+        return pa.table({
+            "t": pa.array([k for k, _ in items], pa.string()),
+            "fd": pa.array([v for _, v in items], pa.int64()),
+        }, schema=F)
+
+    def min_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return F.empty_table()
+        g = pa.TableGroupBy(block, ["t"]).aggregate([("fd", "min")])
+        return pa.table({"t": g["t"], "fd": g["fd_min"]}, schema=F)
+
+    firsts = map_key_blocks(
+        docs.select_columns([id_col, text_col]).map_batches(
+            first_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["t"], min_block, num_partitions, sort_blocks=False)
+
+    B = pa.schema([("bucket", pa.int64()), ("c", pa.int64())])
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        fd = np.asarray(batch["fd"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        u, c = np.unique(fd // bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64), pa.int64())},
+                        schema=B)
+
+    import ray
+    import ray.data as rd
+
+    tabs = [t for t in ray.get(
+        firsts.map_batches(bucket_rows, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    if tabs:
+        df = (pa.concat_tables(tabs).to_pandas()
+              .groupby("bucket", sort=True)["c"].sum().reset_index())
+    else:
+        df = pd.DataFrame({"bucket": [], "c": []})
+    # buckets-bounded (corpus_size / bucket rows) driver cumsum
+    return rd.from_arrow(pa.table({
+        "prefix_docs": pa.array(
+            ((df["bucket"].to_numpy(np.int64) + 1) * bucket)
+            if len(df) else np.array([], np.int64), pa.int64()),
+        "vocab_size": pa.array(
+            df["c"].cumsum().to_numpy(np.int64)
+            if len(df) else np.array([], np.int64), pa.int64()),
+    }))

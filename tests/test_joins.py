@@ -795,3 +795,31 @@ def test_grouped_trend_and_markov_hand_truth(ray_session):
         "n": [2, 1], "p": [1.0, 1.0],
     })
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_vocab_growth_modes(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import vocab_growth
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta", "beta gamma", "ALPHA  beta",
+                          "delta"], pa.string()),
+    })
+    # tokens mode, bucket=2: alpha,beta first in doc 0; gamma doc 1;
+    # delta doc 3 -> bucket0: 3 tokens, bucket1: 1 -> cum 3, 4
+    got = (vocab_growth(rd.from_arrow(tbl), bucket=2).to_pandas()
+           .sort_values("prefix_docs").reset_index(drop=True))
+    want = pd.DataFrame({"prefix_docs": [2, 4], "vocab_size": [3, 4]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # content mode: doc2 normalizes to doc0's content -> distinct
+    # contents first appear at 0, 1, 3 -> cum 2, 3
+    got2 = (vocab_growth(rd.from_arrow(tbl), bucket=2, mode="content")
+            .to_pandas().sort_values("prefix_docs")
+            .reset_index(drop=True))
+    want2 = pd.DataFrame({"prefix_docs": [2, 4], "vocab_size": [2, 3]})
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
