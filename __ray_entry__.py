@@ -1391,6 +1391,30 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_join_size_est(sf_dir: str):
+    """Join-cardinality estimate for events x orders on the customer
+    key from two Count-Min sketches (inner-product estimate, >= truth)
+    — two fixed-size sketch passes, NO join
+    (relational.cms_join_size); the twin rebuilds both sketches from
+    the pinned hash rows and takes the same min-over-rows dot."""
+    from epstein_pipeline_ray.stages.relational import cms_join_size
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return cms_join_size(ev, orders, "user_id", "o_custkey", d=4, w=256)
+
+
+def q_key_skew(sf_dir: str):
+    """Shuffle-planning skew report for user_id as a prospective
+    exchange key: cardinality, heaviest-key share, Herfindahl index
+    (1/HHI = effective key count) — all decomposable partials, no
+    global sort (relational.key_skew_report); plain aggregate twin."""
+    from epstein_pipeline_ray.stages.relational import key_skew_report
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return key_skew_report(ev, "user_id")
+
+
 def q_novelty_growth(sf_dir: str):
     """Distinct-content novelty curve over crawl order (the dedup-rate
     view of Heaps' law): count of distinct normalized documents among
@@ -2833,6 +2857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_markov": q_event_markov,
         "vocab_growth": q_vocab_growth,
         "novelty_growth": q_novelty_growth,
+        "key_skew": q_key_skew,
+        "join_size_est": q_join_size_est,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -3083,7 +3109,10 @@ def _quality_logit_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.embed import kmeans_sql
-    from epstein_pipeline_ray.stages.relational import cms_sql
+    from epstein_pipeline_ray.stages.relational import cms_params, cms_sql
+
+    _cms_rows = ", ".join(f"({j}, {a}, {b})"
+                          for j, (a, b) in enumerate(cms_params(4)))
     from epstein_pipeline_ray.stages.graph_algo import (
         bfs_hops_sql,
         hits_sql,
@@ -3957,6 +3986,44 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "join_size_est": f"""
+            WITH params(j, a, b) AS (VALUES {_cms_rows}),
+            sa AS MATERIALIZED (
+                SELECT p.j,
+                       ((p.a * user_id::BIGINT + p.b) % 2147483647) % 256
+                           AS bucket,
+                       count(*)::BIGINT AS c
+                FROM events CROSS JOIN params p GROUP BY 1, 2
+            ),
+            sb AS MATERIALIZED (
+                SELECT p.j,
+                       ((p.a * o_custkey::BIGINT + p.b) % 2147483647) % 256
+                           AS bucket,
+                       count(*)::BIGINT AS c
+                FROM orders CROSS JOIN params p GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT p.j, coalesce((
+                    SELECT sum(sa.c * sb.c) FROM sa
+                    JOIN sb ON sb.j = sa.j AND sb.bucket = sa.bucket
+                    WHERE sa.j = p.j), 0) AS dot
+                FROM params p
+            )
+            SELECT min(dot)::BIGINT AS est_join_rows FROM m
+        """,
+        "key_skew": """
+            WITH c AS (
+                SELECT user_id, count(*)::BIGINT AS c
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*)::BIGINT AS n_keys,
+                   sum(c)::BIGINT AS n_rows,
+                   max(c)::BIGINT AS max_freq,
+                   round(max(c)::DOUBLE / sum(c), 9) AS top1_share,
+                   round(sum(c::DOUBLE * c::DOUBLE)
+                         / (sum(c)::DOUBLE * sum(c)::DOUBLE), 9) AS hhi
+            FROM c
         """,
         "novelty_growth": f"""
             WITH f AS (

@@ -1636,30 +1636,16 @@ def cms_params(d: int) -> list[tuple[int, int]]:
              (22695477 * (j + 1) + 1) % _CMS_P) for j in range(d)]
 
 
-def cms_count_per_key(ds: Dataset, value_col: str, d: int = 4, w: int = 512,
-                      num_partitions: int | None = None) -> Dataset:
-    """Count-Min sketch point estimates (Cormode & Muthukrishnan 2005)
-    over a NON-NEGATIVE int64 key column (< 2^32; bucket first):
-    ``est(v) = min_j counter[j][h_j(v)]`` with
-    ``h_j(v) = ((a_j*v + b_j) mod P) mod w`` — always >= the true count,
-    within eps*N with prob 1-delta at w=ceil(e/eps), d=ceil(ln 1/delta).
-
-    Unlike KMV/HLL this sketch is FULLY deterministic given the pinned
-    hash rows (:func:`cms_params`), so the DuckDB twin (:func:`cms_sql`)
-    matches hash-exactly — the oracle covers the sketch itself, not just
-    a rows-only shape. Mergeability = counter addition, which IS the
-    exchange sum below.
-
-    Plan: vectorized per-batch bincount partials (nonzero cells only,
-    <= d*w rows per batch) -> one cell-keyed exchange sum -> the d*w
-    counter matrix (FIXED SIZE — the driver pull is sketch-sized, never
-    corpus-sized) broadcast over a distinct-key exchange for the min-
-    over-rows estimate. Output: (value_col, est) per distinct key."""
+def cms_counter(ds: Dataset, value_col: str, d: int = 4, w: int = 512,
+                num_partitions: int | None = None) -> np.ndarray:
+    """Build the d*w Count-Min counter matrix (flattened, row-major)
+    for a non-negative int64 column: vectorized per-batch bincount
+    partials (nonzero cells only) summed through one cell-keyed
+    exchange. The result is FIXED SIZE — pulling it to the driver is
+    sketch-sized, never corpus-sized."""
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
     params = cms_params(d)
-    pruned = ds.select_columns([value_col])
-
     CELL = pa.schema([("cell", pa.int64()), ("c", pa.int64())])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1690,11 +1676,62 @@ def cms_count_per_key(ds: Dataset, value_col: str, d: int = 4, w: int = 512,
                          "c": pa.array(s, pa.int64())}, schema=CELL)
 
     sk = map_key_blocks(
-        pruned.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True),
+        ds.select_columns([value_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
         ["cell"], sum_block, num_partitions, sort_blocks=False).to_pandas()
     counter = np.zeros(d * w, dtype=np.int64)
     counter[sk["cell"].to_numpy(np.int64)] = sk["c"].to_numpy(np.int64)
+    return counter
+
+
+def cms_join_size(left: Dataset, right: Dataset, left_key: str,
+                  right_key: str, d: int = 4, w: int = 512,
+                  num_partitions: int | None = None) -> Dataset:
+    """Equi-join cardinality estimate from two Count-Min sketches
+    (Cormode & Muthukrishnan 2005 §4.2 inner-product estimate):
+    ``est = min_j sum_w A[j][w] * B[j][w]`` — always >= the true join
+    size, within eps*|A||B| with prob 1-delta. The shuffle-planning
+    primitive: both sides reduce to fixed d*w matrices, so the
+    estimate costs two sketch passes and NO join. Deterministic given
+    the pinned hash rows — the DuckDB twin recomputes both sketches
+    and the same min-over-rows dot product. Output: one row
+    (est_join_rows)."""
+    a = cms_counter(left, left_key, d, w, num_partitions) \
+        .reshape(d, w).astype(np.float64)
+    b = cms_counter(right, right_key, d, w, num_partitions) \
+        .reshape(d, w).astype(np.float64)
+    est = int((a * b).sum(axis=1).min())
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "est_join_rows": pa.array([est], pa.int64())}))
+
+
+def cms_count_per_key(ds: Dataset, value_col: str, d: int = 4, w: int = 512,
+                      num_partitions: int | None = None) -> Dataset:
+    """Count-Min sketch point estimates (Cormode & Muthukrishnan 2005)
+    over a NON-NEGATIVE int64 key column (< 2^32; bucket first):
+    ``est(v) = min_j counter[j][h_j(v)]`` with
+    ``h_j(v) = ((a_j*v + b_j) mod P) mod w`` — always >= the true count,
+    within eps*N with prob 1-delta at w=ceil(e/eps), d=ceil(ln 1/delta).
+
+    Unlike KMV/HLL this sketch is FULLY deterministic given the pinned
+    hash rows (:func:`cms_params`), so the DuckDB twin (:func:`cms_sql`)
+    matches hash-exactly — the oracle covers the sketch itself, not just
+    a rows-only shape. Mergeability = counter addition, which IS the
+    exchange sum below.
+
+    Plan: vectorized per-batch bincount partials (nonzero cells only,
+    <= d*w rows per batch) -> one cell-keyed exchange sum -> the d*w
+    counter matrix (FIXED SIZE — the driver pull is sketch-sized, never
+    corpus-sized) broadcast over a distinct-key exchange for the min-
+    over-rows estimate. Output: (value_col, est) per distinct key."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    params = cms_params(d)
+    pruned = ds.select_columns([value_col])
+    counter = cms_counter(pruned, value_col, d, w, num_partitions)
 
     KEY = pa.schema([(value_col, pa.int64())])
 
@@ -2569,3 +2606,72 @@ def markov_transitions(
 
     return map_key_blocks(pairs, ["from_state"], norm_block,
                           num_partitions, sort_blocks=False)
+
+
+def key_skew_report(ds: Dataset, key: str, round_digits: int = 9,
+                    num_partitions: int | None = None) -> Dataset:
+    """Shuffle-planning skew report for a prospective exchange key: key
+    cardinality, total rows, the heaviest key's frequency and share,
+    and the Herfindahl concentration index ``sum(c^2)/n^2`` (1/HHI is
+    the effective key count a shuffle actually spreads over). Every
+    statistic is DECOMPOSABLE — per-key counts from one keyed exchange,
+    then fixed-size per-block partials (count/sum/max/sum-of-squares)
+    combined on the driver; no global sort, no single-block gather.
+    Output: one row (n_keys, n_rows, max_freq, top1_share, hhi)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    CNT = pa.schema([("c", pa.int64())])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([key]), [key]).aggregate(
+            [([], "count_all")])
+        return pa.table({key: g[key], "c": g["count_all"]})
+
+    def count_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return CNT.empty_table()
+        g = (block.to_pandas().groupby(key, sort=False)["c"].sum())
+        return pa.table({"c": pa.array(g.to_numpy(np.int64), pa.int64())},
+                        schema=CNT)
+
+    counts = map_key_blocks(
+        ds.select_columns([key]).map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key], count_block, num_partitions, sort_blocks=False)
+
+    PART = pa.schema([("k", pa.int64()), ("s", pa.int64()),
+                      ("m", pa.int64()), ("ss", pa.float64())])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"].to_numpy(zero_copy_only=False),
+                       np.int64).astype(np.float64)
+        return pa.table({
+            "k": pa.array([c.size], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "m": pa.array([int(c.max()) if c.size else 0], pa.int64()),
+            "ss": pa.array([float((c * c).sum())], pa.float64()),
+        }, schema=PART)
+
+    import ray
+    import ray.data as rd
+
+    tabs = [t for t in ray.get(
+        counts.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    k = sum(int(t["k"].to_pandas().sum()) for t in tabs)
+    s = sum(int(t["s"].to_pandas().sum()) for t in tabs)
+    m = max((int(t["m"].to_pandas().max()) for t in tabs), default=0)
+    ss = sum(float(t["ss"].to_pandas().sum()) for t in tabs)
+    top1 = float(sql_round(np.array([m / s if s else 0.0]),
+                           round_digits)[0])
+    hhi = float(sql_round(np.array([ss / (s * s) if s else 0.0]),
+                          round_digits)[0])
+    return rd.from_arrow(pa.table({
+        "n_keys": pa.array([k], pa.int64()),
+        "n_rows": pa.array([s], pa.int64()),
+        "max_freq": pa.array([m], pa.int64()),
+        "top1_share": pa.array([top1], pa.float64()),
+        "hhi": pa.array([hhi], pa.float64()),
+    }))

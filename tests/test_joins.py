@@ -823,3 +823,36 @@ def test_vocab_growth_modes(ray_session):
             .reset_index(drop=True))
     want2 = pd.DataFrame({"prefix_docs": [2, 4], "vocab_size": [2, 3]})
     pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_key_skew_and_cms_join_size(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import (
+        cms_join_size, key_skew_report)
+
+    # keys: a x6, b x3, c x1 -> n_keys 3, n_rows 10, max 6,
+    # top1 0.6, hhi = (36+9+1)/100 = 0.46
+    ks = ["a"] * 6 + ["b"] * 3 + ["c"]
+    ds = rd.from_arrow(pa.table({"k": pa.array(ks, pa.string())}))
+    got = key_skew_report(ds, "k").to_pandas().iloc[0]
+    assert got.n_keys == 3 and got.n_rows == 10 and got.max_freq == 6
+    assert got.top1_share == 0.6 and got.hhi == 0.46
+
+    # CMS join estimate is one-sided: est >= true join size; with a
+    # wide sketch (w >> domain) it is EXACT
+    rng = np.random.RandomState(3)
+    la = rng.randint(0, 40, 300).astype(np.int64)
+    rb = rng.randint(0, 40, 200).astype(np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(la, pa.int64())}))
+    right = rd.from_arrow(pa.table({"j": pa.array(rb, pa.int64())}))
+    true_join = int(sum((la == v).sum() * (rb == v).sum()
+                        for v in np.unique(np.concatenate([la, rb]))))
+    est_wide = int(cms_join_size(left, right, "k", "j", d=4, w=4096)
+                   .to_pandas().iloc[0].est_join_rows)
+    assert est_wide == true_join
+    est_narrow = int(cms_join_size(left, right, "k", "j", d=4, w=16)
+                     .to_pandas().iloc[0].est_join_rows)
+    assert est_narrow >= true_join
