@@ -139,6 +139,12 @@ def run_bench() -> dict:
         "triangles",
         "label_prop",
         "context_windows",
+        "connected_components",
+        "kcore",
+        "clustering_coef",
+        "dup_rate",
+        "rolling_wau",
+        "cohort_retention",
     ):
         q = entrymod.queries()[name]
         best = None

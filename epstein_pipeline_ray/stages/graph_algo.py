@@ -26,6 +26,23 @@ from ray.data import Dataset
 from epstein_pipeline_ray.functions.rounding import sql_round
 
 
+def _auto_partitions(ds: Dataset, num_partitions: int | None) -> int | None:
+    """Loop-exchange width from the MATERIALIZED edge count — an
+    iterative graph algorithm runs several exchanges per round, and
+    full-width exchanges over small tables are pure fixed cost (the
+    min_label_propagation convention, cluster.py)."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        from epstein_pipeline_ray.stages.groupblock import default_partitions
+
+        n = ds.count()
+        return max(4, min(default_partitions(), -(-n // 250_000)))
+    except Exception:
+        return None
+
+
+
 def pagerank(
     edges: Dataset,
     damping: float = 0.85,
@@ -450,6 +467,7 @@ def label_propagation(
 
     de = und.map_batches(both_dirs, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
+    num_partitions = _auto_partitions(de, num_partitions)
 
     NODE = pa.schema([("node", pa.int64()), ("lab", pa.int64())])
 
@@ -1031,6 +1049,7 @@ def hits(
             canon, batch_format="pyarrow", zero_copy_batch=True),
         ["s", "d"], distinct_block, num_partitions,
         sort_blocks=False).materialize()
+    num_partitions = _auto_partitions(de, num_partitions)
 
     NODE = pa.schema([("node", pa.int64()), ("x", pa.float64())])
 
@@ -1228,6 +1247,7 @@ def kcore(
 
     de = und.map_batches(both_dirs, batch_format="pyarrow",
                          zero_copy_batch=True).materialize()
+    num_partitions = _auto_partitions(de, num_partitions)
 
     DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
 
