@@ -1391,6 +1391,31 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_snm_pairs(sf_dir: str):
+    """Sorted Neighborhood blocking (Hernández–Stolfo SIGMOD'95):
+    candidate part pairs within 4 positions of the global
+    (lower(name), id) sort order — ordered value buckets + bounded
+    boundary edge stream, NO global sort
+    (entity_resolution.sorted_neighborhood_pairs); row_number
+    self-join twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.entity_resolution import (
+        sorted_neighborhood_pairs)
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def low(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": batch["p_partkey"],
+            "k": pc.utf8_lower(batch["p_name"]),
+        })
+
+    keyed = parts.map_batches(low, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return sorted_neighborhood_pairs(keyed, "p_partkey", "k", window=4)
+
+
 def q_join_size_est(sf_dir: str):
     """Join-cardinality estimate for events x orders on the customer
     key from two Count-Min sketches (inner-product estimate, >= truth)
@@ -2859,6 +2884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_growth": q_novelty_growth,
         "key_skew": q_key_skew,
         "join_size_est": q_join_size_est,
+        "snm_pairs": q_snm_pairs,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -3986,6 +4012,16 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "snm_pairs": """
+            WITH r AS (
+                SELECT p_partkey AS id, lower(p_name) AS k,
+                       row_number() OVER (
+                           ORDER BY lower(p_name), p_partkey) AS rk
+                FROM part
+            )
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
         """,
         "join_size_est": f"""
             WITH params(j, a, b) AS (VALUES {_cms_rows}),

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import itertools
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 MERGE_SCHEMA = pa.schema([("entity_id", pa.int64()), ("canonical_id", pa.int64())])
@@ -229,3 +231,138 @@ def apply_merge_map(ds: Dataset, merge_map: Dataset, col: str,
 
     return with_canon.map_batches(coalesce, batch_format="pyarrow",
                                   zero_copy_batch=True)
+
+
+def sorted_neighborhood_pairs(
+    ds: Dataset,
+    id_col: str,
+    key_col: str,
+    window: int = 4,
+    bucket_chars: int = 1,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Sorted Neighborhood Method blocking (Hernández & Stolfo
+    SIGMOD'95): candidate pairs = all record pairs within ``window``
+    positions of each other in the global (key, id) sort order — the
+    sliding-window alternative to equality blocking for records whose
+    keys are close but not equal.
+
+    Distributed without a global sort: rows route to ORDERED value
+    buckets (the key's first ``bucket_chars`` chars — bucket order IS
+    key-prefix order), each key-sorted block emits its within-bucket
+    window pairs vectorized, and cross-boundary pairs come from a
+    BOUNDED edge stream (every bucket's first/last ``window`` rows +
+    bucket sizes; any pair spanning buckets has both members within
+    ``window`` of a boundary, so the edge stream provably covers it).
+    The driver-side step is edge-stream-sized (2*window per nonempty
+    bucket), never corpus-sized. Twin: ``row_number() OVER (ORDER BY
+    key, id)`` self-join on rank distance <= window. Output:
+    (id_a, id_b) with id_a earlier in sort order."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    itype = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    ROW = pa.schema([("bkt", pa.string()), ("k", pa.string()),
+                     (id_col, itype)])
+
+    def route(batch: pa.Table) -> pa.Table:
+        k = batch[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = pc.cast(k, pa.string())
+        return pa.table({
+            "bkt": pc.utf8_slice_codeunits(k, 0, bucket_chars),
+            "k": k,
+            id_col: batch[id_col],
+        }, schema=ROW)
+
+    rows = ds.select_columns([key_col, id_col]).map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True)
+
+    PAIR = pa.schema([("id_a", itype), ("id_b", itype)])
+    EDGE = pa.schema([("bkt", pa.string()), ("k", pa.string()),
+                      (id_col, itype), ("pos", pa.int64()),
+                      ("size", pa.int64())])
+
+    def block_pairs(block: pa.Table) -> pa.Table:
+        # a block may hold SEVERAL (non-adjacent) buckets — window
+        # pairs are valid only WITHIN one bucket; boundary pairs come
+        # from the edge stream
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        df = (block.to_pandas()
+              .sort_values(["bkt", "k", id_col], kind="mergesort")
+              .reset_index(drop=True))
+        ids = df[id_col].to_numpy()
+        bkt = df["bkt"].to_numpy()
+        a_parts, b_parts = [], []
+        for off in range(1, window + 1):
+            if len(ids) > off:
+                same = bkt[off:] == bkt[:-off]
+                a_parts.append(ids[:-off][same])
+                b_parts.append(ids[off:][same])
+        if not a_parts:
+            return PAIR.empty_table()
+        return pa.table({
+            "id_a": pa.array(np.concatenate(a_parts), itype,
+                             from_pandas=True),
+            "id_b": pa.array(np.concatenate(b_parts), itype,
+                             from_pandas=True),
+        }, schema=PAIR)
+
+    def block_edges(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return EDGE.empty_table()
+        df = (block.to_pandas()
+              .sort_values(["bkt", "k", id_col], kind="mergesort")
+              .reset_index(drop=True))
+        bkt = df["bkt"].to_numpy()
+        new_grp = np.r_[True, bkt[1:] != bkt[:-1]]
+        starts = np.flatnonzero(new_grp)
+        glen = np.diff(np.r_[starts, len(df)])
+        pos = np.arange(len(df)) - np.repeat(starts, glen)
+        size = np.repeat(glen, glen)
+        keep = (pos < window) | (pos >= size - window)
+        sub = df[keep]
+        return pa.table({
+            "bkt": pa.array(sub["bkt"], pa.string(), from_pandas=True),
+            "k": pa.array(sub["k"], pa.string(), from_pandas=True),
+            id_col: pa.array(sub[id_col], itype, from_pandas=True),
+            "pos": pa.array(pos[keep].astype(np.int64), pa.int64()),
+            "size": pa.array(size[keep].astype(np.int64), pa.int64()),
+        }, schema=EDGE)
+
+    inner = map_key_blocks(rows, ["bkt"], block_pairs, num_partitions,
+                           sort_blocks=False)
+    edges_ds = map_key_blocks(rows, ["bkt"], block_edges, num_partitions,
+                              sort_blocks=False)
+
+    import ray
+    import ray.data as rd
+
+    tabs = [t for t in ray.get(edges_ds.to_arrow_refs()) if t.num_rows]
+    cross_a, cross_b = [], []
+    if tabs:
+        ed = (pa.concat_tables(tabs).to_pandas()
+              .sort_values(["bkt", "k", id_col], kind="mergesort")
+              .reset_index(drop=True))
+        # global rank of each edge row: bucket-size prefix sum + local pos
+        sizes = ed.groupby("bkt", sort=True)["size"].first()
+        base = sizes.cumsum().shift(1).fillna(0).astype(np.int64)
+        ed["grank"] = ed["bkt"].map(base).to_numpy() + ed["pos"].to_numpy()
+        g = ed["grank"].to_numpy()
+        ids = ed[id_col].to_numpy()
+        bkt = ed["bkt"].to_numpy()
+        for i in range(len(ed)):
+            j = i + 1
+            while j < len(ed) and g[j] - g[i] <= window:
+                if bkt[j] != bkt[i]:      # within-bucket pairs already out
+                    cross_a.append(ids[i])
+                    cross_b.append(ids[j])
+                j += 1
+    cross = pa.table({
+        "id_a": pa.array(cross_a, itype, from_pandas=True),
+        "id_b": pa.array(cross_b, itype, from_pandas=True),
+    }, schema=PAIR)
+    from epstein_pipeline_ray.stages.groupblock import concat_datasets
+
+    return concat_datasets([inner, rd.from_arrow(cross)])

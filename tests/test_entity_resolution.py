@@ -110,3 +110,36 @@ def test_fs_score_matches_bruteforce(ray_session):
             want[(i, j)] = (float(sql_round(np.float64(w), 6)),
                             float(sql_round(np.float64(prob), 6)))
     assert got_map == want and len(want) > 0
+
+
+def test_sorted_neighborhood_pairs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.entity_resolution import (
+        sorted_neighborhood_pairs)
+
+    # keys spread over many 1-char buckets, several buckets SMALLER than
+    # the window -> pairs must span 2+ buckets through the edge stream
+    rng = np.random.RandomState(17)
+    letters = "abcdefghij"
+    keys = [letters[rng.randint(0, 10)] + letters[rng.randint(0, 10)]
+            for _ in range(60)]
+    ids = list(range(60))
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "k": pa.array(keys, pa.string()),
+    }))
+    w = 5
+    got = (sorted_neighborhood_pairs(ds, "id", "k", window=w)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True).drop_duplicates())
+
+    order = sorted(range(60), key=lambda i: (keys[i], i))
+    want = sorted((order[i], order[j])
+                  for i in range(60) for j in range(i + 1, min(i + w + 1, 60)))
+    want = pd.DataFrame(want, columns=["id_a", "id_b"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False)
