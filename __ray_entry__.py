@@ -633,6 +633,33 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, damping=0.85, iters=10)
 
 
+def q_ppr(sf_dir: str):
+    """Personalized PageRank / random walk with restart (Jeh–Widom
+    WWW'03) from node n0 over the mod-211 order graph — the pagerank
+    iterative-exchange loop with teleport mass pinned to the source;
+    exactly-unrolled CASE-variant twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import pagerank
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def nodecol(col, m=211):
+            v = pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+            return pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(v, pa.string()), "")
+
+        return pa.table({"src": nodecol(batch["o_custkey"]),
+                         "dst": nodecol(batch["o_orderkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pagerank(edges, damping=0.85, iters=8, personalize="n0")
+
+
 def q_minhash_docs(sf_dir: str):
     """MinHash+LSH near-dup pairs over the documents table (shingle →
     128-perm signature → band bucket groupby → estimated-Jaccard confirm).
@@ -2950,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "label_prop": q_label_prop,
         "pagerank_weighted": q_pagerank_weighted,
+        "ppr": q_ppr,
         "hits": q_hits,
         "kcore": q_kcore,
         "clustering_coef": q_clustering_coef,
@@ -3524,6 +3552,10 @@ def oracle_sql() -> dict[str, str]:
             "edges AS (SELECT 'n' || (o_custkey % 211) AS src, "
             "'n' || (o_orderkey % 211) AS dst FROM orders)",
             damping=0.85, iters=10),
+        "ppr": pagerank_sql(
+            "edges AS (SELECT 'n' || (o_custkey % 211) AS src, "
+            "'n' || (o_orderkey % 211) AS dst FROM orders)",
+            damping=0.85, iters=8, personalize="n0"),
         "c4_filter": r"""
             -- identical 5-line page construction, then the C4 line rules:
             -- terminal-punctuation + >=5 words per line, lorem/brace page

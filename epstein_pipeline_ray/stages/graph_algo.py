@@ -50,10 +50,17 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     round_digits: int = 9,
+    personalize: str | None = None,
     num_partitions: int | None = None,
 ) -> Dataset:
     """→ (node, pr) after ``iters`` rounds of
-    pr(v) = (1-d)/N + d * Σ_{u→v} pr(u)/outdeg(u)."""
+    pr(v) = (1-d)/N + d * Σ_{u→v} pr(u)/outdeg(u).
+
+    With ``personalize`` set to a node id, runs PERSONALIZED PageRank
+    (random walk with restart, Jeh & Widom WWW'03): the teleport mass
+    (1-d) lands entirely on that node and the walk starts there —
+    pr(v) = (1-d)*[v=s] + d*Σ, r0 = [v=s]. Same loop, same rounding,
+    same dangling convention; the twin gains the matching CASE."""
     from epstein_pipeline_ray.stages.groupblock import (
         default_partitions,
         group_starts,
@@ -136,11 +143,22 @@ def pagerank(
     e = attach_column(e, outdeg, "src", "node", "deg", "deg",
                       num_partitions=num_partitions).materialize()
 
-    base = (1.0 - damping) / n_nodes
-    pr0 = float(sql_round(1.0 / n_nodes, round_digits))
-    pr = nodes.map_batches(
-        lambda b, v=pr0: b.append_column("pr", pa.array([v] * b.num_rows, pa.float64())),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if personalize is None:
+        pr0 = float(sql_round(1.0 / n_nodes, round_digits))
+
+        def init(batch: pa.Table, v=pr0) -> pa.Table:
+            return batch.append_column(
+                "pr", pa.array([v] * batch.num_rows, pa.float64()))
+    else:
+        def init(batch: pa.Table, s_=personalize) -> pa.Table:
+            import pyarrow.compute as pc
+
+            is_s = pc.equal(batch["node"], pa.scalar(s_, pa.string()))
+            return batch.append_column(
+                "pr", pc.if_else(is_s, 1.0, 0.0))
+
+    pr = nodes.map_batches(init, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
 
     IN = pa.schema([("dst", pa.string()), ("inflow", pa.float64())])
 
@@ -165,13 +183,25 @@ def pagerank(
         stepped = attach_column(nodes, inflow, "node", "dst",
                                 "inflow", "inflow", num_partitions=num_partitions)
 
-        def update(batch: pa.Table, b=base, d=damping, r=round_digits) -> pa.Table:
+        def update(batch: pa.Table, d=damping, r=round_digits,
+                   s_=personalize, nn=n_nodes) -> pa.Table:
             import pyarrow.compute as pc
 
             infl = np.asarray(pc.fill_null(
                 batch["inflow"].combine_chunks()
                 if isinstance(batch["inflow"], pa.ChunkedArray)
                 else batch["inflow"], 0.0).to_numpy(zero_copy_only=False))
+            if s_ is None:
+                b = (1.0 - d) / nn
+            else:
+                nodes_arr = (batch["node"].combine_chunks()
+                             if isinstance(batch["node"], pa.ChunkedArray)
+                             else batch["node"])
+                b = np.where(
+                    np.asarray(pc.equal(nodes_arr,
+                                        pa.scalar(s_, pa.string()))
+                               .to_numpy(zero_copy_only=False)),
+                    1.0 - d, 0.0)
             newpr = sql_round(b + d * infl, r)
             return pa.table({"node": batch["node"],
                              "pr": pa.array(newpr, pa.float64())})
@@ -183,10 +213,20 @@ def pagerank(
 
 
 def pagerank_sql(edges_cte: str, damping: float = 0.85, iters: int = 10,
-                 round_digits: int = 9) -> str:
+                 round_digits: int = 9,
+                 personalize: str | None = None) -> str:
     """The exactly-unrolled DuckDB twin of :func:`pagerank`: one CTE per
     iteration, same formula, same per-iteration rounding, same dangling
-    convention. ``edges_cte`` must define ``edges(src, dst)``."""
+    convention. ``edges_cte`` must define ``edges(src, dst)``. With
+    ``personalize``, the personalized-PageRank CASE variants."""
+    if personalize is None:
+        r0_expr = f"round(1.0 / nn.n, {round_digits})"
+        base_expr = f"(1 - {damping}) / nn.n"
+    else:
+        lit = personalize.replace("'", "''")
+        r0_expr = f"CASE WHEN node = '{lit}' THEN 1.0 ELSE 0.0 END"
+        base_expr = (f"CASE WHEN n.node = '{lit}' "
+                     f"THEN 1.0 - {damping} ELSE 0.0 END")
     parts = [f"""WITH {edges_cte},
             nodes AS (
                 SELECT src AS node FROM edges UNION SELECT dst FROM edges
@@ -197,14 +237,14 @@ def pagerank_sql(edges_cte: str, damping: float = 0.85, iters: int = 10,
                 FROM edges GROUP BY src
             ),
             r0 AS (
-                SELECT node, round(1.0 / nn.n, {round_digits}) AS pr
+                SELECT node, {r0_expr} AS pr
                 FROM nodes, nn
             )"""]
     for k in range(1, iters + 1):
         parts.append(f""",
             r{k} AS (
                 SELECT n.node,
-                       round((1 - {damping}) / nn.n
+                       round({base_expr}
                              + {damping} * coalesce(s.inflow, 0.0),
                              {round_digits}) AS pr
                 FROM nodes n CROSS JOIN nn

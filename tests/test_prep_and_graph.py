@@ -469,3 +469,22 @@ def test_degree_assortativity_matches_numpy(ray_session):
         "dst": pa.array([e[1] for e in S], pa.int64())}))
     g2 = degree_assortativity(star).to_pandas().iloc[0]
     assert g2.assortativity == -1.0
+
+
+def test_personalized_pagerank_localizes(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import pagerank
+
+    # two components: source's component holds ALL mass; the other gets 0
+    E = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "x")]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.string()),
+        "dst": pa.array([e[1] for e in E], pa.string())}))
+    got = (pagerank(edges, iters=8, personalize="a").to_pandas()
+           .set_index("node")["pr"])
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > got["c"] > 0  # restart mass concentrates at source
+    assert abs(got[["a", "b", "c"]].sum() - 1.0) < 1e-6
