@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_winsorize(sf_dir: str):
+    """Per-type winsorized event values (clipped at the exact rounded
+    p05/p95 group quantiles) — two quantile exchanges + size-switched
+    boundary attaches (relational.winsorize_per_group); quantile_cont
+    CTE + CASE-clip twin."""
+    from epstein_pipeline_ray.stages.relational import winsorize_per_group
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return winsorize_per_group(ev, "event_type", "value")
+
+
 def q_snm_pairs(sf_dir: str):
     """Sorted Neighborhood blocking (Hernández–Stolfo SIGMOD'95):
     candidate part pairs within 4 positions of the global
@@ -2912,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q_key_skew,
         "join_size_est": q_join_size_est,
         "snm_pairs": q_snm_pairs,
+        "winsorize": q_winsorize,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4044,6 +4056,19 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "winsorize": """
+            WITH q AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.05), 6) AS qlo,
+                       round(quantile_cont(value, 0.95), 6) AS qhi
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value < q.qlo THEN q.qlo
+                        WHEN e.value > q.qhi THEN q.qhi
+                        ELSE e.value END AS value_w
+            FROM events e JOIN q USING (event_type)
         """,
         "snm_pairs": """
             WITH r AS (

@@ -2675,3 +2675,44 @@ def key_skew_report(ds: Dataset, key: str, round_digits: int = 9,
         "top1_share": pa.array([top1], pa.float64()),
         "hhi": pa.array([hhi], pa.float64()),
     }))
+
+
+def winsorize_per_group(
+    ds: Dataset, key: str, value_col: str,
+    lo: float = 0.05, hi: float = 0.95,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-group winsorization: clip ``value_col`` to the group's exact
+    [lo, hi] continuous quantiles (ROUNDED to 6 digits — the
+    grouped_quantile convention, so the clip boundaries are identical
+    in both engines). Two quantile exchanges + two size-switched
+    boundary attaches + a vectorized clip; all input columns survive,
+    plus ``<value_col>_w``. Twin: per-group quantile_cont CTE + CASE
+    clip."""
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    qlo = grouped_quantile(ds, key, value_col, lo, out_col="__qlo",
+                           num_partitions=num_partitions)
+    qhi = grouped_quantile(ds, key, value_col, hi, out_col="__qhi",
+                           num_partitions=num_partitions)
+    tagged = attach_column(ds, qlo, key, key, "__qlo", "__qlo",
+                           num_partitions=num_partitions)
+    tagged = attach_column(tagged, qhi, key, key, "__qhi", "__qhi",
+                           num_partitions=num_partitions)
+    out_names = list(ds.schema().names) + [f"{value_col}_w"]
+
+    def clip(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        ql = np.asarray(batch["__qlo"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        qh = np.asarray(batch["__qhi"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        w = np.clip(v, ql, qh)
+        cols = {c: batch[c] for c in batch.schema.names
+                if c not in ("__qlo", "__qhi")}
+        cols[f"{value_col}_w"] = pa.array(w, pa.float64())
+        return pa.table({c: cols[c] for c in out_names})
+
+    return tagged.map_batches(clip, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -856,3 +856,23 @@ def test_key_skew_and_cms_join_size(ray_session):
     est_narrow = int(cms_join_size(left, right, "k", "j", d=4, w=16)
                      .to_pandas().iloc[0].est_join_rows)
     assert est_narrow >= true_join
+
+
+def test_winsorize_per_group_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import winsorize_per_group
+
+    # 11 values 0..10: p10 = 1.0, p90 = 9.0 (linear interpolation on
+    # integer grid) -> 0 clips to 1, 10 clips to 9, middle unchanged
+    tbl = pa.table({
+        "id": pa.array(list(range(11)), pa.int64()),
+        "k": pa.array(["g"] * 11, pa.string()),
+        "v": pa.array([float(i) for i in range(11)], pa.float64()),
+    })
+    got = (winsorize_per_group(rd.from_arrow(tbl), "k", "v",
+                               lo=0.1, hi=0.9)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got.v_w.tolist() == [1.0] + [float(i) for i in range(1, 10)] + [9.0]
+    assert list(got.columns) == ["id", "k", "v", "v_w"]
