@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact phrase search ('batch stream') via a positional-posting
+    exchange — anchor = pos - phrase_index postings for the phrase's
+    own terms only, (doc, anchor) confirm; full text never ships
+    (ranking.phrase_positions); positional self-join twin."""
+    from epstein_pipeline_ray.stages.ranking import phrase_positions
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_positions(docs, ["batch", "stream"])
+
+
 def q_winsorize(sf_dir: str):
     """Per-type winsorized event values (clipped at the exact rounded
     p05/p95 group quantiles) — two quantile exchanges + size-switched
@@ -2924,6 +2935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_est": q_join_size_est,
         "snm_pairs": q_snm_pairs,
         "winsorize": q_winsorize,
+        "phrase_search": q_phrase_search,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4056,6 +4068,20 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "phrase_search": """
+            WITH tok AS (
+                SELECT doc_id, (u.i - 1)::BIGINT AS pos,
+                       lower(ws[u.i::INT]) AS t
+                FROM (SELECT doc_id,
+                             regexp_extract_all(text, '[a-zA-Z0-9]+') AS ws
+                      FROM documents),
+                     LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+            )
+            SELECT t0.doc_id, t0.pos AS anchor
+            FROM tok t0
+            JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+            WHERE t0.t = 'batch' AND t1.t = 'stream'
         """,
         "winsorize": """
             WITH q AS (

@@ -451,3 +451,66 @@ def tfidf_cosine_pairs(
 
     return dots.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def phrase_positions(
+    docs: Dataset,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact phrase search through a POSITIONAL POSTING exchange (the
+    proximity-query primitive of an inverted index): every occurrence
+    of phrase term i at token position p emits an ``anchor = p - i``
+    posting, and a (doc, anchor) keyed exchange confirms anchors where
+    ALL phrase indices landed — full text never ships, only postings of
+    the phrase's own terms (map-side filtered). Tokens follow the
+    WORD_RE convention (`[a-zA-Z0-9]+`, lowercased). Repeated phrase
+    terms work naturally (one posting per (position, phrase index)).
+    Output: (id_col, anchor) — the 0-based token position where the
+    phrase starts. Twin: k-way positional self-join on pos offsets."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    itype = dict(zip(docs.schema().names, docs.schema().types))[id_col]
+    terms = [t.lower() for t in phrase]
+    k = len(terms)
+    POST = pa.schema([(id_col, itype), ("anchor", pa.int64()),
+                      ("i", pa.int8())])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids_out, anchors, idxs = [], [], []
+        for did, tx in zip(batch[id_col].to_pylist(),
+                           batch[text_col].to_pylist()):
+            toks = [m.lower() for m in WORD_RE.findall(tx or "")]
+            for p, tok in enumerate(toks):
+                for i, term in enumerate(terms):
+                    if tok == term and p - i >= 0:
+                        ids_out.append(did)
+                        anchors.append(p - i)
+                        idxs.append(i)
+        return pa.table({
+            id_col: pa.array(ids_out, itype),
+            "anchor": pa.array(anchors, pa.int64()),
+            "i": pa.array(idxs, pa.int8()),
+        }, schema=POST)
+
+    posts = docs.select_columns([id_col, text_col]).map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT = pa.schema([(id_col, itype), ("anchor", pa.int64())])
+
+    def confirm(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        g = df.groupby([id_col, "anchor"], sort=True)["i"].nunique()
+        hit = g[g == k].reset_index()
+        return pa.table({
+            id_col: pa.array(hit[id_col], itype, from_pandas=True),
+            "anchor": pa.array(hit["anchor"].to_numpy(np.int64),
+                               pa.int64()),
+        }, schema=OUT)
+
+    return map_key_blocks(posts, [id_col, "anchor"], confirm,
+                          num_partitions, sort_blocks=False)

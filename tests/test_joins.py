@@ -876,3 +876,24 @@ def test_winsorize_per_group_hand_truth(ray_session):
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got.v_w.tolist() == [1.0] + [float(i) for i in range(1, 10)] + [9.0]
     assert list(got.columns) == ["id", "k", "v", "v_w"]
+
+
+def test_phrase_positions_repeated_terms(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.ranking import phrase_positions
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b a a b c",      # "a a b" starts at pos 2
+            "a a a b",          # "a a b" starts at pos 1 AND... pos 2? a(1) a(2) b(3) yes; pos 0: a a a no
+            "b a b a",          # no match
+        ], pa.string()),
+    }))
+    got = (phrase_positions(docs, ["a", "a", "b"]).to_pandas()
+           .sort_values(["doc_id", "anchor"]).reset_index(drop=True))
+    want = pd.DataFrame({"doc_id": [1, 2], "anchor": [2, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
