@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: PMI over adjacent word pairs (Church-Hanks
+    1990) with decomposable bigram/unigram count partials and
+    size-switched attaches (ranking.bigram_pmi); lag-join + closed-form
+    twin."""
+    from epstein_pipeline_ray.stages.ranking import bigram_pmi
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bigram_pmi(docs, min_count=5)
+
+
 def q_phrase_search(sf_dir: str):
     """Exact phrase search ('batch stream') via a positional-posting
     exchange — anchor = pos - phrase_index postings for the phrase's
@@ -2936,6 +2947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": q_snm_pairs,
         "winsorize": q_winsorize,
         "phrase_search": q_phrase_search,
+        "bigram_pmi": q_bigram_pmi,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4068,6 +4080,31 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "bigram_pmi": """
+            WITH tok AS (
+                SELECT doc_id, (u.i - 1)::BIGINT AS pos,
+                       lower(ws[u.i::INT]) AS t
+                FROM (SELECT doc_id,
+                             regexp_extract_all(text, '[a-zA-Z0-9]+') AS ws
+                      FROM documents),
+                     LATERAL unnest(generate_series(1, len(ws))) AS u(i)
+            ),
+            bc AS (
+                SELECT a.t AS w1, b.t AS w2, count(*)::BIGINT AS n
+                FROM tok a
+                JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                GROUP BY 1, 2
+            ),
+            nn AS (SELECT sum(n)::DOUBLE AS N FROM bc),
+            u1 AS (SELECT w1 AS w, sum(n)::BIGINT AS c1 FROM bc GROUP BY 1),
+            u2 AS (SELECT w2 AS w, sum(n)::BIGINT AS c2 FROM bc GROUP BY 1)
+            SELECT b.w1, b.w2, b.n,
+                   round(ln(nn.N * b.n / (u1.c1 * u2.c2)), 9) AS pmi
+            FROM bc b CROSS JOIN nn
+            JOIN u1 ON u1.w = b.w1
+            JOIN u2 ON u2.w = b.w2
+            WHERE b.n >= 5
         """,
         "phrase_search": """
             WITH tok AS (

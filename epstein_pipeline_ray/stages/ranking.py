@@ -514,3 +514,112 @@ def phrase_positions(
 
     return map_key_blocks(posts, [id_col, "anchor"], confirm,
                           num_partitions, sort_blocks=False)
+
+
+def bigram_pmi(
+    docs: Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Collocation mining via pointwise mutual information (Church &
+    Hanks 1990) over ADJACENT word pairs:
+    ``pmi(a,b) = ln(N * c(ab) / (c(a) * c(b)))`` with N = total bigram
+    count and unigram counts over bigram slots (first-token counts over
+    all bigrams = tokens except each doc's last — the convention that
+    keeps the twin a pure lag-window rebuild). All counts are
+    decomposable map-side partials; one bigram-keyed exchange + two
+    size-switched unigram attaches. Pairs below ``min_count`` are cut
+    BEFORE the attaches. Output: (w1, w2, n, pmi). Tokens: WORD_RE,
+    lowercased."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    BI = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                    ("n", pa.int64())])
+    UNI1 = pa.schema([("w", pa.string()), ("c1", pa.int64())])
+    UNI2 = pa.schema([("w", pa.string()), ("c2", pa.int64())])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for tx in batch[text_col].to_pylist():
+            toks = [m.lower() for m in WORD_RE.findall(tx or "")]
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] += 1
+        items = sorted(cnt.items())
+        return pa.table({
+            "w1": pa.array([k[0] for k, _ in items], pa.string()),
+            "w2": pa.array([k[1] for k, _ in items], pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        }, schema=BI)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return BI.empty_table()
+        g = (block.to_pandas()
+             .groupby(["w1", "w2"], sort=True, as_index=False)["n"].sum())
+        return pa.table({
+            "w1": pa.array(g["w1"], pa.string()),
+            "w2": pa.array(g["w2"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }, schema=BI)
+
+    bigrams = map_key_blocks(
+        docs.select_columns([text_col]).map_batches(
+            bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2"], sum_block, num_partitions,
+        sort_blocks=False).materialize()
+
+    total = int(bigrams.sum("n") or 0)
+
+    def uni(col: str, out: str, schema: pa.Schema) -> Dataset:
+        def part(batch: pa.Table) -> pa.Table:
+            df = (batch.select([col, "n"]).to_pandas()
+                  .groupby(col, sort=False, as_index=False)["n"].sum())
+            return pa.table({"w": pa.array(df[col], pa.string()),
+                             out: pa.array(df["n"].to_numpy(np.int64),
+                                           pa.int64())}, schema=schema)
+
+        def red(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return schema.empty_table()
+            g = (block.to_pandas()
+                 .groupby("w", sort=False, as_index=False)[out].sum())
+            return pa.table({"w": pa.array(g["w"], pa.string()),
+                             out: pa.array(g[out].to_numpy(np.int64),
+                                           pa.int64())}, schema=schema)
+
+        return map_key_blocks(
+            bigrams.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True),
+            ["w"], red, num_partitions, sort_blocks=False)
+
+    u1 = uni("w1", "c1", UNI1)
+    u2 = uni("w2", "c2", UNI2)
+
+    frequent = bigrams.filter(expr=f"n >= {int(min_count)}")
+    tagged = attach_column(frequent, u1, "w1", "w", "c1", "c1",
+                           num_partitions=num_partitions)
+    tagged = attach_column(tagged, u2, "w2", "w", "c2", "c2",
+                           num_partitions=num_partitions)
+
+    def score(batch: pa.Table, N=float(total)) -> pa.Table:
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        c1 = np.asarray(batch["c1"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        c2 = np.asarray(batch["c2"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        pmi = np.log(N * n / (c1 * c2))
+        return pa.table({
+            "w1": batch["w1"], "w2": batch["w2"],
+            "n": batch["n"],
+            "pmi": pa.array(sql_round(pmi, round_digits), pa.float64()),
+        })
+
+    return tagged.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -897,3 +897,27 @@ def test_phrase_positions_repeated_terms(ray_session):
            .sort_values(["doc_id", "anchor"]).reset_index(drop=True))
     want = pd.DataFrame({"doc_id": [1, 2], "anchor": [2, 1]})
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bigram_pmi_hand_truth(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.ranking import bigram_pmi
+
+    # corpus: "x y" always adjacent; "a b" and "a c" split a's mass
+    docs = rd.from_arrow(pa.table({"text": pa.array(
+        ["x y a b", "x y a c", "x y a b"], pa.string())}))
+    got = (bigram_pmi(docs, min_count=1).to_pandas()
+           .set_index(["w1", "w2"]))
+    # bigrams: (x,y)x3 (y,a)x3 (a,b)x2 (a,c)x1 -> N=9
+    # pmi(x,y) = ln(9*3/(3*3)) = ln 3
+    assert abs(got.loc[("x", "y"), "pmi"] - math.log(3)) < 1e-9
+    assert got.loc[("x", "y"), "n"] == 3
+    # pmi(a,b) = ln(9*2/(3*2)) = ln 3 ; pmi(a,c) = ln(9*1/(3*1)) = ln 3
+    assert abs(got.loc[("a", "b"), "pmi"] - math.log(3)) < 1e-9
+    # min_count prunes
+    got2 = bigram_pmi(docs, min_count=2).to_pandas()
+    assert ("a", "c") not in set(zip(got2.w1, got2.w2))
