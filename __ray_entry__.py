@@ -1418,6 +1418,19 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_profile(sf_dir: str):
+    """Deequ-style column profile of events (rows / nulls / exact
+    distinct per column) — decomposable null partials + a two-phase
+    distinct per column (validate.profile_columns); UNION-ALL
+    count/count(col)/count(DISTINCT) twin."""
+    from epstein_pipeline_ray.stages.validate import profile_columns
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_type", "value", "props"])
+    return profile_columns(ev, ["user_id", "event_type", "value",
+                                "props"])
+
+
 def q_bigram_pmi(sf_dir: str):
     """Collocation mining: PMI over adjacent word pairs (Church-Hanks
     1990) with decomposable bigram/unigram count partials and
@@ -2948,6 +2961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "phrase_search": q_phrase_search,
         "bigram_pmi": q_bigram_pmi,
+        "profile": q_profile,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4080,6 +4094,24 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "profile": """
+            SELECT 'user_id' AS column, count(*)::BIGINT AS n_rows,
+                   (count(*) - count(user_id))::BIGINT AS n_null,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*)::BIGINT,
+                   (count(*) - count(event_type))::BIGINT,
+                   count(DISTINCT event_type)::BIGINT FROM events
+            UNION ALL
+            SELECT 'value', count(*)::BIGINT,
+                   (count(*) - count(value))::BIGINT,
+                   count(DISTINCT value)::BIGINT FROM events
+            UNION ALL
+            SELECT 'props', count(*)::BIGINT,
+                   (count(*) - count(props))::BIGINT,
+                   count(DISTINCT props)::BIGINT FROM events
         """,
         "bigram_pmi": """
             WITH tok AS (

@@ -198,3 +198,75 @@ def referential_violations(
         })
 
     return bad.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def profile_columns(ds, cols: list[str], num_partitions: int | None = None):
+    """Deequ-style column profile: for each column, total rows, null
+    count, and EXACT distinct count (non-null) — the completeness /
+    cardinality sweep a pipeline runs before choosing keys and
+    partitioners. Per column: decomposable (n, n_null) partials plus a
+    two-phase distinct (map-side unique -> value-keyed exchange ->
+    distinct-count partials summed); the per-column results (column
+    count is bounded) union into one small table. Output:
+    (column, n_rows, n_null, n_distinct). Twin: UNION ALL of per-column
+    count/count(col)/count(DISTINCT col) SELECTs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    out_rows = {"column": [], "n_rows": [], "n_null": [],
+                "n_distinct": []}
+    for col in cols:
+        one = ds.select_columns([col])
+
+        def base_part(batch: pa.Table, c=col) -> pa.Table:
+            a = batch[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            return pa.table({
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "z": pa.array([a.null_count], pa.int64()),
+            })
+
+        tabs = [t for t in ray.get(one.map_batches(
+            base_part, batch_format="pyarrow",
+            zero_copy_batch=True).to_arrow_refs()) if t.num_rows]
+        n = sum(int(t["n"].to_pandas().sum()) for t in tabs)
+        z = sum(int(t["z"].to_pandas().sum()) for t in tabs)
+
+        def uniq_part(batch: pa.Table, c=col) -> pa.Table:
+            a = batch[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            u = a.drop_null().unique()
+            return pa.table({"v": u})
+
+        def distinct_count_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.table({"d": pa.array([], pa.int64())})
+            v = block["v"]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return pa.table({"d": pa.array([len(v.unique())], pa.int64())})
+
+        dparts = map_key_blocks(
+            one.map_batches(uniq_part, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            ["v"], distinct_count_block, num_partitions,
+            sort_blocks=False)
+        d = int(dparts.sum("d") or 0)
+
+        out_rows["column"].append(col)
+        out_rows["n_rows"].append(n)
+        out_rows["n_null"].append(z)
+        out_rows["n_distinct"].append(d)
+
+    return rd.from_arrow(pa.table({
+        "column": pa.array(out_rows["column"], pa.string()),
+        "n_rows": pa.array(out_rows["n_rows"], pa.int64()),
+        "n_null": pa.array(out_rows["n_null"], pa.int64()),
+        "n_distinct": pa.array(out_rows["n_distinct"], pa.int64()),
+    }))

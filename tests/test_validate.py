@@ -78,3 +78,25 @@ def test_integrity_extended_columns(ray_session):
     assert row.n_rows == 3 and row.n_dup_ids == 1
     assert row.n_len_mismatch == 1 and row.n_empty == 1
     assert row.n_bad_lang == 1 and row.n_len_out_of_range == 1
+
+
+def test_profile_columns_nulls_and_distinct(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.validate import profile_columns
+
+    tbl = pa.table({
+        "a": pa.array([1, 1, 2, None, None], pa.int64()),
+        "b": pa.array(["x", "x", "x", "x", None], pa.string()),
+    })
+    got = (profile_columns(rd.from_arrow(tbl), ["a", "b"]).to_pandas()
+           .sort_values("column").reset_index(drop=True))
+    want = pd.DataFrame({
+        "column": ["a", "b"],
+        "n_rows": [5, 5],
+        "n_null": [2, 1],
+        "n_distinct": [2, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
