@@ -76,3 +76,69 @@ def test_corpus_dedup_ops_backend_equivalence(ray_session, monkeypatch,
     for b, g in zip(base, got):
         pd.testing.assert_frame_equal(b, g)
     assert len(base[1]) > 0
+
+
+@pytest.mark.parametrize("backend", ["hash", "sort"])
+def test_session4_ops_backend_equivalence(ray_session, monkeypatch,
+                                          backend):
+    """kcore / funnel / rank_stats / SNM must be exchange-backend
+    agnostic (block fns sort internally; edge streams are bounded)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.entity_resolution import (
+        sorted_neighborhood_pairs)
+    from epstein_pipeline_ray.stages.graph_algo import kcore
+    from epstein_pipeline_ray.stages.relational import (
+        funnel_steps, with_group_rank_stats)
+
+    rng = np.random.RandomState(7)
+    E = sorted({(int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+                for _ in range(160)})
+    edges_tbl = pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64())})
+    ev_tbl = pa.table({
+        "user_id": pa.array([int(x) for x in rng.randint(0, 9, 120)],
+                            pa.int64()),
+        "event_type": pa.array([["view", "click", "purchase", "x"][i]
+                                for i in rng.randint(0, 4, 120)],
+                               pa.string()),
+        "ts": pa.array([int(x) * 1_000_000 for x in
+                        rng.randint(0, 500, 120)], pa.timestamp("us")),
+        "event_id": pa.array(list(range(120)), pa.int64()),
+        "v": pa.array([int(x) for x in rng.randint(0, 6, 120)],
+                      pa.int64()),
+    })
+    snm_tbl = pa.table({
+        "id": pa.array(list(range(40)), pa.int64()),
+        "k": pa.array(["abcdefgh"[int(x)] + "abcdefgh"[int(y)]
+                       for x, y in zip(rng.randint(0, 8, 40),
+                                       rng.randint(0, 8, 40))],
+                      pa.string()),
+    })
+
+    def run_all():
+        kc = (kcore(rd.from_arrow(edges_tbl), k=3, rounds=4).to_pandas()
+              .sort_values("node").reset_index(drop=True))
+        fn = (funnel_steps(rd.from_arrow(ev_tbl),
+                           ["view", "click", "purchase"]).to_pandas()
+              .sort_values("user_id").reset_index(drop=True))
+        rs = (with_group_rank_stats(
+                  rd.from_arrow(ev_tbl).select_columns(
+                      ["event_id", "user_id", "v"]), "user_id", "v")
+              .to_pandas().sort_values("event_id")
+              .reset_index(drop=True))
+        sn = (sorted_neighborhood_pairs(rd.from_arrow(snm_tbl), "id", "k",
+                                        window=3).to_pandas()
+              .drop_duplicates().sort_values(["id_a", "id_b"])
+              .reset_index(drop=True))
+        return kc, fn, rs, sn
+
+    monkeypatch.setenv("EPR_SHUFFLE", "disk")
+    base = run_all()
+    monkeypatch.setenv("EPR_SHUFFLE", backend)
+    got = run_all()
+    for b, g in zip(base, got):
+        pd.testing.assert_frame_equal(b, g)
+    assert len(base[0]) > 0 and len(base[3]) > 0
