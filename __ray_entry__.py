@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_value_twa(sf_dir: str):
+    """Time-weighted average event value per user (each value holds
+    until the next event; last event drops) — one keyed exchange,
+    shifted-diff pass (relational.time_weighted_avg); lead-window
+    twin."""
+    from epstein_pipeline_ray.stages.relational import time_weighted_avg
+
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts", "event_id"])
+    return time_weighted_avg(ev, "user_id", "value", "ts", "event_id")
+
+
 def q_profile(sf_dir: str):
     """Deequ-style column profile of events (rows / nulls / exact
     distinct per column) — decomposable null partials + a two-phase
@@ -2962,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "bigram_pmi": q_bigram_pmi,
         "profile": q_profile,
+        "value_twa": q_value_twa,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4094,6 +4106,18 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "value_twa": """
+            WITH s AS (
+                SELECT user_id, value,
+                       (epoch_us(lead(ts) OVER w)
+                        - epoch_us(ts))::DOUBLE AS dt
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, round(sum(value * dt) / sum(dt), 9) AS twa
+            FROM s WHERE dt IS NOT NULL
+            GROUP BY user_id HAVING sum(dt) > 0
         """,
         "profile": """
             SELECT 'user_id' AS column, count(*)::BIGINT AS n_rows,

@@ -921,3 +921,28 @@ def test_bigram_pmi_hand_truth(ray_session):
     # min_count prunes
     got2 = bigram_pmi(docs, min_count=2).to_pandas()
     assert ("a", "c") not in set(zip(got2.w1, got2.w2))
+
+
+def test_time_weighted_avg_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import time_weighted_avg
+
+    US = 1_000_000
+    # u1: v=10 held 2s, v=0 held 8s -> twa = 20/10 = 2.0
+    # u2: single event -> no interval -> absent
+    # u3: two events at the SAME ts -> total duration 0 -> absent
+    rows = [(1, 10.0, 0), (1, 0.0, 2), (1, 99.0, 10),
+            (2, 5.0, 0),
+            (3, 1.0, 4), (3, 2.0, 4)]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "ts": pa.array([r[2] * US for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(list(range(6)), pa.int64()),
+    })
+    got = (time_weighted_avg(rd.from_arrow(tbl), "user_id", "value",
+                             "ts", "event_id")
+           .to_pandas().set_index("user_id")["twa"])
+    assert got.to_dict() == {1: 2.0}
