@@ -1304,7 +1304,16 @@ def kcore(
         return map_key_blocks(d.select_columns(["s"]), ["s"], deg_block,
                               num_partitions, sort_blocks=False)
 
+    def _empty() -> Dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(DEG.empty_table())
+
     for _ in range(rounds):
+        # a fully-peeled (or self-loop-only) graph leaves a schema-less
+        # empty dataset that the attaches cannot type — stop early
+        if de.count() == 0:
+            return _empty()
         deg = degrees(de).materialize()
         keep = deg.filter(expr=f"deg >= {int(k)}")
         tagged = attach_column(de, keep, "s", "node", "deg", "__fs",
@@ -1322,6 +1331,8 @@ def kcore(
                                 zero_copy_batch=True).materialize()
         gc_exchange_dirs()
 
+    if de.count() == 0:
+        return _empty()
     return degrees(de)
 
 

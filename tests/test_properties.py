@@ -146,3 +146,98 @@ def test_winnowing_shared_substring_guarantee(prefix, shared, suffix):
     fa = set(winnow_fingerprints(a, k, w))
     fb = set(winnow_fingerprints(b, k, w))
     assert fa & fb
+
+
+def test_cms_one_sided_property(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import cms_count_per_key
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=50),
+                    min_size=1, max_size=300))
+    def check(vals):
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        got = cms_count_per_key(ds, "v", d=3, w=8).to_pandas()
+        exact = pd.Series(vals).value_counts()
+        est = got.set_index("v")["est"]
+        assert set(est.index) == set(exact.index)
+        assert (est >= exact.reindex(est.index)).all()
+
+    check()
+
+
+def test_kcore_fixpoint_property(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import kcore
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                    min_size=1, max_size=80), st.integers(2, 4))
+    def check(edges, k):
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64())}))
+        # 16 nodes -> peel depth <= 16 rounds, guaranteed fixpoint
+        out = kcore(ds, k=k, rounds=16)
+        assert out.schema().names == ["node", "deg"]  # typed even empty
+        got = out.to_pandas()
+        if not len(got):     # fully peeled — ray's empty to_pandas
+            return           # drops columns; the schema check above holds
+        # at the fixpoint every survivor's degree within the core >= k
+        assert (got.deg >= k).all()
+        # survivors' deg never exceeds original simple-graph degree
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        deg0 = {}
+        for a, b in und:
+            deg0[a] = deg0.get(a, 0) + 1
+            deg0[b] = deg0.get(b, 0) + 1
+        for n, d in zip(got.node, got.deg):
+            assert d <= deg0[n]
+
+    check()
+
+
+def test_funnel_monotone_property(ray_session):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import funnel_steps
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 5),
+                              st.sampled_from(["s1", "s2", "s3", "zz"]),
+                              st.integers(0, 100)),
+                    min_size=1, max_size=120))
+    def check(rows):
+        tbl = pa.table({
+            "u": pa.array([r[0] for r in rows], pa.int64()),
+            "t": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] * 1_000_000 for r in rows],
+                           pa.timestamp("us")),
+        })
+        got = funnel_steps(rd.from_arrow(tbl), ["s1", "s2", "s3"],
+                           user_col="u", type_col="t").to_pandas()
+        if not len(got):     # nobody entered the funnel — ray's empty
+            return           # to_pandas drops columns; vacuous case
+        # step-k reach counts are non-increasing in k
+        counts = [int((got.max_step >= s).sum()) for s in (1, 2, 3)]
+        assert counts == sorted(counts, reverse=True)
+        # every user in the output has at least one s1 event
+        s1_users = {r[0] for r in rows if r[1] == "s1"}
+        assert set(got.u) <= s1_users
+
+    check()
