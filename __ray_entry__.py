@@ -1418,6 +1418,29 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_type_value_mi(sf_dir: str):
+    """Mutual information between event_type and the 10-bucket value
+    (feature-dependence primitive, exact integer-count closed form) —
+    pair-count exchange, category-bounded driver math
+    (relational.mutual_information); identical-arithmetic twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.relational import mutual_information
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(batch["value"]), pa.int64())
+        b = pc.subtract(v, pc.multiply(
+            pc.divide(v, pa.scalar(10, pa.int64())),
+            pa.scalar(10, pa.int64())))
+        return pa.table({"event_type": batch["event_type"], "vb": b})
+
+    buck = ev.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return mutual_information(buck, "event_type", "vb")
+
+
 def q_value_twa(sf_dir: str):
     """Time-weighted average event value per user (each value holds
     until the next event; last event drops) — one keyed exchange,
@@ -2974,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,
         "profile": q_profile,
         "value_twa": q_value_twa,
+        "type_value_mi": q_type_value_mi,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4106,6 +4130,23 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "type_value_mi": """
+            WITH p AS (
+                SELECT event_type::VARCHAR AS a,
+                       (CAST(floor(value) AS BIGINT) % 10)::VARCHAR AS b,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2
+            ),
+            ma AS (SELECT a, sum(c)::DOUBLE AS ca FROM p GROUP BY a),
+            mb AS (SELECT b, sum(c)::DOUBLE AS cb FROM p GROUP BY b),
+            nn AS (SELECT sum(c)::DOUBLE AS n FROM p)
+            SELECT nn.n::BIGINT AS n,
+                   round(((SELECT sum(c * ln(c)) FROM p)
+                          - (SELECT sum(ca * ln(ca)) FROM ma)
+                          - (SELECT sum(cb * ln(cb)) FROM mb)) / nn.n
+                         + ln(nn.n), 9) AS mi
+            FROM nn
         """,
         "value_twa": """
             WITH s AS (

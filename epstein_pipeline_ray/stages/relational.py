@@ -2764,3 +2764,71 @@ def time_weighted_avg(
     return map_key_blocks(
         ds.select_columns([key, value_col, ts_col, tie_col]),
         [key], twa_block, num_partitions, sort_blocks=False)
+
+
+def mutual_information(
+    ds: Dataset, col_a: str, col_b: str,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Mutual information (nats) between two categorical columns —
+    the feature-dependence primitive:
+    ``MI = sum_ab p(a,b) * ln(p(a,b) / (p(a)p(b)))`` computed from the
+    (a, b) contingency counts in the EXACT closed form
+    ``(sum c*ln(c) - sum_a ca*ln(ca) - sum_b cb*ln(cb)) / N + ln(N)``
+    — every term a decomposable sum over the (pair/marginal) count
+    tables, no floating p's until the final expression, so the twin's
+    identical arithmetic matches hash-exactly. Map-side pair-count
+    partials -> one keyed exchange -> marginals re-aggregated from the
+    pair table (bounded). Output: one row (n, mi)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    PAIR = pa.schema([("a", pa.string()), ("b", pa.string()),
+                      ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": batch[col_a].to_pandas().astype(str),
+            "b": batch[col_b].to_pandas().astype(str),
+        })
+        g = df.groupby(["a", "b"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({
+            "a": pa.array(g["a"], pa.string()),
+            "b": pa.array(g["b"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        g = (block.to_pandas()
+             .groupby(["a", "b"], sort=True, as_index=False)["c"].sum())
+        return pa.table({
+            "a": pa.array(g["a"], pa.string()),
+            "b": pa.array(g["b"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    pairs = map_key_blocks(
+        ds.select_columns([col_a, col_b]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], sum_block, num_partitions,
+        sort_blocks=False).to_pandas()
+    # the contingency table is (|A| x |B|)-bounded — driver math is
+    # category-proportional, never row-proportional
+    c = pairs["c"].to_numpy(np.float64)
+    n = float(c.sum())
+    ca = pairs.groupby("a")["c"].sum().to_numpy(np.float64)
+    cb = pairs.groupby("b")["c"].sum().to_numpy(np.float64)
+    mi = ((c * np.log(c)).sum() - (ca * np.log(ca)).sum()
+          - (cb * np.log(cb)).sum()) / n + np.log(n) if n else 0.0
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "mi": pa.array([float(sql_round(np.array([mi]),
+                                        round_digits)[0])], pa.float64()),
+    }))

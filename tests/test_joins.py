@@ -946,3 +946,30 @@ def test_time_weighted_avg_hand_truth(ray_session):
                              "ts", "event_id")
            .to_pandas().set_index("user_id")["twa"])
     assert got.to_dict() == {1: 2.0}
+
+
+def test_mutual_information_truths(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import mutual_information
+
+    # independent uniform 2x2 -> MI = 0
+    ind = pa.table({
+        "a": pa.array(["x", "x", "y", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p", "q"], pa.string()),
+    })
+    mi0 = mutual_information(rd.from_arrow(ind), "a", "b") \
+        .to_pandas().iloc[0]
+    assert abs(mi0.mi) < 1e-12 and mi0.n == 4
+
+    # perfectly dependent binary -> MI = ln 2
+    dep = pa.table({
+        "a": pa.array(["x", "x", "y", "y"], pa.string()),
+        "b": pa.array(["p", "p", "q", "q"], pa.string()),
+    })
+    mi1 = mutual_information(rd.from_arrow(dep), "a", "b") \
+        .to_pandas().iloc[0]
+    assert abs(mi1.mi - math.log(2)) < 1e-9
