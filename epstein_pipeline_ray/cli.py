@@ -242,6 +242,46 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.validate import profile_columns
+
+    ds = rd.read_parquet(args.input)
+    cols = args.columns.split(",") if args.columns else ds.schema().names
+    out = profile_columns(ds, cols).to_pandas()
+    print(json.dumps(out.to_dict("records")))
+    return 0
+
+
+def cmd_health(args) -> int:
+    """Corpus health report: column profile + exchange-key skew + exact
+    duplicate exposure per source — the pre-flight a dedup run starts
+    from."""
+    _ray_up()
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.exact import dup_rate_by_group
+    from epstein_pipeline_ray.stages.relational import key_skew_report
+    from epstein_pipeline_ray.stages.validate import profile_columns
+
+    ds = rd.read_parquet(args.input)
+    report = {
+        "profile": profile_columns(
+            ds, [args.id_col, args.group_col, args.text_col]
+        ).to_pandas().to_dict("records"),
+        "key_skew": key_skew_report(ds, args.group_col)
+        .to_pandas().to_dict("records")[0],
+        "dup_rate": dup_rate_by_group(
+            ds, group_col=args.group_col, id_col=args.id_col,
+            text_col=args.text_col,
+        ).to_pandas().to_dict("records"),
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="epstein-pipeline-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -352,6 +392,21 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--text-col", default="text")
     v.add_argument("--len-col", default="n_chars")
     v.set_defaults(fn=cmd_validate)
+
+    pf = sub.add_parser("profile",
+                        help="column profile (rows/nulls/exact distinct)")
+    pf.add_argument("--input", required=True)
+    pf.add_argument("--columns", default=None,
+                    help="comma list; default = every column")
+    pf.set_defaults(fn=cmd_profile)
+
+    he = sub.add_parser("health",
+                        help="corpus health: profile + key skew + dup rate")
+    he.add_argument("--input", required=True)
+    he.add_argument("--id-col", default="doc_id")
+    he.add_argument("--group-col", default="source")
+    he.add_argument("--text-col", default="text")
+    he.set_defaults(fn=cmd_health)
     return p
 
 

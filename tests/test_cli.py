@@ -180,3 +180,31 @@ def test_cli_hygiene_and_pack(tmp_path):
     stats = json.loads(r.stdout.strip().splitlines()[-1])
     # 9 tokens at seq_len 4 -> samples 0..2
     assert stats == {"docs": 3, "samples": 3}
+
+
+def test_cli_profile_and_health(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+        "text": pa.array(["a b", "a b", "c d", None], pa.string()),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+
+    r = _run(["profile", "--input", src, "--columns", "source,text"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    prof = {row["column"]: row
+            for row in json.loads(r.stdout.strip().splitlines()[-1])}
+    assert prof["text"]["n_null"] == 1
+    assert prof["source"]["n_distinct"] == 2
+
+    r = _run(["health", "--input", src])
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["key_skew"]["n_keys"] == 2
+    dup = {row["source"]: row for row in rep["dup_rate"]}
+    assert dup["s1"]["n_dup_docs"] == 2  # "a b" repeats within s1
+    assert dup["s2"]["n_dup_docs"] == 0
