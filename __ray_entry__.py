@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Per-doc 8-gram novelty in corpus order (fraction of the doc's
+    distinct word 8-grams first appearing in it) — gram-keyed is-first
+    exchange + doc-keyed aggregate (corpus_dedup.ngram_novelty);
+    min-per-gram join twin."""
+    from epstein_pipeline_ray.stages.corpus_dedup import ngram_novelty
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_novelty(docs, n=8)
+
+
 def q_type_value_mi(sf_dir: str):
     """Mutual information between event_type and the 10-bucket value
     (feature-dependence primitive, exact integer-count closed form) —
@@ -2998,6 +3009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile": q_profile,
         "value_twa": q_value_twa,
         "type_value_mi": q_type_value_mi,
+        "ngram_novelty": q_ngram_novelty,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4130,6 +4142,29 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "ngram_novelty": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents
+            ),
+            gd AS (
+                SELECT DISTINCT doc_id, g FROM (
+                    SELECT doc_id,
+                           unnest([array_to_string(
+                               ws[i::INT:(i + 7)::INT], ' ')
+                               for i in generate_series(1, len(ws) - 7)])
+                               AS g
+                    FROM w WHERE len(ws) >= 8
+                )
+            ),
+            f AS (SELECT g, min(doc_id) AS fd FROM gd GROUP BY g)
+            SELECT gd.doc_id, count(*)::BIGINT AS n_grams,
+                   (count(*) FILTER (f.fd = gd.doc_id))::BIGINT AS n_novel,
+                   round((count(*) FILTER (f.fd = gd.doc_id))::DOUBLE
+                         / count(*), 9) AS novelty
+            FROM gd JOIN f USING (g) GROUP BY gd.doc_id
         """,
         "type_value_mi": """
             WITH p AS (

@@ -588,3 +588,80 @@ def cross_jaccard_pairs(
 
     return map_key_blocks(partials, ["new_id", "old_id"], reduce_block,
                           num_partitions, sort_blocks=False)
+
+
+def ngram_novelty(
+    docs, n: int = 8, id_col: str = "doc_id", text_col: str = "text",
+    round_digits: int = 9, num_partitions: int | None = None,
+):
+    """Per-doc novelty profile in corpus order (the inverse of the
+    dedup-rate view): of each doc's DISTINCT word n-grams, the
+    fraction whose FIRST corpus appearance (min id) is this doc —
+    1.0 = all-new content, 0.0 = everything seen in earlier docs.
+    Two exchanges: gram-keyed (per block, min doc per gram -> an
+    is-first flag on every (gram, doc) row) then doc-keyed count/sum.
+    Docs with fewer than ``n`` tokens emit nothing (no grams — the
+    twin's WHERE len >= n). Tokens: WORD_RE, lowercased. Output:
+    (id_col, n_grams, n_novel, novelty)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.ranking import WORD_RE
+
+    itype = dict(zip(docs.schema().names, docs.schema().types))[id_col]
+    GD = pa.schema([("g", pa.string()), (id_col, itype)])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gs, ids = [], []
+        for did, tx in zip(batch[id_col].to_pylist(),
+                           batch[text_col].to_pylist()):
+            toks = [m.lower() for m in WORD_RE.findall(tx or "")]
+            if len(toks) < n:
+                continue
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            gs.extend(seen)
+            ids.extend([did] * len(seen))
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         id_col: pa.array(ids, itype)}, schema=GD)
+
+    FLAG = pa.schema([(id_col, itype), ("first", pa.int8())])
+
+    def first_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return FLAG.empty_table()
+        df = block.to_pandas()
+        fd = df.groupby("g")[id_col].transform("min")
+        return pa.table({
+            id_col: pa.array(df[id_col], itype, from_pandas=True),
+            "first": pa.array((df[id_col] == fd).to_numpy()
+                              .astype(np.int8), pa.int8()),
+        }, schema=FLAG)
+
+    flags = map_key_blocks(
+        docs.select_columns([id_col, text_col]).map_batches(
+            grams, batch_format="pyarrow", zero_copy_batch=True),
+        ["g"], first_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([(id_col, itype), ("n_grams", pa.int64()),
+                     ("n_novel", pa.int64()), ("novelty", pa.float64())])
+
+    def agg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby(id_col, sort=True)["first"]
+             .agg(n="size", nv="sum").reset_index())
+        nn = g["n"].to_numpy(np.float64)
+        nv = g["nv"].to_numpy(np.float64)
+        return pa.table({
+            id_col: pa.array(g[id_col], itype, from_pandas=True),
+            "n_grams": pa.array(nn.astype(np.int64), pa.int64()),
+            "n_novel": pa.array(nv.astype(np.int64), pa.int64()),
+            "novelty": pa.array(sql_round(nv / nn, round_digits),
+                                pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(flags, [id_col], agg_block, num_partitions,
+                          sort_blocks=False)

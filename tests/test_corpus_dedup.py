@@ -499,3 +499,30 @@ def test_dup_rate_by_group_cross_source(ray_session):
         "dup_rate": [round(2 / 3, 9), 0.5],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ngram_novelty_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.corpus_dedup import ngram_novelty
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d",        # grams(2): ab bc cd -> all first -> 1.0
+            "c d e",          # cd (seen), de (new) -> 0.5
+            "a b c d",        # all three seen -> 0.0
+            "x",              # < n tokens -> absent
+        ], pa.string()),
+    }))
+    got = (ngram_novelty(docs, n=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "n_grams": [3, 2, 3],
+        "n_novel": [3, 1, 0],
+        "novelty": [1.0, 0.5, 0.0],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
