@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_source_lang_chi2(sf_dir: str):
+    """Pearson chi-square independence test + Cramér's V for
+    source × lang (sum o²/e − N over nonzero contingency cells) —
+    pair-count exchange, category-bounded driver math
+    (relational.chi_square); identical-expectation twin."""
+    from epstein_pipeline_ray.stages.relational import chi_square
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    return chi_square(docs, "source", "lang")
+
+
 def q_ngram_novelty(sf_dir: str):
     """Per-doc 8-gram novelty in corpus order (fraction of the doc's
     distinct word 8-grams first appearing in it) — gram-keyed is-first
@@ -3010,6 +3021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_twa": q_value_twa,
         "type_value_mi": q_type_value_mi,
         "ngram_novelty": q_ngram_novelty,
+        "source_lang_chi2": q_source_lang_chi2,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4142,6 +4154,32 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "source_lang_chi2": """
+            WITH p AS (
+                SELECT source::VARCHAR AS a, lang::VARCHAR AS b,
+                       count(*)::BIGINT AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            ma AS (SELECT a, sum(c)::DOUBLE AS ca FROM p GROUP BY a),
+            mb AS (SELECT b, sum(c)::DOUBLE AS cb FROM p GROUP BY b),
+            nn AS (SELECT sum(c)::DOUBLE AS n FROM p),
+            ks AS (SELECT (SELECT count(*) FROM ma) AS ka,
+                          (SELECT count(*) FROM mb) AS kb),
+            x AS (
+                SELECT (SELECT sum(p.c::DOUBLE * p.c
+                                   / (ma.ca * mb.cb / nn.n))
+                        FROM p JOIN ma USING (a) JOIN mb USING (b))
+                       - nn.n AS chi2
+                FROM nn
+            )
+            SELECT nn.n::BIGINT AS n,
+                   ((ks.ka - 1) * (ks.kb - 1))::BIGINT AS dof,
+                   round(x.chi2, 9) AS chi2,
+                   round(sqrt(x.chi2
+                              / (nn.n * (least(ks.ka, ks.kb) - 1))), 9)
+                       AS cramers_v
+            FROM nn, ks, x
         """,
         "ngram_novelty": """
             WITH w AS (

@@ -2832,3 +2832,79 @@ def mutual_information(
         "mi": pa.array([float(sql_round(np.array([mi]),
                                         round_digits)[0])], pa.float64()),
     }))
+
+
+def chi_square(
+    ds: Dataset, col_a: str, col_b: str,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Pearson chi-square independence statistic + Cramér's V for two
+    categorical columns: ``chi2 = sum (o - e)^2 / e`` with
+    ``e = ca*cb/N`` over the contingency counts, ``V = sqrt(chi2 /
+    (N * (min(|A|,|B|) - 1)))``. Same plan as mutual_information —
+    pair-count exchange, category-bounded driver math; the twin
+    recomputes the identical expectation arithmetic. Output: one row
+    (n, dof, chi2, cramers_v)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    PAIR = pa.schema([("a", pa.string()), ("b", pa.string()),
+                      ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "a": batch[col_a].to_pandas().astype(str),
+            "b": batch[col_b].to_pandas().astype(str),
+        })
+        g = df.groupby(["a", "b"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({
+            "a": pa.array(g["a"], pa.string()),
+            "b": pa.array(g["b"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PAIR.empty_table()
+        g = (block.to_pandas()
+             .groupby(["a", "b"], sort=True, as_index=False)["c"].sum())
+        return pa.table({
+            "a": pa.array(g["a"], pa.string()),
+            "b": pa.array(g["b"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=PAIR)
+
+    pairs = map_key_blocks(
+        ds.select_columns([col_a, col_b]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], sum_block, num_partitions,
+        sort_blocks=False).to_pandas()
+
+    n = float(pairs["c"].sum())
+    ca = pairs.groupby("a")["c"].sum()
+    cb = pairs.groupby("b")["c"].sum()
+    ka, kb = len(ca), len(cb)
+    # chi2 over ALL cells incl. zero observed: sum o^2/e - N (the
+    # algebraic identity that needs only the NONZERO cells — zero cells
+    # contribute o^2/e = 0, so sum (o-e)^2/e = sum o^2/e - 2N + N)
+    e = (ca.reindex(pairs["a"]).to_numpy(np.float64)
+         * cb.reindex(pairs["b"]).to_numpy(np.float64)) / n
+    chi2 = float((pairs["c"].to_numpy(np.float64) ** 2 / e).sum() - n)
+    dof = (ka - 1) * (kb - 1)
+    v = float(np.sqrt(chi2 / (n * (min(ka, kb) - 1)))) \
+        if min(ka, kb) > 1 and n > 0 else 0.0
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "dof": pa.array([dof], pa.int64()),
+        "chi2": pa.array([float(sql_round(np.array([chi2]),
+                                          round_digits)[0])],
+                         pa.float64()),
+        "cramers_v": pa.array([float(sql_round(np.array([v]),
+                                               round_digits)[0])],
+                              pa.float64()),
+    }))

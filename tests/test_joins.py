@@ -973,3 +973,28 @@ def test_mutual_information_truths(ray_session):
     mi1 = mutual_information(rd.from_arrow(dep), "a", "b") \
         .to_pandas().iloc[0]
     assert abs(mi1.mi - math.log(2)) < 1e-9
+
+
+def test_chi_square_truths(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import chi_square
+
+    # perfect dependence 2x2 with 4 rows -> chi2 = N = 4, V = 1
+    dep = pa.table({
+        "a": pa.array(["x", "x", "y", "y"], pa.string()),
+        "b": pa.array(["p", "p", "q", "q"], pa.string()),
+    })
+    r = chi_square(rd.from_arrow(dep), "a", "b").to_pandas().iloc[0]
+    assert r.chi2 == 4.0 and r.cramers_v == 1.0 and r.dof == 1
+
+    # independence -> chi2 0
+    ind = pa.table({
+        "a": pa.array(["x", "x", "y", "y"], pa.string()),
+        "b": pa.array(["p", "q", "p", "q"], pa.string()),
+    })
+    r2 = chi_square(rd.from_arrow(ind), "a", "b").to_pandas().iloc[0]
+    assert abs(r2.chi2) < 1e-12 and r2.cramers_v == 0.0
