@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/val 8-gram leakage audit after the deterministic LCG split
+    (the check a decontamination pass ends with) — gram-keyed
+    side-presence exchange, fixed-size partials
+    (decontam.split_leakage); split-rebuild + max-CASE twin."""
+    from epstein_pipeline_ray.stages.decontam import split_leakage
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return split_leakage(docs, n=8, val_pct=20)
+
+
 def q_source_lang_chi2(sf_dir: str):
     """Pearson chi-square independence test + Cramér's V for
     source × lang (sum o²/e − N over nonzero contingency cells) —
@@ -3022,6 +3033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_mi": q_type_value_mi,
         "ngram_novelty": q_ngram_novelty,
         "source_lang_chi2": q_source_lang_chi2,
+        "split_leakage": q_split_leakage,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4154,6 +4166,41 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "split_leakage": """
+            WITH s AS (
+                SELECT doc_id, text,
+                       CASE WHEN ((doc_id % 2147483648) * 1103515245
+                                  + 12345) % 2147483648 % 100 < 20
+                            THEN 1 ELSE 0 END AS side
+                FROM documents
+            ),
+            w AS (
+                SELECT side,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM s
+            ),
+            gd AS (
+                SELECT DISTINCT side, g FROM (
+                    SELECT side,
+                           unnest([array_to_string(
+                               ws[i::INT:(i + 7)::INT], ' ')
+                               for i in generate_series(1, len(ws) - 7)])
+                               AS g
+                    FROM w WHERE len(ws) >= 8
+                )
+            ),
+            a AS (
+                SELECT g,
+                       max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS t,
+                       max(side) AS v
+                FROM gd GROUP BY g
+            )
+            SELECT sum(t)::BIGINT AS n_train_grams,
+                   sum(v)::BIGINT AS n_val_grams,
+                   sum(t * v)::BIGINT AS n_shared,
+                   round(sum(t * v)::DOUBLE / sum(v), 9) AS leakage
+            FROM a
         """,
         "source_lang_chi2": """
             WITH p AS (

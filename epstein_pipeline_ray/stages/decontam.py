@@ -177,3 +177,80 @@ def decontaminate_bloom(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_leakage(
+    docs, n: int = 8, id_col: str = "doc_id", text_col: str = "text",
+    val_pct: int = 20, round_digits: int = 9,
+    num_partitions: int | None = None,
+):
+    """Train/val leakage audit: after the deterministic LCG split
+    (relational.assign_split, test_pct=0), how many distinct word
+    n-grams appear on BOTH sides — ``leakage = shared / val_grams`` is
+    the fraction of validation n-grams the model has seen in train (the
+    check every decontamination pass should END with). Map-side
+    per-(gram, side) dedup -> one gram-keyed exchange with fixed-size
+    per-block side-presence partials -> driver sum. Output: one row
+    (n_train_grams, n_val_grams, n_shared, leakage)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.ranking import WORD_RE
+    from epstein_pipeline_ray.stages.relational import assign_split
+
+    tagged = assign_split(docs.select_columns([id_col, text_col]),
+                          id_col=id_col, val_pct=val_pct, test_pct=0)
+
+    GS = pa.schema([("g", pa.string()), ("v", pa.int8())])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, int]] = set()
+        for tx, sp in zip(batch[text_col].to_pylist(),
+                          batch["split"].to_pylist()):
+            toks = [m.lower() for m in WORD_RE.findall(tx or "")]
+            side = 1 if sp == "val" else 0
+            for i in range(len(toks) - n + 1):
+                seen.add((" ".join(toks[i:i + n]), side))
+        items = sorted(seen)
+        return pa.table({
+            "g": pa.array([k for k, _ in items], pa.string()),
+            "v": pa.array([s for _, s in items], pa.int8()),
+        }, schema=GS)
+
+    PART = pa.schema([("t", pa.int64()), ("va", pa.int64()),
+                      ("sh", pa.int64())])
+
+    def side_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PART.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        g = df.groupby("g")["v"].agg(["min", "max"])
+        has_t = (g["min"] == 0).to_numpy()
+        has_v = (g["max"] == 1).to_numpy()
+        return pa.table({
+            "t": pa.array([int(has_t.sum())], pa.int64()),
+            "va": pa.array([int(has_v.sum())], pa.int64()),
+            "sh": pa.array([int((has_t & has_v).sum())], pa.int64()),
+        }, schema=PART)
+
+    import ray
+    import ray.data as rd
+
+    parts = map_key_blocks(
+        tagged.map_batches(grams, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["g"], side_block, num_partitions, sort_blocks=False)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    nt = sum(int(t["t"].to_pandas().sum()) for t in tabs)
+    nv = sum(int(t["va"].to_pandas().sum()) for t in tabs)
+    sh = sum(int(t["sh"].to_pandas().sum()) for t in tabs)
+    leak = float(sql_round(np.array([sh / nv if nv else 0.0]),
+                           round_digits)[0])
+    return rd.from_arrow(pa.table({
+        "n_train_grams": pa.array([nt], pa.int64()),
+        "n_val_grams": pa.array([nv], pa.int64()),
+        "n_shared": pa.array([sh], pa.int64()),
+        "leakage": pa.array([leak], pa.float64()),
+    }))

@@ -117,3 +117,31 @@ def test_bloom_decontaminate_contains_exact(ray_session):
     # and the doc-level false-flag rate is tiny at the 1e-6 per-probe fpr
     extra = int((m.contaminated_bloom & ~m.contaminated).sum())
     assert extra <= max(2, int(0.01 * len(m)))
+
+
+def test_split_leakage_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.decontam import split_leakage
+    from epstein_pipeline_ray.stages.relational import assign_split
+
+    # use ids whose LCG bucket we can observe from assign_split itself
+    ids = list(range(40))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["shared one two" if i % 2 == 0
+                          else f"only{i} uniq{i} here{i}"
+                          for i in ids], pa.string()),
+    }))
+    split = (assign_split(docs, val_pct=20, test_pct=0).to_pandas()
+             .set_index("doc_id")["split"])
+    has_val_even = any(split[i] == "val" for i in ids if i % 2 == 0)
+    has_train_even = any(split[i] == "train" for i in ids if i % 2 == 0)
+    got = split_leakage(docs, n=3, val_pct=20).to_pandas().iloc[0]
+    # 'shared one two' (one gram) sits on both sides iff even ids span
+    # both splits; unique-text grams never shared
+    assert got.n_shared == (1 if has_val_even and has_train_even else 0)
+    assert got.n_shared <= got.n_val_grams <= got.n_shared + sum(
+        1 for i in ids if i % 2 == 1 and split[i] == "val")
+    assert 0.0 <= got.leakage <= 1.0
