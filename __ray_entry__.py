@@ -1418,6 +1418,19 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_price_spearman(sf_dir: str):
+    """Spearman rank correlation (average-rank ties) of quantity vs
+    extended price per return flag — one keyed exchange with tie-aware
+    fractional ranks + exact moment sums
+    (relational.grouped_spearman); rank()+ties/2 window twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_spearman
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_spearman(li, "l_returnflag", "l_quantity",
+                            "l_extendedprice")
+
+
 def q_split_leakage(sf_dir: str):
     """Train/val 8-gram leakage audit after the deterministic LCG split
     (the check a decontamination pass ends with) — gram-keyed
@@ -3034,6 +3047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q_ngram_novelty,
         "source_lang_chi2": q_source_lang_chi2,
         "split_leakage": q_split_leakage,
+        "price_spearman": q_price_spearman,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4166,6 +4180,30 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "price_spearman": """
+            WITH r AS (
+                SELECT l_returnflag AS k,
+                       rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_quantity)
+                       + (count(*) OVER (PARTITION BY l_returnflag,
+                                         l_quantity) - 1) / 2.0 AS rx,
+                       rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_extendedprice)
+                       + (count(*) OVER (PARTITION BY l_returnflag,
+                                         l_extendedprice) - 1) / 2.0 AS ry
+                FROM lineitem
+            )
+            SELECT k AS l_returnflag, count(*)::BIGINT AS n,
+                   CASE WHEN (sum(rx*rx) - sum(rx)*sum(rx)/count(*)) > 0
+                         AND (sum(ry*ry) - sum(ry)*sum(ry)/count(*)) > 0
+                   THEN round(
+                       (sum(rx*ry) - sum(rx)*sum(ry)/count(*))
+                       / sqrt((sum(rx*rx) - sum(rx)*sum(rx)/count(*))
+                              * (sum(ry*ry) - sum(ry)*sum(ry)/count(*))),
+                       9)
+                   END AS spearman
+            FROM r GROUP BY k
         """,
         "split_leakage": """
             WITH s AS (

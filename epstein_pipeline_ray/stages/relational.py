@@ -2908,3 +2908,62 @@ def chi_square(
                                                round_digits)[0])],
                               pa.float64()),
     }))
+
+
+def grouped_spearman(
+    ds: Dataset, key: str, col_x: str, col_y: str,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Spearman rank correlation per group: Pearson correlation of the
+    AVERAGE ranks (ties share the mean of their positions — the
+    fractional-rank convention) of the two value columns. One keyed
+    exchange; per block: two tie-aware average-rank passes + exact
+    moment sums. Average ranks are halves (exact doubles), so the
+    twin's ``(2*rank() + ties - 1) / 2`` arithmetic matches. Groups
+    with zero rank variance on either side emit NULL. Output:
+    (key, n, spearman)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("n", pa.int64()),
+                     ("spearman", pa.float64())])
+
+    def avg_ranks(df: pd.DataFrame, col: str) -> np.ndarray:
+        # fractional (average) rank within each key group
+        return (df.groupby(key, sort=False)[col]
+                .rank(method="average").to_numpy(np.float64))
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return OUT.empty_table()
+        df = block_.to_pandas()
+        df["__rx"] = avg_ranks(df, col_x)
+        df["__ry"] = avg_ranks(df, col_y)
+        df["__xy"] = df["__rx"] * df["__ry"]
+        df["__xx"] = df["__rx"] * df["__rx"]
+        df["__yy"] = df["__ry"] * df["__ry"]
+        g = df.groupby(key, sort=True).agg(
+            n=("__rx", "size"), sx=("__rx", "sum"), sy=("__ry", "sum"),
+            sxy=("__xy", "sum"), sxx=("__xx", "sum"),
+            syy=("__yy", "sum")).reset_index()
+        n = g["n"].to_numpy(np.float64)
+        sx = g["sx"].to_numpy(np.float64)
+        sy = g["sy"].to_numpy(np.float64)
+        cov = g["sxy"].to_numpy(np.float64) - sx * sy / n
+        vx = g["sxx"].to_numpy(np.float64) - sx * sx / n
+        vy = g["syy"].to_numpy(np.float64) - sy * sy / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = np.where((vx > 0) & (vy > 0),
+                           cov / np.sqrt(vx * vy), np.nan)
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "spearman": pa.array(sql_round(rho, round_digits),
+                                 pa.float64(), from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(ds.select_columns([key, col_x, col_y]),
+                          [key], block, num_partitions,
+                          sort_blocks=False)

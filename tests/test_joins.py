@@ -998,3 +998,33 @@ def test_chi_square_truths(ray_session):
     })
     r2 = chi_square(rd.from_arrow(ind), "a", "b").to_pandas().iloc[0]
     assert abs(r2.chi2) < 1e-12 and r2.cramers_v == 0.0
+
+
+def test_spearman_truths(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_spearman
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 10, 60).astype(float)   # heavy ties
+    noise = rng.randn(60)
+    y = x * 2 + noise
+    tbl = pa.table({
+        "k": pa.array(["m"] * 60 + ["up"] * 4 + ["down"] * 4, pa.string()),
+        "x": pa.array(list(x) + [1, 2, 3, 4] + [1, 2, 3, 4], pa.float64()),
+        "y": pa.array(list(y) + [10, 20, 30, 40] + [9, 7, 5, 3],
+                      pa.float64()),
+    })
+    got = (grouped_spearman(rd.from_arrow(tbl), "k", "x", "y")
+           .to_pandas().set_index("k"))
+    assert got.loc["up", "spearman"] == 1.0
+    assert got.loc["down", "spearman"] == -1.0
+
+    # tie-aware reference: pearson of pandas average ranks
+    rx = pd.Series(x).rank(method="average")
+    ry = pd.Series(y).rank(method="average")
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got.loc["m", "spearman"] - want) < 1e-9
