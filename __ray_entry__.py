@@ -1418,6 +1418,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (cheap repetition/boilerplate
+    proxy, RefinedWeb/Dolma-style quality signal). Deterministic but
+    not SQL-expressible — rows-only; behavior pinned in
+    test_transcript_ops."""
+    from epstein_pipeline_ray.stages.textops import with_compression_ratio
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_compression_ratio(docs)
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3048,6 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_chi2": q_source_lang_chi2,
         "split_leakage": q_split_leakage,
         "price_spearman": q_price_spearman,
+        "compression_ratio": q_compression_ratio,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,

@@ -565,3 +565,39 @@ def vocab_growth(docs: Dataset, id_col: str = "doc_id",
             df["c"].cumsum().to_numpy(np.int64)
             if len(df) else np.array([], np.int64), pa.int64()),
     }))
+
+
+def with_compression_ratio(docs: Dataset, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           round_digits: int = 6) -> Dataset:
+    """Per-doc zlib compression ratio ``compressed_len / raw_len``
+    (level 6, UTF-8 bytes) — the classic cheap repetition/boilerplate
+    proxy (low ratio = highly repetitive; used as a quality signal in
+    RefinedWeb/Dolma-style curation). Deterministic (zlib output is
+    fixed for a given level) but NOT SQL-expressible — rows-only at the
+    gate; behavior pinned by unit tests. Empty docs get ratio 0.
+    Stateless Arrow map_batches; the per-row cost is C zlib."""
+    import zlib
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def add(batch: pa.Table) -> pa.Table:
+        ratios = []
+        for tx in batch[text_col].to_pylist():
+            raw = (tx or "").encode("utf-8")
+            if not raw:
+                ratios.append(0.0)
+                continue
+            ratios.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bytes": pa.array(
+                [len((t or "").encode("utf-8"))
+                 for t in batch[text_col].to_pylist()], pa.int64()),
+            "compression_ratio": pa.array(
+                sql_round(np.asarray(ratios, np.float64), round_digits),
+                pa.float64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        add, batch_format="pyarrow", zero_copy_batch=True)

@@ -257,3 +257,33 @@ def test_turn_latency_hand_truth(ray_session):
         "max_gap_s": [10.0, 10.0],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_compression_ratio_signal(ray_session):
+    import zlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import with_compression_ratio
+
+    rep = "spam ham " * 200
+    import random
+    rng = random.Random(7)
+    varied = " ".join("".join(rng.choice("abcdefghijklmnop")
+                              for _ in range(8)) for _ in range(200))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([rep, varied, ""], pa.string()),
+    }))
+    got = (with_compression_ratio(docs).to_pandas()
+           .set_index("doc_id"))
+    # exact zlib pin for the repetitive doc
+    raw = rep.encode()
+    assert got.loc[1, "compression_ratio"] == round(
+        len(zlib.compress(raw, 6)) / len(raw), 6)
+    # repetitive text compresses far better than random text
+    assert got.loc[1, "compression_ratio"] < 0.1
+    assert got.loc[2, "compression_ratio"] > 0.5
+    assert got.loc[3, "compression_ratio"] == 0.0
+    assert got.loc[3, "n_bytes"] == 0
