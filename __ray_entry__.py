@@ -722,6 +722,30 @@ def q_json_roundtrip(sf_dir: str):
                        required=("doc_id",))
 
 
+def q_json_gz_roundtrip(sf_dir: str):
+    """Compressed-IO sibling of json_roundtrip★: export documents to
+    gzip NDJSON shards (idempotent content-named writer), inject a
+    malformed gz shard, read back through the gzip source with
+    policy='skip' — output equals the documents table exactly."""
+    import gzip
+    import os
+    import shutil
+
+    from epstein_pipeline_ray.sources.jsonsrc import read_ndjson_gz
+    from epstein_pipeline_ray.stages.exporters import write_ndjson_gz
+
+    out = f"/tmp/epr_jsongz_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    write_ndjson_gz(docs, out)
+    with gzip.open(os.path.join(out, "zz_dirty.jsonl.gz"), "wt",
+                   encoding="utf-8") as f:
+        f.write('{"broken": , }\n[1, 2]\n\nnot json\n')
+    return read_ndjson_gz(out, DOCS_JSON_SCHEMA, policy="skip",
+                          required=("doc_id",))
+
+
 def q_minhash_true_jaccard(sf_dir: str):
     """Oracle-exact MinHash sibling (VERDICT r1 item 9): LSH banding is
     candidate generation only (r=2 x b=64 → miss prob ~4e-29 at the 0.8
@@ -3088,6 +3112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
         "json_roundtrip": q_json_roundtrip,
+        "json_gz_roundtrip": q_json_gz_roundtrip,
         "title_fuzzy": q_title_fuzzy,
         "title_lev": q_title_lev,
         "bates_overlap": q_bates_overlap,
@@ -3388,6 +3413,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
         """,
         "json_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "json_gz_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "minhash_true_jaccard": """

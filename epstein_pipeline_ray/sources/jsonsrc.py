@@ -152,3 +152,20 @@ def read_result_dir(paths: str | list[str], schema: pa.Schema,
         return _rows_to_table(rows, schema)
 
     return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_ndjson_gz(paths: str | list[str], schema: pa.Schema,
+                   policy: str = "skip",
+                   required: tuple[str, ...] = ()) -> Dataset:
+    """Gzip NDJSON shard reader — ``read_text`` with a gzip stream
+    (file-parallel decompression in the read tasks) into the same
+    malformed-row policy parse as :func:`read_ndjson`."""
+    assert policy in ("skip", "error", "null")
+    ds = rd.read_text(paths, arrow_open_stream_args={"compression": "gzip"})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return parse_ndjson_lines(
+            batch["text"].to_pylist(), schema, policy, required
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)

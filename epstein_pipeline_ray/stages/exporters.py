@@ -144,3 +144,41 @@ def write_sqlite(ds: Dataset, path: str, table: str, *,
     finally:
         conn.close()
     return total
+
+
+def write_ndjson_gz(ds: Dataset, path: str) -> list[str]:
+    """K1/K4 compressed sibling: gzip NDJSON shards, one ``.jsonl.gz``
+    per batch written inside the map task (the idempotent-writer
+    pattern — shard name from content+pid, so a re-run overwrites
+    rather than duplicates). The 100-TB default: compressed text shards
+    keep storage bandwidth, not CPU, the bottleneck. Returns shard
+    paths."""
+    import gzip
+    import hashlib
+    import json as _json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_batch(batch) -> "pa.Table":
+        import pyarrow as pa
+
+        rows = batch.to_pylist()
+        payload = "\n".join(_json.dumps(r, default=str) for r in rows)
+        tag = hashlib.sha1(payload.encode()).hexdigest()[:16]
+        shard = os.path.join(path, f"part-{tag}.jsonl.gz")
+        with gzip.open(shard, "wt", encoding="utf-8") as f:
+            f.write(payload + ("\n" if payload else ""))
+        return pa.table({"shard": pa.array([shard], pa.string()),
+                         "rows": pa.array([len(rows)], pa.int64())})
+
+    import ray
+
+    manifests = [t for t in ray.get(
+        ds.map_batches(write_batch, batch_format="pyarrow",
+                       zero_copy_batch=True).to_arrow_refs())
+        if t.num_rows]
+    out: list[str] = []
+    for t in manifests:
+        out.extend(t["shard"].to_pylist())
+    return sorted(out)

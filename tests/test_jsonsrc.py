@@ -70,3 +70,35 @@ def test_result_dir_envelope_and_skip(ray_session, tmp_path):
     df = out.to_pandas().sort_values("id").reset_index(drop=True)
     assert df["id"].tolist() == [10, 11]
     assert df["title"].tolist() == ["enveloped", "bare"]
+
+
+def test_gz_roundtrip_idempotent_writer(ray_session, tmp_path):
+    import gzip
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.sources.jsonsrc import read_ndjson_gz
+    from epstein_pipeline_ray.stages.exporters import write_ndjson_gz
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["a", "b", "c"], pa.string())})
+    out = str(tmp_path / "gz")
+    shards = write_ndjson_gz(rd.from_arrow(tbl), out)
+    assert shards and all(s.endswith(".jsonl.gz") for s in shards)
+    # idempotent: re-writing the same data adds NO new shards
+    shards2 = write_ndjson_gz(rd.from_arrow(tbl), out)
+    assert set(shards2) <= set(os.listdir(out) and
+                               {os.path.join(out, f)
+                                for f in os.listdir(out)})
+    assert len(os.listdir(out)) == len(set(shards))
+
+    with gzip.open(os.path.join(out, "zz_bad.jsonl.gz"), "wt") as f:
+        f.write("nope\n")
+    got = (read_ndjson_gz(out, schema, policy="skip",
+                          required=("doc_id",))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.doc_id.tolist() == [1, 2, 3]
+    assert got.text.tolist() == ["a", "b", "c"]
