@@ -22,7 +22,8 @@ BUDGET_SEC = 60
 SF_DIR = "/root/testdata/sf0.001"
 # the slowest queries by recorded per-query correctness-run wall time
 SLOW_QUERIES = ["minhash_true_jaccard", "wordset_jaccard",
-                "transcript_clusters", "substring_pairs"]
+                "transcript_clusters", "substring_pairs",
+                "bigram_pmi", "hits"]
 
 
 def main() -> int:
