@@ -167,8 +167,15 @@ def write_ndjson_gz(ds: Dataset, path: str) -> list[str]:
         payload = "\n".join(_json.dumps(r, default=str) for r in rows)
         tag = hashlib.sha1(payload.encode()).hexdigest()[:16]
         shard = os.path.join(path, f"part-{tag}.jsonl.gz")
-        with gzip.open(shard, "wt", encoding="utf-8") as f:
+        # ATOMIC publish: gzip.open("wt") on the final name truncates
+        # first, so any concurrent reader (or a task re-execution racing
+        # a reader) could observe an empty/partial shard with NO error —
+        # write to a pid-private temp name and os.replace (atomic on
+        # POSIX), so a complete file is visible at every instant
+        tmp = f"{shard}.tmp.{os.getpid()}"
+        with gzip.open(tmp, "wt", encoding="utf-8") as f:
             f.write(payload + ("\n" if payload else ""))
+        os.replace(tmp, shard)
         return pa.table({"shard": pa.array([shard], pa.string()),
                          "rows": pa.array([len(rows)], pa.int64())})
 
@@ -179,6 +186,14 @@ def write_ndjson_gz(ds: Dataset, path: str) -> list[str]:
                        zero_copy_batch=True).to_arrow_refs())
         if t.num_rows]
     out: list[str] = []
+    total = 0
     for t in manifests:
         out.extend(t["shard"].to_pylist())
+        total += int(t["rows"].to_pandas().sum())
+    # distinct shard files must jointly hold every input row — identical
+    # batch payloads (same content hash) would silently fold
+    n_distinct = len(set(out))
+    assert n_distinct == len(out), (
+        f"duplicate shard content hash: {len(out)} batches -> "
+        f"{n_distinct} shards")
     return sorted(out)
