@@ -2707,6 +2707,32 @@ def q_assortativity(sf_dir: str):
     return degree_assortativity(edges)
 
 
+def q_ktruss(sf_dir: str):
+    """k-truss peel (Cohen 2008, k=4: every surviving edge in >= 2
+    triangles) bounded to 4 rounds over the mod-211 order graph:
+    per-round edge-support via the degree-ordered wedge plan, support
+    filter, final support recompute (stages/graph_algo.ktruss);
+    exactly-unrolled 3-way-self-join twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import ktruss
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=211):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return ktruss(edges, k=4, rounds=4)
+
+
 def q_clustering_coef(sf_dir: str):
     """Local clustering coefficient (Watts–Strogatz) per deg>=2 node
     over the mod-1009 order graph — triangle_counts composed with a
@@ -3153,6 +3179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": q_ppr,
         "hits": q_hits,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "clustering_coef": q_clustering_coef,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
@@ -3344,6 +3371,7 @@ def oracle_sql() -> dict[str, str]:
         bfs_hops_sql,
         hits_sql,
         kcore_sql,
+        ktruss_sql,
         label_propagation_sql,
         pagerank_sql,
         pagerank_weighted_sql,
@@ -3717,6 +3745,9 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tcount t USING (node)
             WHERE d.deg >= 2
         """,
+        "ktruss": ktruss_sql(
+            "edges(src, dst) AS (SELECT o_orderkey % 211, "
+            "o_custkey % 211 FROM orders)", k=4, rounds=4),
         "kcore": kcore_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "
             "o_custkey % 1009 FROM orders)", k=3, rounds=6),

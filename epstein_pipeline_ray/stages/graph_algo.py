@@ -1651,3 +1651,338 @@ def degree_assortativity(
         "n_edges": pa.array([int(n) // 2], pa.int64()),
         "assortativity": r,
     }))
+
+
+def ktruss(
+    edges: Dataset,
+    k: int = 4,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_wedge_degree: int = 4096,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """k-truss peel (Cohen 2008) bounded to exactly ``rounds``
+    synchronous rounds — each round computes per-EDGE triangle support
+    within the current subgraph (the degree-ordered compact-forward
+    wedge plan of :func:`triangle_counts`, crediting edges instead of
+    nodes) and drops edges with support < k-2; with enough rounds this
+    is the true k-truss, and fixed rounds unroll to the exact SQL twin
+    (:func:`ktruss_sql`). Undirected simple graph. Returns the
+    surviving edges with their final within-subgraph support:
+    ``(a, b, support)``. Requires k >= 3."""
+    assert k >= 3
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    E = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    SUP = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                     ("c", pa.int64())])
+    OUT = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                     ("support", pa.int64())])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())},
+                        schema=E)
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return E.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())},
+                        schema=E)
+
+    cur = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions,
+        sort_blocks=False).materialize()
+    num_partitions = _auto_partitions(cur, num_partitions)
+
+    DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def ends(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64())})
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return DEG.empty_table()
+        v = np.asarray(block["node"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())},
+                        schema=DEG)
+
+    WROW = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                      ("u", pa.int64()), ("kind", pa.int8())])
+
+    def edge_support(de: Dataset) -> Dataset:
+        """(a, b, c) for every current edge in >=1 triangle."""
+        deg = map_key_blocks(
+            de.map_batches(ends, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["node"], deg_block, num_partitions, sort_blocks=False)
+        withdeg = attach_column(
+            attach_column(de, deg, "a", "node", "deg", "deg_a",
+                          num_partitions=num_partitions),
+            deg, "b", "node", "deg", "deg_b",
+            num_partitions=num_partitions)
+
+        def orient(batch: pa.Table) -> pa.Table:
+            a = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            b = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            da = np.asarray(batch["deg_a"].to_numpy(zero_copy_only=False),
+                            np.int64)
+            db = np.asarray(batch["deg_b"].to_numpy(zero_copy_only=False),
+                            np.int64)
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pa.table({
+                "u": pa.array(np.where(a_first, a, b), pa.int64()),
+                "v": pa.array(np.where(a_first, b, a), pa.int64()),
+            })
+
+        oriented = withdeg.map_batches(orient, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+        def wedge_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return WROW.empty_table()
+            df = block.to_pandas().sort_values(["u", "v"],
+                                               kind="mergesort")
+            u = df["u"].to_numpy(np.int64)
+            v = df["v"].to_numpy(np.int64)
+            new_run = np.r_[True, u[1:] != u[:-1]]
+            run_id = np.cumsum(new_run) - 1
+            run_len = np.bincount(run_id)
+            over = run_len > max_wedge_degree
+            if over.any():
+                from epstein_pipeline_ray.state import metrics
+                pos = np.arange(u.size) - np.repeat(
+                    np.flatnonzero(new_run), run_len)
+                keep = pos < max_wedge_degree
+                metrics.inc("ktruss.wedge_capped", int(over.sum()))
+                u, v, run_id = u[keep], v[keep], run_id[keep]
+            from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
+            I, J = _run_pairs(run_id)
+            return pa.table({
+                "a": pa.array(np.minimum(v[I], v[J]), pa.int64()),
+                "b": pa.array(np.maximum(v[I], v[J]), pa.int64()),
+                "u": pa.array(u[I], pa.int64()),
+                "kind": pa.array(np.zeros(I.size, dtype=np.int8),
+                                 pa.int8()),
+            }, schema=WROW)
+
+        wedges = map_key_blocks(oriented, ["u"], wedge_block,
+                                num_partitions, sort_blocks=False)
+
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "a": batch["a"], "b": batch["b"],
+                "u": pa.array(np.full(n, -1, dtype=np.int64), pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }, schema=WROW)
+
+        closing_in = wedges.union(de.map_batches(
+            edge_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+        def close_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return SUP.empty_table()
+            df = block.to_pandas()
+            es = df.loc[df["kind"] == 1, ["a", "b"]].drop_duplicates()
+            w = df.loc[df["kind"] == 0]
+            if not len(es) or not len(w):
+                return SUP.empty_table()
+            closed = w.merge(es, on=["a", "b"], how="inner")
+            if not len(closed):
+                return SUP.empty_table()
+            # triangle {u, a, b}: credit all three edges canonically
+            ca = closed["a"].to_numpy(np.int64)
+            cb = closed["b"].to_numpy(np.int64)
+            cu = closed["u"].to_numpy(np.int64)
+            ea = np.concatenate([ca, np.minimum(cu, ca),
+                                 np.minimum(cu, cb)])
+            eb = np.concatenate([cb, np.maximum(cu, ca),
+                                 np.maximum(cu, cb)])
+            g = (pd.DataFrame({"a": ea, "b": eb})
+                 .groupby(["a", "b"], sort=False).size()
+                 .rename("c").reset_index())
+            return pa.table({
+                "a": pa.array(g["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            }, schema=SUP)
+
+        credits = map_key_blocks(closing_in, ["a", "b"], close_block,
+                                 num_partitions, sort_blocks=False)
+
+        def sup_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return SUP.empty_table()
+            g = (block.to_pandas()
+                 .groupby(["a", "b"], sort=False, as_index=False)["c"]
+                 .sum())
+            return pa.table({
+                "a": pa.array(g["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+            }, schema=SUP)
+
+        return map_key_blocks(credits, ["a", "b"], sup_block,
+                              num_partitions, sort_blocks=False)
+
+    def _empty() -> Dataset:
+        import ray.data as rd
+
+        return rd.from_arrow(OUT.empty_table())
+
+    def filter_by_support(de: Dataset, sup: Dataset) -> Dataset:
+        """edges with support >= k-2 (absent support = 0 -> dropped)."""
+        def sup_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"a": batch["a"], "b": batch["b"],
+                             "u": batch["c"],
+                             "kind": pa.array(
+                                 np.zeros(batch.num_rows, np.int8),
+                                 pa.int8())}, schema=WROW)
+
+        def edge_rows2(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "a": batch["a"], "b": batch["b"],
+                "u": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }, schema=WROW)
+
+        both = de.map_batches(edge_rows2, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+            sup.map_batches(sup_rows, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+        def keep_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return E.empty_table()
+            df = block.to_pandas()
+            s = df[df["kind"] == 0].set_index(["a", "b"])["u"]
+            e = df[df["kind"] == 1][["a", "b"]].drop_duplicates()
+            if not len(e):
+                return E.empty_table()
+            supv = (e.set_index(["a", "b"]).index.map(s)
+                    .to_numpy())
+            supv = np.where(pd.isna(supv), 0, supv).astype(np.int64)
+            keep = supv >= k - 2
+            e = e[keep]
+            return pa.table({
+                "a": pa.array(e["a"].to_numpy(np.int64), pa.int64()),
+                "b": pa.array(e["b"].to_numpy(np.int64), pa.int64()),
+            }, schema=E)
+
+        return map_key_blocks(both, ["a", "b"], keep_block,
+                              num_partitions, sort_blocks=False)
+
+    for _ in range(rounds):
+        if cur.count() == 0:
+            return _empty()
+        sup = edge_support(cur).materialize()
+        cur = filter_by_support(cur, sup).materialize()
+        gc_exchange_dirs()
+
+    if cur.count() == 0:
+        return _empty()
+    final_sup = edge_support(cur)
+    joined_rows = cur.map_batches(
+        lambda b: pa.table({"a": b["a"], "b": b["b"],
+                            "u": pa.array(np.zeros(b.num_rows, np.int64),
+                                          pa.int64()),
+                            "kind": pa.array(np.ones(b.num_rows, np.int8),
+                                             pa.int8())}, schema=WROW),
+        batch_format="pyarrow", zero_copy_batch=True).union(
+        final_sup.map_batches(
+            lambda b: pa.table({"a": b["a"], "b": b["b"], "u": b["c"],
+                                "kind": pa.array(
+                                    np.zeros(b.num_rows, np.int8),
+                                    pa.int8())}, schema=WROW),
+            batch_format="pyarrow", zero_copy_batch=True))
+
+    def out_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas()
+        s = df[df["kind"] == 0].set_index(["a", "b"])["u"]
+        e = df[df["kind"] == 1][["a", "b"]].drop_duplicates()
+        if not len(e):
+            return OUT.empty_table()
+        supv = e.set_index(["a", "b"]).index.map(s).to_numpy()
+        supv = np.where(pd.isna(supv), 0, supv).astype(np.int64)
+        return pa.table({
+            "a": pa.array(e["a"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(e["b"].to_numpy(np.int64), pa.int64()),
+            "support": pa.array(supv, pa.int64()),
+        }, schema=OUT)
+
+    return map_key_blocks(joined_rows, ["a", "b"], out_block,
+                          num_partitions, sort_blocks=False)
+
+
+def ktruss_sql(edges_cte: str, k: int = 4, rounds: int = 4) -> str:
+    """Exactly-unrolled DuckDB twin of :func:`ktruss` — per round a
+    triangle 3-way self-join, an edge-credit union, and a support
+    filter (all MATERIALIZED). ``edges_cte`` must define
+    ``edges(src, dst)``."""
+    thr = int(k) - 2
+    parts = [f"""WITH {edges_cte},
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        tri{i} AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{i - 1} e1
+            JOIN e{i - 1} e2 ON e2.a = e1.b
+            JOIN e{i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+        sup{i} AS MATERIALIZED (
+            SELECT a, b, count(*)::BIGINT AS c FROM (
+                SELECT x AS a, y AS b FROM tri{i}
+                UNION ALL SELECT y, z FROM tri{i}
+                UNION ALL SELECT x, z FROM tri{i}
+            ) GROUP BY a, b),
+        e{i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{i - 1} e
+            JOIN sup{i} s ON s.a = e.a AND s.b = e.b
+            WHERE s.c >= {thr})""")
+    parts.append(f""",
+        trif AS MATERIALIZED (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e{rounds} e1
+            JOIN e{rounds} e2 ON e2.a = e1.b
+            JOIN e{rounds} e3 ON e3.a = e1.a AND e3.b = e2.b),
+        supf AS MATERIALIZED (
+            SELECT a, b, count(*)::BIGINT AS c FROM (
+                SELECT x AS a, y AS b FROM trif
+                UNION ALL SELECT y, z FROM trif
+                UNION ALL SELECT x, z FROM trif
+            ) GROUP BY a, b)
+        SELECT e.a, e.b, coalesce(s.c, 0)::BIGINT AS support
+        FROM e{rounds} e
+        LEFT JOIN supf s ON s.a = e.a AND s.b = e.b""")
+    return "".join(parts)

@@ -488,3 +488,51 @@ def test_personalized_pagerank_localizes(ray_session):
     assert got["x"] == 0.0 and got["y"] == 0.0
     assert got["a"] > got["c"] > 0  # restart mass concentrates at source
     assert abs(got[["a", "b", "c"]].sum() - 1.0) < 1e-6
+
+
+def test_ktruss_twin_and_k5(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import ktruss, ktruss_sql
+
+    rng = np.random.RandomState(19)
+    E = sorted({(int(rng.randint(0, 25)), int(rng.randint(0, 25)))
+                for _ in range(160)})
+    raw = E + E[:5] + [(3, 3)]  # dupes + self loop collapse
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in raw], pa.int64()),
+        "dst": pa.array([e[1] for e in raw], pa.int64())}))
+    got = (ktruss(edges, k=4, rounds=4).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    vals = ",".join(f"({s},{d})" for s, d in raw)
+    con = duckdb.connect()
+    want = (con.sql(ktruss_sql(f"edges(src, dst) AS (VALUES {vals})",
+                               k=4, rounds=4)).df()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+    # K5 with a pendant triangle hanging off node 4: the 4-truss keeps
+    # exactly K5 (support 3 per edge), the pendant triangle (support 1
+    # per edge) peels away
+    K5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    E2 = K5 + [(4, 10), (4, 11), (10, 11)]
+    e2 = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E2], pa.int64()),
+        "dst": pa.array([e[1] for e in E2], pa.int64())}))
+    g2 = (ktruss(e2, k=4, rounds=4).to_pandas()
+          .sort_values(["a", "b"]).reset_index(drop=True))
+    assert set(map(tuple, g2[["a", "b"]].to_numpy())) == set(K5)
+    assert (g2.support == 3).all()
+
+    # fully peeled graph (triangle-free) -> typed empty, no crash
+    path = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3], pa.int64())}))
+    out = ktruss(path, k=3, rounds=2)
+    assert out.count() == 0
+    assert out.schema().names == ["a", "b", "support"]
