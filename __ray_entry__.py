@@ -2707,6 +2707,32 @@ def q_assortativity(sf_dir: str):
     return degree_assortativity(edges)
 
 
+def q_conductance(sf_dir: str):
+    """Cut quality of the LPA communities over the mod-1009 order graph
+    (internal/cut edges and edge-volume conductance per label) —
+    label_propagation composed with edge-label attaches + one
+    label-keyed exchange (stages/graph_algo.community_conductance);
+    LPA-twin-embedded contribution-union twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import community_conductance
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return community_conductance(edges, iters=4)
+
+
 def q_ktruss(sf_dir: str):
     """k-truss peel (Cohen 2008, k=4: every surviving edge in >= 2
     triangles) bounded to 4 rounds over the mod-211 order graph:
@@ -3180,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "kcore": q_kcore,
         "ktruss": q_ktruss,
+        "conductance": q_conductance,
         "clustering_coef": q_clustering_coef,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
@@ -3369,6 +3396,7 @@ def oracle_sql() -> dict[str, str]:
                           for j, (a, b) in enumerate(cms_params(4)))
     from epstein_pipeline_ray.stages.graph_algo import (
         bfs_hops_sql,
+        community_conductance_sql,
         hits_sql,
         kcore_sql,
         ktruss_sql,
@@ -3745,6 +3773,9 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tcount t USING (node)
             WHERE d.deg >= 2
         """,
+        "conductance": community_conductance_sql(
+            "edges(src, dst) AS (SELECT o_orderkey % 1009, "
+            "o_custkey % 1009 FROM orders)", iters=4),
         "ktruss": ktruss_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 211, "
             "o_custkey % 211 FROM orders)", k=4, rounds=4),

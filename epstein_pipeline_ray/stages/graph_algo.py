@@ -1986,3 +1986,139 @@ def ktruss_sql(edges_cte: str, k: int = 4, rounds: int = 4) -> str:
         FROM e{rounds} e
         LEFT JOIN supf s ON s.a = e.a AND s.b = e.b""")
     return "".join(parts)
+
+
+def community_conductance(
+    edges: Dataset,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Cut quality of the synchronous-LPA communities: per label,
+    internal edges (both endpoints inside), cut edges (exactly one
+    endpoint), and edge-volume conductance
+    ``cut / (2*internal + cut)`` — 0 = perfectly separated, →1 = no
+    community structure. Runs :func:`label_propagation` (same
+    deterministic semantics as the oracled label_prop query), attaches
+    labels to both endpoints of the distinct undirected edge list, and
+    sums per-label contributions through one keyed exchange (cut edges
+    contribute to BOTH sides' labels). Twin: the exactly-unrolled LPA
+    twin embedded as a CTE + the same contribution union."""
+    import pyarrow.compute as pc_
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    labels = label_propagation(edges, iters=iters, src_col=src_col,
+                               dst_col=dst_col,
+                               num_partitions=num_partitions).materialize()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions, sort_blocks=False)
+
+    el = attach_column(und, labels, "a", "node", "label", "l1",
+                       num_partitions=num_partitions)
+    el = attach_column(el, labels, "b", "node", "label", "l2",
+                       num_partitions=num_partitions)
+
+    PART = pa.schema([("label", pa.int64()), ("i", pa.int64()),
+                      ("c", pa.int64())])
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        l1 = np.asarray(batch["l1"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        l2 = np.asarray(batch["l2"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        same = l1 == l2
+        lab = np.concatenate([l1, l2[~same]])
+        i = np.concatenate([same.astype(np.int64),
+                            np.zeros(int((~same).sum()), np.int64)])
+        c = np.concatenate([(~same).astype(np.int64),
+                            np.ones(int((~same).sum()), np.int64)])
+        df = (pd.DataFrame({"label": lab, "i": i, "c": c})
+              .groupby("label", sort=False, as_index=False).sum())
+        return pa.table({
+            "label": pa.array(df["label"].to_numpy(np.int64), pa.int64()),
+            "i": pa.array(df["i"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=PART)
+
+    OUT = pa.schema([("label", pa.int64()), ("internal_edges", pa.int64()),
+                     ("cut_edges", pa.int64()),
+                     ("conductance", pa.float64())])
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas()
+             .groupby("label", sort=True, as_index=False)[["i", "c"]]
+             .sum())
+        i = g["i"].to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        from epstein_pipeline_ray.functions.rounding import sql_round
+
+        cond = sql_round(c / (2.0 * i + c), round_digits)
+        return pa.table({
+            "label": pa.array(g["label"].to_numpy(np.int64), pa.int64()),
+            "internal_edges": pa.array(i.astype(np.int64), pa.int64()),
+            "cut_edges": pa.array(c.astype(np.int64), pa.int64()),
+            "conductance": pa.array(cond, pa.float64()),
+        }, schema=OUT)
+
+    parts = el.map_batches(contrib, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return map_key_blocks(parts, ["label"], reduce_block, num_partitions,
+                          sort_blocks=False)
+
+
+def community_conductance_sql(edges_cte: str, iters: int = 4) -> str:
+    """Twin of :func:`community_conductance` — the exactly-unrolled LPA
+    twin embedded as a CTE (its inner WITH shadows the outer names) plus
+    the same cut/internal contribution union. ``edges_cte`` must define
+    ``edges(src, dst)``."""
+    lpa = label_propagation_sql(edges_cte, iters=iters)
+    return f"""WITH {edges_cte},
+        lab AS ({lpa}),
+        ud AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst),
+        el AS (
+            SELECT la.label AS l1, lb.label AS l2
+            FROM ud JOIN lab la ON la.node = ud.a
+                    JOIN lab lb ON lb.node = ud.b),
+        contrib AS (
+            SELECT l1 AS label,
+                   CASE WHEN l1 = l2 THEN 1 ELSE 0 END AS i,
+                   CASE WHEN l1 = l2 THEN 0 ELSE 1 END AS c
+            FROM el
+            UNION ALL SELECT l2, 0, 1 FROM el WHERE l1 <> l2)
+        SELECT label, sum(i)::BIGINT AS internal_edges,
+               sum(c)::BIGINT AS cut_edges,
+               round(sum(c)::DOUBLE / (2 * sum(i) + sum(c)), 9)
+                   AS conductance
+        FROM contrib GROUP BY label"""

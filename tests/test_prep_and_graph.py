@@ -536,3 +536,25 @@ def test_ktruss_twin_and_k5(ray_session):
     out = ktruss(path, k=3, rounds=2)
     assert out.count() == 0
     assert out.schema().names == ["a", "b", "support"]
+
+
+def test_community_conductance_two_cliques(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import community_conductance
+
+    # two K4 cliques joined by ONE bridge: LPA labels each clique by its
+    # min node; each community: 6 internal edges, 1 cut edge
+    K = lambda off: [(off + i, off + j) for i in range(4)
+                     for j in range(i + 1, 4)]
+    E = K(0) + K(10) + [(0, 10)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in E], pa.int64()),
+        "dst": pa.array([e[1] for e in E], pa.int64())}))
+    got = (community_conductance(edges, iters=4).to_pandas()
+           .sort_values("label").reset_index(drop=True))
+    assert got.label.tolist() == [0, 10]
+    assert got.internal_edges.tolist() == [6, 6]
+    assert got.cut_edges.tolist() == [1, 1]
+    assert (got.conductance == round(1 / 13, 9)).all()
