@@ -2707,6 +2707,31 @@ def q_assortativity(sf_dir: str):
     return degree_assortativity(edges)
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution of the mod-1009 order graph (the heavy-tail
+    diagnostic before wedge-based plans) — degree exchange + count
+    exchange (stages/graph_algo.degree_histogram); nested GROUP BY
+    twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.graph_algo import degree_histogram
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        def modcol(col, m=1009):
+            return pc.subtract(col, pc.multiply(
+                pc.divide(col, pa.scalar(m, pa.int64())),
+                pa.scalar(m, pa.int64())))
+
+        return pa.table({"src": modcol(batch["o_orderkey"]),
+                         "dst": modcol(batch["o_custkey"])})
+
+    edges = orders.map_batches(to_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return degree_histogram(edges)
+
+
 def q_conductance(sf_dir: str):
     """Cut quality of the LPA communities over the mod-1009 order graph
     (internal/cut edges and edge-volume conductance per label) —
@@ -3207,6 +3232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "ktruss": q_ktruss,
         "conductance": q_conductance,
+        "degree_hist": q_degree_hist,
         "clustering_coef": q_clustering_coef,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
@@ -3772,6 +3798,22 @@ def oracle_sql() -> dict[str, str]:
                          / (d.deg * (d.deg - 1.0)), 9) AS coef
             FROM deg d LEFT JOIN tcount t USING (node)
             WHERE d.deg >= 2
+        """,
+        "degree_hist": """
+            WITH e AS (
+                SELECT DISTINCT least(o_orderkey % 1009, o_custkey % 1009)
+                           AS a,
+                       greatest(o_orderkey % 1009, o_custkey % 1009) AS b
+                FROM orders
+                WHERE o_orderkey % 1009 <> o_custkey % 1009
+            ),
+            deg AS (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY node
+            )
+            SELECT deg, count(*)::BIGINT AS n_nodes
+            FROM deg GROUP BY deg
         """,
         "conductance": community_conductance_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 1009, "

@@ -2122,3 +2122,91 @@ def community_conductance_sql(edges_cte: str, iters: int = 4) -> str:
                round(sum(c)::DOUBLE / (2 * sum(i) + sum(c)), 9)
                    AS conductance
         FROM contrib GROUP BY label"""
+
+
+def degree_histogram(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Degree distribution of the undirected simple graph: (deg,
+    n_nodes) — the one-look heavy-tail / skew diagnostic before any
+    wedge-based plan (wedge counts grow with the squared tail). One
+    degree exchange + one degree-keyed count exchange. Twin: two nested
+    GROUP BYs."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        d = np.asarray(batch[dst_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        df = pd.DataFrame({"a": np.minimum(s, d),
+                           "b": np.maximum(s, d)}).drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    UND = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def distinct_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return UND.empty_table()
+        df = block.to_pandas().drop_duplicates()
+        return pa.table({"a": pa.array(df["a"].to_numpy(np.int64), pa.int64()),
+                         "b": pa.array(df["b"].to_numpy(np.int64), pa.int64())})
+
+    und = map_key_blocks(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"], distinct_block, num_partitions, sort_blocks=False)
+
+    DEG = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    def ends(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(np.concatenate([a, b]),
+                                          pa.int64())})
+
+    def deg_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return DEG.empty_table()
+        v = np.asarray(block["node"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64), pa.int64())},
+                        schema=DEG)
+
+    deg = map_key_blocks(
+        und.map_batches(ends, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], deg_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([("deg", pa.int64()), ("n_nodes", pa.int64())])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["deg"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"deg": pa.array(u, pa.int64()),
+                         "n_nodes": pa.array(c.astype(np.int64),
+                                             pa.int64())}, schema=OUT)
+
+    def hist_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas()
+             .groupby("deg", sort=True, as_index=False)["n_nodes"].sum())
+        return pa.table({
+            "deg": pa.array(g["deg"].to_numpy(np.int64), pa.int64()),
+            "n_nodes": pa.array(g["n_nodes"].to_numpy(np.int64),
+                                pa.int64()),
+        }, schema=OUT)
+
+    return map_key_blocks(
+        deg.map_batches(hist_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["deg"], hist_block, num_partitions, sort_blocks=False)
