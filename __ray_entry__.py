@@ -2810,6 +2810,62 @@ def q_clustering_coef(sf_dir: str):
     return clustering_coefficient(edges)
 
 
+def q_partition_ari(sf_dir: str):
+    """Rand + Adjusted Rand agreement between two clusterings of the
+    sparse order graph: connected components (min-label fixpoint) vs
+    4-round LPA communities — the dedup-evaluation metric for cluster
+    assignments (stages/cluster.partition_agreement); twin embeds the
+    recursive CC fixpoint and the unrolled LPA twin and computes the
+    identical integer pair-count closed form."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.cluster import (
+        min_label_propagation, partition_agreement)
+    from epstein_pipeline_ray.stages.graph_algo import label_propagation
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def modcol(col, m):
+        return pc.subtract(col, pc.multiply(
+            pc.divide(col, pa.scalar(m, pa.int64())),
+            pa.scalar(m, pa.int64())))
+
+    def sparse(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(modcol(batch["o_orderkey"], 13),
+                        pa.scalar(0, pa.int64()))
+        t = batch.filter(keep)
+        return pa.table({"src": modcol(t["o_orderkey"], 8009),
+                         "dst": modcol(t["o_custkey"], 8009)})
+
+    edges = orders.map_batches(sparse, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        def node(col):
+            return pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(col, pa.string()), "")
+
+        return pa.table({"id_a": node(batch["src"]),
+                         "id_b": node(batch["dst"])})
+
+    cc = min_label_propagation(
+        edges.map_batches(to_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    lpa = label_propagation(edges, iters=4)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        def s(col):
+            return pc.binary_join_element_wise(
+                pa.scalar("n"), pc.cast(col, pa.string()), "")
+
+        return pa.table({"node": s(batch["node"]),
+                         "label": s(batch["label"])})
+
+    lpa_s = lpa.map_batches(stringify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return partition_agreement(cc, lpa_s)
+
+
 def q_kcore(sf_dir: str):
     """k-core peel (Seidman 1983) bounded to 6 synchronous rounds over
     the mod-1009 order graph — per-round degree exchange + membership
@@ -3233,6 +3289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": q_ktruss,
         "conductance": q_conductance,
         "degree_hist": q_degree_hist,
+        "partition_ari": q_partition_ari,
         "clustering_coef": q_clustering_coef,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
@@ -3799,6 +3856,43 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tcount t USING (node)
             WHERE d.deg >= 2
         """,
+        "partition_ari": """
+            WITH RECURSIVE
+            se AS MATERIALIZED (
+                SELECT 'n' || (o_orderkey % 8009) AS a,
+                       'n' || (o_custkey % 8009) AS b
+                FROM orders WHERE o_orderkey % 13 = 0
+            ),
+            nds AS (SELECT a AS node FROM se UNION SELECT b FROM se),
+            ud AS (SELECT a AS s, b AS d FROM se WHERE a <> b
+                   UNION SELECT b, a FROM se WHERE a <> b),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nds
+                UNION
+                SELECT ud.d, walk.lbl FROM walk JOIN ud ON ud.s = walk.node),
+            cc AS (SELECT node, min(lbl) AS la FROM walk GROUP BY node),
+            lpa AS ({LPA}),
+            j AS (
+                SELECT cc.la, 'n' || lpa.label AS lb
+                FROM cc JOIN lpa ON cc.node = 'n' || lpa.node),
+            cells AS (
+                SELECT la, lb, count(*)::DOUBLE AS c FROM j GROUP BY 1, 2),
+            st AS (SELECT sum(c*(c-1)/2) AS sab, sum(c) AS n FROM cells),
+            sa_t AS (SELECT sum(c*(c-1)/2) AS sa FROM (
+                SELECT sum(c) AS c FROM cells GROUP BY la)),
+            sb_t AS (SELECT sum(c*(c-1)/2) AS sb FROM (
+                SELECT sum(c) AS c FROM cells GROUP BY lb))
+            SELECT st.n::BIGINT AS n,
+                   round((2*st.sab + st.n*(st.n-1)/2 - sa_t.sa - sb_t.sb)
+                         / (st.n*(st.n-1)/2), 9) AS rand_index,
+                   round((st.sab - sa_t.sa*sb_t.sb/(st.n*(st.n-1)/2))
+                         / ((sa_t.sa+sb_t.sb)/2
+                            - sa_t.sa*sb_t.sb/(st.n*(st.n-1)/2)), 9)
+                       AS adjusted_rand
+            FROM st, sa_t, sb_t
+        """.replace("{LPA}", label_propagation_sql(
+            "edges(src, dst) AS (SELECT o_orderkey % 8009, o_custkey % 8009 "
+            "FROM orders WHERE o_orderkey % 13 = 0)", iters=4)),
         "degree_hist": """
             WITH e AS (
                 SELECT DISTINCT least(o_orderkey % 1009, o_custkey % 1009)

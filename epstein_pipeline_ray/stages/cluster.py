@@ -474,3 +474,130 @@ def assign_clusters(docs: Dataset, pairs: Dataset,
 
     out = docs.select_columns(["conv_id"]).map_batches(stamp, batch_format="pyarrow")
     return out
+
+
+def partition_agreement(
+    labels_a, labels_b, key: str = "node",
+    label_a_col: str = "label", label_b_col: str = "label",
+    round_digits: int = 9, num_partitions: int | None = None,
+):
+    """Rand index and Adjusted Rand Index between two labelings of the
+    same node set — THE clustering-agreement metric for comparing dedup
+    cluster assignments (e.g. a fast pass vs a reference pass). Label
+    VALUES don't matter, only the partitions.
+
+    All inputs to the closed form are integer pair counts, computed
+    scale-safely: one size-switched label attach, a (la, lb)-keyed cell
+    exchange, two marginal exchanges, and fixed-size per-block
+    sum-of-C(c,2) partials reduced on the driver (never a
+    cell-proportional pull). RI = (2*Sab + C(n,2) - Sa - Sb) / C(n,2);
+    ARI = (Sab - Sa*Sb/C(n,2)) / ((Sa+Sb)/2 - Sa*Sb/C(n,2)) with
+    S* = sum of C(count, 2) over cells / marginals. Output: one row
+    (n, rand_index, adjusted_rand)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    la = labels_a.select_columns([key, label_a_col])
+    if label_a_col != "la":
+        la = la.map_batches(
+            lambda b: pa.table({key: b[key], "la": b[label_a_col]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    lb = labels_b.select_columns([key, label_b_col])
+    if label_b_col != "lb":
+        lb = lb.map_batches(
+            lambda b: pa.table({key: b[key], "lb": b[label_b_col]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    joined = attach_column(la, lb, key, key, "lb", "lb",
+                           num_partitions=num_partitions)
+
+    CELL = pa.schema([("la", pa.string()), ("lb", pa.string()),
+                      ("c", pa.int64())])
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"la": batch["la"].to_pandas().astype(str),
+                           "lb": batch["lb"].to_pandas().astype(str)})
+        g = df.groupby(["la", "lb"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({"la": pa.array(g["la"], pa.string()),
+                         "lb": pa.array(g["lb"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64),
+                                       pa.int64())}, schema=CELL)
+
+    def cell_sum(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return CELL.empty_table()
+        g = (block.to_pandas()
+             .groupby(["la", "lb"], sort=False, as_index=False)["c"].sum())
+        return pa.table({"la": pa.array(g["la"], pa.string()),
+                         "lb": pa.array(g["lb"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64),
+                                       pa.int64())}, schema=CELL)
+
+    cells = map_key_blocks(
+        joined.map_batches(cell_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["la", "lb"], cell_sum, num_partitions,
+        sort_blocks=False).materialize()
+
+    PART = pa.schema([("n", pa.int64()), ("s", pa.float64())])
+
+    def choose2_partials(ds, cnt_col):
+        def p(batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch[cnt_col].to_numpy(zero_copy_only=False),
+                           np.float64)
+            return pa.table({
+                "n": pa.array([int(c.sum())], pa.int64()),
+                "s": pa.array([float((c * (c - 1.0) / 2.0).sum())],
+                              pa.float64()),
+            }, schema=PART)
+
+        tabs = [t for t in ray.get(
+            ds.map_batches(p, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+            if t.num_rows]
+        n = sum(int(t["n"].to_pandas().sum()) for t in tabs)
+        s = sum(float(t["s"].to_pandas().sum()) for t in tabs)
+        return n, s
+
+    n, sab = choose2_partials(cells, "c")
+
+    def marginal(col: str):
+        M = pa.schema([(col, pa.string()), ("c", pa.int64())])
+
+        def msum(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return M.empty_table()
+            g = (block.to_pandas()
+                 .groupby(col, sort=False, as_index=False)["c"].sum())
+            return pa.table({col: pa.array(g[col], pa.string()),
+                             "c": pa.array(g["c"].to_numpy(np.int64),
+                                           pa.int64())}, schema=M)
+
+        return map_key_blocks(cells.select_columns([col, "c"]), [col],
+                              msum, num_partitions, sort_blocks=False)
+
+    _, sa = choose2_partials(marginal("la"), "c")
+    _, sb = choose2_partials(marginal("lb"), "c")
+
+    tot = n * (n - 1) / 2.0
+    ri = (2.0 * sab + tot - sa - sb) / tot if tot else 1.0
+    exp = sa * sb / tot if tot else 0.0
+    den = (sa + sb) / 2.0 - exp
+    ari = (sab - exp) / den if den != 0 else 1.0
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "rand_index": pa.array(
+            [float(sql_round(np.array([ri]), round_digits)[0])],
+            pa.float64()),
+        "adjusted_rand": pa.array(
+            [float(sql_round(np.array([ari]), round_digits)[0])],
+            pa.float64()),
+    }))

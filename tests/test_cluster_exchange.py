@@ -122,3 +122,34 @@ def test_env_limit_switches_plan(ray_session, monkeypatch):
     assert out.loc[out.conv_id == "a-1", "cluster_size"].iloc[0] == 3
     # exactly one representative per cluster
     assert out.groupby("cluster_id")["representative"].sum().tolist() == [1, 1]
+
+
+def test_partition_agreement_truths(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.cluster import partition_agreement
+
+    def lab(nodes, labels):
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "label": pa.array(labels, pa.string())}))
+
+    nodes = [f"n{i}" for i in range(6)]
+    a = lab(nodes, ["x", "x", "x", "y", "y", "y"])
+    # identical partition under RENAMED labels -> RI = ARI = 1
+    b = lab(nodes, ["q", "q", "q", "r", "r", "r"])
+    r = partition_agreement(a, b).to_pandas().iloc[0]
+    assert r.rand_index == 1.0 and r.adjusted_rand == 1.0 and r.n == 6
+
+    # hand-computed disagreement: split one cluster of a in b
+    c = lab(nodes, ["q", "q", "z", "r", "r", "r"])
+    r2 = partition_agreement(a, c).to_pandas().iloc[0]
+    # pairs: C(6,2)=15; agreements: same-same pairs = C(2,2 in qq)=1
+    # + C(3,2 in rrr)=3 = 4 (sab); a marginals C(3,2)*2 = 6 (sa);
+    # b marginals C(2,2)+C(3,2)=1+3=4 (sb)
+    # RI = (2*4 + 15 - 6 - 4)/15 = 13/15
+    assert r2.rand_index == round(13 / 15, 9)
+    exp = 6 * 4 / 15
+    want_ari = (4 - exp) / ((6 + 4) / 2 - exp)
+    assert r2.adjusted_rand == round(want_ari, 9)
