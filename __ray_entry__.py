@@ -3881,15 +3881,26 @@ def oracle_sql() -> dict[str, str]:
             sa_t AS (SELECT sum(c*(c-1)/2) AS sa FROM (
                 SELECT sum(c) AS c FROM cells GROUP BY la)),
             sb_t AS (SELECT sum(c*(c-1)/2) AS sb FROM (
-                SELECT sum(c) AS c FROM cells GROUP BY lb))
+                SELECT sum(c) AS c FROM cells GROUP BY lb)),
+            ln_t AS (
+                SELECT (SELECT sum(c*ln(c)) FROM cells) AS cl,
+                       (SELECT sum(c*ln(c)) FROM (
+                            SELECT sum(c) AS c FROM cells GROUP BY la))
+                           AS al,
+                       (SELECT sum(c*ln(c)) FROM (
+                            SELECT sum(c) AS c FROM cells GROUP BY lb))
+                           AS bl)
             SELECT st.n::BIGINT AS n,
                    round((2*st.sab + st.n*(st.n-1)/2 - sa_t.sa - sb_t.sb)
                          / (st.n*(st.n-1)/2), 9) AS rand_index,
                    round((st.sab - sa_t.sa*sb_t.sb/(st.n*(st.n-1)/2))
                          / ((sa_t.sa+sb_t.sb)/2
                             - sa_t.sa*sb_t.sb/(st.n*(st.n-1)/2)), 9)
-                       AS adjusted_rand
-            FROM st, sa_t, sb_t
+                       AS adjusted_rand,
+                   round(((ln_t.cl - ln_t.al - ln_t.bl)/st.n + ln(st.n))
+                         / sqrt((ln(st.n) - ln_t.al/st.n)
+                                * (ln(st.n) - ln_t.bl/st.n)), 9) AS nmi
+            FROM st, sa_t, sb_t, ln_t
         """.replace("{LPA}", label_propagation_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 8009, o_custkey % 8009 "
             "FROM orders WHERE o_orderkey % 13 = 0)", iters=4)),

@@ -492,8 +492,9 @@ def partition_agreement(
     sum-of-C(c,2) partials reduced on the driver (never a
     cell-proportional pull). RI = (2*Sab + C(n,2) - Sa - Sb) / C(n,2);
     ARI = (Sab - Sa*Sb/C(n,2)) / ((Sa+Sb)/2 - Sa*Sb/C(n,2)) with
-    S* = sum of C(count, 2) over cells / marginals. Output: one row
-    (n, rand_index, adjusted_rand)."""
+    S* = sum of C(count, 2) over cells / marginals; NMI from the same
+    tables via the integer-count entropy closed form. Output: one row
+    (n, rand_index, adjusted_rand, nmi)."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -592,6 +593,33 @@ def partition_agreement(
     exp = sa * sb / tot if tot else 0.0
     den = (sa + sb) / 2.0 - exp
     ari = (sab - exp) / den if den != 0 else 1.0
+
+    # NMI from the SAME bounded cell/marginal tables (integer-count
+    # closed forms, the mutual_information convention):
+    # MI = (sum c ln c - sum ca ln ca - sum cb ln cb)/n + ln n,
+    # H = ln n - sum c ln c / n, NMI = MI / sqrt(Ha*Hb)
+    def _clnc(ds, cnt_col) -> float:
+        def q(batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch[cnt_col].to_numpy(zero_copy_only=False),
+                           np.float64)
+            return pa.table({"s": pa.array([float((c * np.log(c)).sum())],
+                                           pa.float64())})
+
+        tabs = [t for t in ray.get(
+            ds.map_batches(q, batch_format="pyarrow",
+                           zero_copy_batch=True).to_arrow_refs())
+            if t.num_rows]
+        return sum(float(t["s"].to_pandas().sum()) for t in tabs)
+
+    cl = _clnc(cells, "c")
+    al = _clnc(marginal("la"), "c")
+    bl = _clnc(marginal("lb"), "c")
+    ln_n = float(np.log(n)) if n else 0.0
+    mi = (cl - al - bl) / n + ln_n if n else 0.0
+    ha = ln_n - al / n if n else 0.0
+    hb = ln_n - bl / n if n else 0.0
+    nmi = mi / float(np.sqrt(ha * hb)) if ha > 0 and hb > 0 else (
+        1.0 if mi == 0 and (ha == 0 or hb == 0) else 0.0)
     return rd.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
         "rand_index": pa.array(
@@ -599,5 +627,8 @@ def partition_agreement(
             pa.float64()),
         "adjusted_rand": pa.array(
             [float(sql_round(np.array([ari]), round_digits)[0])],
+            pa.float64()),
+        "nmi": pa.array(
+            [float(sql_round(np.array([nmi]), round_digits)[0])],
             pa.float64()),
     }))

@@ -153,3 +153,28 @@ def test_partition_agreement_truths(ray_session):
     exp = 6 * 4 / 15
     want_ari = (4 - exp) / ((6 + 4) / 2 - exp)
     assert r2.adjusted_rand == round(want_ari, 9)
+
+
+def test_partition_agreement_nmi(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.cluster import partition_agreement
+
+    def lab(nodes, labels):
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "label": pa.array(labels, pa.string())}))
+
+    nodes = [f"n{i}" for i in range(4)]
+    a = lab(nodes, ["x", "x", "y", "y"])
+    # identical partition renamed -> NMI 1
+    r = partition_agreement(a, lab(nodes, ["p", "p", "q", "q"])) \
+        .to_pandas().iloc[0]
+    assert r.nmi == 1.0
+    # independent uniform 2x2 (each cell 1) -> MI 0 -> NMI 0
+    r2 = partition_agreement(a, lab(nodes, ["p", "q", "p", "q"])) \
+        .to_pandas().iloc[0]
+    assert abs(r2.nmi) < 1e-9
