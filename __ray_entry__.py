@@ -3889,7 +3889,14 @@ def oracle_sql() -> dict[str, str]:
                            AS al,
                        (SELECT sum(c*ln(c)) FROM (
                             SELECT sum(c) AS c FROM cells GROUP BY lb))
-                           AS bl)
+                           AS bl),
+            mb AS (SELECT lb, sum(c) AS m FROM cells GROUP BY lb),
+            ma2 AS (SELECT la, sum(c) AS m FROM cells GROUP BY la),
+            b3 AS (
+                SELECT (SELECT sum(cells.c * cells.c / mb.m)
+                        FROM cells JOIN mb USING (lb)) AS p,
+                       (SELECT sum(cells.c * cells.c / ma2.m)
+                        FROM cells JOIN ma2 USING (la)) AS r)
             SELECT st.n::BIGINT AS n,
                    round((2*st.sab + st.n*(st.n-1)/2 - sa_t.sa - sb_t.sb)
                          / (st.n*(st.n-1)/2), 9) AS rand_index,
@@ -3899,8 +3906,12 @@ def oracle_sql() -> dict[str, str]:
                        AS adjusted_rand,
                    round(((ln_t.cl - ln_t.al - ln_t.bl)/st.n + ln(st.n))
                          / sqrt((ln(st.n) - ln_t.al/st.n)
-                                * (ln(st.n) - ln_t.bl/st.n)), 9) AS nmi
-            FROM st, sa_t, sb_t, ln_t
+                                * (ln(st.n) - ln_t.bl/st.n)), 9) AS nmi,
+                   round(b3.p / st.n, 9) AS b3_precision,
+                   round(b3.r / st.n, 9) AS b3_recall,
+                   round(2 * (b3.p/st.n) * (b3.r/st.n)
+                         / (b3.p/st.n + b3.r/st.n), 9) AS b3_f1
+            FROM st, sa_t, sb_t, ln_t, b3
         """.replace("{LPA}", label_propagation_sql(
             "edges(src, dst) AS (SELECT o_orderkey % 8009, o_custkey % 8009 "
             "FROM orders WHERE o_orderkey % 13 = 0)", iters=4)),

@@ -494,7 +494,9 @@ def partition_agreement(
     ARI = (Sab - Sa*Sb/C(n,2)) / ((Sa+Sb)/2 - Sa*Sb/C(n,2)) with
     S* = sum of C(count, 2) over cells / marginals; NMI from the same
     tables via the integer-count entropy closed form. Output: one row
-    (n, rand_index, adjusted_rand, nmi)."""
+    (n, rand_index, adjusted_rand, nmi, b3_precision,
+    b3_recall, b3_f1) — la treated as gold classes, lb as system
+    clusters (Bagga & Baldwin 1998)."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -620,6 +622,35 @@ def partition_agreement(
     hb = ln_n - bl / n if n else 0.0
     nmi = mi / float(np.sqrt(ha * hb)) if ha > 0 and hb > 0 else (
         1.0 if mi == 0 and (ha == 0 or hb == 0) else 0.0)
+
+    # B-cubed (Bagga & Baldwin 1998): per-item precision/recall averaged
+    # = sum over cells of c^2/|cluster| / n, with |cluster| the cell's
+    # own-side marginal — one size-switched marginal attach per side,
+    # fixed-size partial sums
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    def _b3(side: str) -> float:
+        att = attach_column(cells, marginal(side), side, side, "c", "m",
+                            num_partitions=num_partitions)
+
+        def q(batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch["c"].to_numpy(zero_copy_only=False),
+                           np.float64)
+            m = np.asarray(batch["m"].to_numpy(zero_copy_only=False),
+                           np.float64)
+            return pa.table({"s": pa.array([float((c * c / m).sum())],
+                                           pa.float64())})
+
+        tabs = [t for t in ray.get(
+            att.map_batches(q, batch_format="pyarrow",
+                            zero_copy_batch=True).to_arrow_refs())
+            if t.num_rows]
+        return sum(float(t["s"].to_pandas().sum()) for t in tabs)
+
+    # treating la as gold classes and lb as system clusters:
+    b3_p = _b3("lb") / n if n else 1.0   # precision: divide by cluster
+    b3_r = _b3("la") / n if n else 1.0   # recall: divide by class
+    b3_f = (2 * b3_p * b3_r / (b3_p + b3_r)) if (b3_p + b3_r) else 0.0
     return rd.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
         "rand_index": pa.array(
@@ -630,5 +661,14 @@ def partition_agreement(
             pa.float64()),
         "nmi": pa.array(
             [float(sql_round(np.array([nmi]), round_digits)[0])],
+            pa.float64()),
+        "b3_precision": pa.array(
+            [float(sql_round(np.array([b3_p]), round_digits)[0])],
+            pa.float64()),
+        "b3_recall": pa.array(
+            [float(sql_round(np.array([b3_r]), round_digits)[0])],
+            pa.float64()),
+        "b3_f1": pa.array(
+            [float(sql_round(np.array([b3_f]), round_digits)[0])],
             pa.float64()),
     }))

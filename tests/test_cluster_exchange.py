@@ -178,3 +178,29 @@ def test_partition_agreement_nmi(ray_session):
     r2 = partition_agreement(a, lab(nodes, ["p", "q", "p", "q"])) \
         .to_pandas().iloc[0]
     assert abs(r2.nmi) < 1e-9
+
+
+def test_partition_agreement_b3(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.cluster import partition_agreement
+
+    def lab(nodes, labels):
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.string()),
+            "label": pa.array(labels, pa.string())}))
+
+    nodes = [f"n{i}" for i in range(4)]
+    gold = lab(nodes, ["x", "x", "y", "y"])
+    # system splits cluster y into singletons: precision stays 1
+    # (every cluster pure), recall drops: items in y see 1/2 recall
+    sys_ = lab(nodes, ["a", "a", "b", "c"])
+    r = partition_agreement(gold, sys_).to_pandas().iloc[0]
+    assert r.b3_precision == 1.0
+    assert r.b3_recall == round((1 + 1 + 0.5 + 0.5) / 4, 9)
+    # system merges everything: recall 1, precision = avg purity
+    sys2 = lab(nodes, ["m", "m", "m", "m"])
+    r2 = partition_agreement(gold, sys2).to_pandas().iloc[0]
+    assert r2.b3_recall == 1.0
+    assert r2.b3_precision == 0.5
