@@ -1442,6 +1442,18 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_lang_fertility(sf_dir: str):
+    """Tokenizer fertility per language (UTF-8 bytes per whitespace
+    token — the CJK-vs-Latin budget diagnostic) — decomposable
+    byte/token partials, one keyed exchange
+    (textops.tokenizer_fertility); sum-ratio twin on the token_counts★
+    convention."""
+    from epstein_pipeline_ray.stages.textops import tokenizer_fertility
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    return tokenizer_fertility(docs, "lang")
+
+
 def q_compression_ratio(sf_dir: str):
     """Per-doc zlib compression ratio (cheap repetition/boilerplate
     proxy, RefinedWeb/Dolma-style quality signal). Deterministic but
@@ -3217,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": q_split_leakage,
         "price_spearman": q_price_spearman,
         "compression_ratio": q_compression_ratio,
+        "lang_fertility": q_lang_fertility,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4440,6 +4453,22 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "lang_fertility": """
+            WITH t AS (
+                SELECT lang, strlen(text)::BIGINT AS b,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(
+                                 trim(text), '\\s+')) END)::BIGINT AS t
+                FROM documents
+            )
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(b)::BIGINT AS n_bytes,
+                   sum(t)::BIGINT AS n_tokens,
+                   CASE WHEN sum(t) > 0
+                        THEN round(sum(b)::DOUBLE / sum(t), 9)
+                   END AS bytes_per_token
+            FROM t GROUP BY lang
         """,
         "price_spearman": """
             WITH r AS (

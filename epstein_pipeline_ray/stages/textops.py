@@ -601,3 +601,69 @@ def with_compression_ratio(docs: Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tokenizer_fertility(docs: Dataset, group_col: str = "lang",
+                        text_col: str = "text",
+                        round_digits: int = 9) -> Dataset:
+    """Tokenizer fertility per group: UTF-8 ``bytes_per_token`` (and the
+    raw byte/token sums) — the per-language diagnostic that decides
+    token budgets and flags scripts a whitespace-ish tokenizer serves
+    badly (CJK shows up immediately). Decomposable (bytes, tokens)
+    partials with the token_counts★ whitespace convention
+    (functions.textstats.token_count_array); one keyed exchange.
+    Output: (group_col, n_docs, n_bytes, n_tokens, bytes_per_token);
+    groups with zero tokens emit NULL ratio."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    gtype = dict(zip(docs.schema().names, docs.schema().types))[group_col]
+    PART = pa.schema([(group_col, gtype), ("d", pa.int64()),
+                      ("b", pa.int64()), ("t", pa.int64())])
+    OUT = pa.schema([(group_col, gtype), ("n_docs", pa.int64()),
+                     ("n_bytes", pa.int64()), ("n_tokens", pa.int64()),
+                     ("bytes_per_token", pa.float64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = np.asarray(token_count_array(batch[text_col])
+                          .to_numpy(zero_copy_only=False), np.int64)
+        byts = np.asarray(
+            [len((t or "").encode("utf-8"))
+             for t in batch[text_col].to_pylist()], np.int64)
+        df = pd.DataFrame({"g": batch[group_col].to_pandas(),
+                           "b": byts, "t": toks})
+        g = df.groupby("g", sort=False).agg(
+            d=("b", "size"), b=("b", "sum"), t=("t", "sum")).reset_index()
+        return pa.table({
+            group_col: pa.array(g["g"], gtype, from_pandas=True),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+            "t": pa.array(g["t"].to_numpy(np.int64), pa.int64()),
+        }, schema=PART)
+
+    def reduce_block(block: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby(group_col, sort=True,
+                                       as_index=False)[["d", "b", "t"]]
+             .sum())
+        b = g["b"].to_numpy(np.float64)
+        t = g["t"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(t > 0, b / t, np.nan)
+        return pa.table({
+            group_col: pa.array(g[group_col], gtype, from_pandas=True),
+            "n_docs": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "n_bytes": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["t"].to_numpy(np.int64), pa.int64()),
+            "bytes_per_token": pa.array(sql_round(r, round_digits),
+                                        pa.float64(), from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(
+        docs.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col], reduce_block, None, sort_blocks=False)

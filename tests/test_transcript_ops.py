@@ -287,3 +287,27 @@ def test_compression_ratio_signal(ray_session):
     assert got.loc[2, "compression_ratio"] > 0.5
     assert got.loc[3, "compression_ratio"] == 0.0
     assert got.loc[3, "n_bytes"] == 0
+
+
+def test_tokenizer_fertility_cjk_vs_latin(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import tokenizer_fertility
+
+    docs = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", "en", "zh", "empty"], pa.string()),
+        "text": pa.array([
+            "two words",            # 9 bytes, 2 tokens
+            "one",                  # 3 bytes, 1 token
+            "你好世界",               # 12 bytes, ONE ws token
+            "   ",                  # 0 tokens
+        ], pa.string()),
+    }))
+    got = (tokenizer_fertility(docs, "lang").to_pandas()
+           .set_index("lang"))
+    assert got.loc["en", "n_tokens"] == 3
+    assert got.loc["en", "bytes_per_token"] == 4.0  # 12/3
+    assert got.loc["zh", "bytes_per_token"] == 12.0  # CJK flagged
+    import pandas as pd
+    assert pd.isna(got.loc["empty", "bytes_per_token"])
