@@ -1442,6 +1442,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_daily_anomaly(sf_dir: str):
+    """Volume anomalies per (event_type, day): rounded z-score of each
+    day's count against the type's own mean/population-std over active
+    days, |z| > 2 flagged — count partials + per-key moment block
+    (relational.daily_anomaly); identical closed-form twin."""
+    from epstein_pipeline_ray.stages.relational import daily_anomaly
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    return daily_anomaly(ev, "event_type", "ts")
+
+
 def q_lang_fertility(sf_dir: str):
     """Tokenizer fertility per language (UTF-8 bytes per whitespace
     token — the CJK-vs-Latin budget diagnostic) — decomposable
@@ -3230,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_spearman": q_price_spearman,
         "compression_ratio": q_compression_ratio,
         "lang_fertility": q_lang_fertility,
+        "daily_anomaly": q_daily_anomaly,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4453,6 +4465,29 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "daily_anomaly": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)
+                           AS d,
+                       count(*)::BIGINT AS c
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, avg(c::DOUBLE) AS mu,
+                       sqrt(greatest(avg(c::DOUBLE * c::DOUBLE)
+                                     - avg(c::DOUBLE) * avg(c::DOUBLE),
+                                     0)) AS sd
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, c.d AS period, c.c AS n,
+                   CASE WHEN m.sd > 0
+                        THEN round((c.c - m.mu) / m.sd, 9) END AS z,
+                   CASE WHEN m.sd > 0
+                        THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
+                        ELSE false END AS is_anomaly
+            FROM c JOIN m USING (event_type)
         """,
         "lang_fertility": """
             WITH t AS (

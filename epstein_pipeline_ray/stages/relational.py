@@ -2967,3 +2967,89 @@ def grouped_spearman(
     return map_key_blocks(ds.select_columns([key, col_x, col_y]),
                           [key], block, num_partitions,
                           sort_blocks=False)
+
+
+def daily_anomaly(
+    ds: Dataset, key: str, ts_col: str = "ts",
+    period_s: int = 86400, z_threshold: float = 2.0,
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Volume-anomaly flags per (key, period): the z-score of each
+    period's row count against the key's own mean/std over its ACTIVE
+    periods (population std — the monitoring convention), flagged when
+    |z| > threshold. Two exchanges: (key, period) count partials, then
+    per-key moment sums with the z computed in the same block (all
+    periods of a key co-locate). Keys with a single active period or
+    zero variance emit NULL z / false flag on both sides. Output:
+    (key, period, n, z, is_anomaly)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    CNT = pa.schema([(key, ktype), ("d", pa.int64()), ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        np.int64)
+        df = pd.DataFrame({"k": batch[key].to_pandas(),
+                           "d": (us // 1_000_000) // period_s})
+        g = df.groupby(["k", "d"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return CNT.empty_table()
+        g = (block.to_pandas()
+             .groupby([key, "d"], sort=False, as_index=False)["c"].sum())
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    counts = map_key_blocks(
+        ds.select_columns([key, ts_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key, "d"], sum_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([(key, ktype), ("period", pa.int64()),
+                     ("n", pa.int64()), ("z", pa.float64()),
+                     ("is_anomaly", pa.bool_())])
+
+    def z_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas()
+        g = df.groupby(key, sort=False)["c"]
+        mu = g.transform("mean").to_numpy(np.float64)
+        # population std: sqrt(E[x^2] - mu^2) — the twin's closed form
+        ex2 = (df.assign(c2=df["c"].astype(np.float64) ** 2)
+               .groupby(key, sort=False)["c2"].transform("mean")
+               .to_numpy(np.float64))
+        var = ex2 - mu * mu
+        sd = np.sqrt(np.maximum(var, 0.0))
+        c = df["c"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (c - mu) / sd, np.nan)
+        z = sql_round(z, round_digits)   # flag on the ROUNDED z so a
+        flag = np.where(np.isnan(z), False,   # half-ulp can't flip it
+                        np.abs(z) > z_threshold)
+        return pa.table({
+            key: pa.array(df[key], ktype, from_pandas=True),
+            "period": pa.array(df["d"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+            "z": pa.array(z, pa.float64(), from_pandas=True),
+            "is_anomaly": pa.array(flag, pa.bool_()),
+        }, schema=OUT)
+
+    return map_key_blocks(counts, [key], z_block, num_partitions,
+                          sort_blocks=False)

@@ -1028,3 +1028,33 @@ def test_spearman_truths(ray_session):
     ry = pd.Series(y).rank(method="average")
     want = np.corrcoef(rx, ry)[0, 1]
     assert abs(got.loc["m", "spearman"] - want) < 1e-9
+
+
+def test_daily_anomaly_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import daily_anomaly
+
+    DAY = 86_400_000_000
+    # type a: days 0..4 have 2 events, day 5 spikes to 12
+    rows = []
+    for d in range(5):
+        rows += [("a", d)] * 2
+    rows += [("a", 5)] * 12
+    # type b: constant -> sd 0 -> NULL z, never flagged
+    rows += [("b", 0), ("b", 1)]
+    tbl = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] * DAY + 9 for r in rows],
+                       pa.timestamp("us")),
+    })
+    got = (daily_anomaly(rd.from_arrow(tbl), "event_type", "ts")
+           .to_pandas())
+    a5 = got[(got.event_type == "a") & (got.period == 5)].iloc[0]
+    assert bool(a5.is_anomaly) and a5.z > 2
+    a0 = got[(got.event_type == "a") & (got.period == 0)].iloc[0]
+    assert not bool(a0.is_anomaly)
+    import pandas as pd
+    b = got[got.event_type == "b"]
+    assert b.z.isna().all() and (~b.is_anomaly).all()
