@@ -1442,6 +1442,19 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_source_sim(sf_dir: str):
+    """Domain-similarity matrix: cosine between per-source embedding
+    centroids (upper triangle) — size-switched source attach +
+    vector-sum partials + groups-bounded driver cosine
+    (embed.source_centroid_similarity); generate_subscripts per-dim
+    avg twin."""
+    from epstein_pipeline_ray.stages.embed import source_centroid_similarity
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return source_centroid_similarity(embs, docs)
+
+
 def q_daily_anomaly(sf_dir: str):
     """Volume anomalies per (event_type, day): rounded z-score of each
     day's count against the type's own mean/population-std over active
@@ -3242,6 +3255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q_compression_ratio,
         "lang_fertility": q_lang_fertility,
         "daily_anomaly": q_daily_anomaly,
+        "source_sim": q_source_sim,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4465,6 +4479,22 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "source_sim": """
+            WITH sv AS (
+                SELECT d.source,
+                       generate_subscripts(e.embedding, 1) AS i,
+                       unnest(e.embedding)::DOUBLE AS v
+                FROM embeddings e
+                JOIN documents d ON d.doc_id = e.vec_id
+            ),
+            m AS (SELECT source, i, avg(v) AS c FROM sv GROUP BY 1, 2)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   round(sum(a.c * b.c)
+                         / (sqrt(sum(a.c * a.c))
+                            * sqrt(sum(b.c * b.c))), 9) AS cos
+            FROM m a JOIN m b ON b.i = a.i AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "daily_anomaly": """
             WITH c AS (

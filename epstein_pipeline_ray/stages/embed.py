@@ -725,3 +725,100 @@ def semantic_dedup_pairs(
 
     return map_key_blocks(tagged, ["centroid_id"], per_block, num_partitions,
                           sort_blocks=False)
+
+
+def source_centroid_similarity(
+    embs: Dataset, docs: Dataset,
+    vec_col: str = "embedding", vec_id_col: str = "vec_id",
+    doc_id_col: str = "doc_id", group_col: str = "source",
+    round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Domain-similarity matrix: cosine between per-group embedding
+    CENTROIDS (upper triangle, group_a < group_b) — the curation
+    diagnostic for picking cross-source dedup/mixing policies. Group
+    attach (size-switched) -> per-batch vector-sum partials -> one
+    group-keyed exchange -> groups-bounded driver pairwise cosine.
+    Output: (source_a, source_b, cos). Twin: per-dimension avg via
+    generate_subscripts + an i-joined pair aggregate."""
+    import ray
+    import ray.data as rd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    tagged = attach_column(
+        embs.select_columns([vec_id_col, vec_col]),
+        docs.select_columns([doc_id_col, group_col]),
+        vec_id_col, doc_id_col, group_col, group_col,
+        num_partitions=num_partitions)
+
+    PART = pa.schema([(group_col, pa.string()),
+                      ("sv", pa.list_(pa.float64())),
+                      ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        src = pd.Series(batch[group_col].to_pandas().astype(str))
+        keys, inv = np.unique(src.to_numpy(), return_inverse=True)
+        sums = np.zeros((keys.size, vecs.shape[1]), np.float64)
+        np.add.at(sums, inv, vecs)
+        cnt = np.bincount(inv)
+        return pa.table({
+            group_col: pa.array(keys, pa.string()),
+            "sv": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        }, schema=PART)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return PART.empty_table()
+        import pandas as pd
+
+        df = block.to_pandas()
+        rows = {"g": [], "sv": [], "n": []}
+        for g, sub in df.groupby(group_col, sort=True):
+            rows["g"].append(g)
+            rows["sv"].append(np.sum(np.stack(sub["sv"].to_numpy()),
+                                     axis=0))
+            rows["n"].append(int(sub["n"].sum()))
+        return pa.table({
+            group_col: pa.array(rows["g"], pa.string()),
+            "sv": pa.array([list(v) for v in rows["sv"]],
+                           pa.list_(pa.float64())),
+            "n": pa.array(rows["n"], pa.int64()),
+        }, schema=PART)
+
+    sums = map_key_blocks(
+        tagged.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        [group_col], sum_block, num_partitions, sort_blocks=False)
+
+    tabs = [t for t in ray.get(sums.to_arrow_refs()) if t.num_rows]
+    gs, cents = [], []
+    for t in tabs:
+        for g, sv, n in zip(t[group_col].to_pylist(),
+                            t["sv"].to_pylist(), t["n"].to_pylist()):
+            gs.append(g)
+            cents.append(np.asarray(sv, np.float64) / n)
+    order = np.argsort(gs)
+    gs = [gs[i] for i in order]
+    C = np.stack([cents[i] for i in order]) if gs else np.zeros((0, 1))
+    a_out, b_out, cos_out = [], [], []
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            dot = float((C[i] * C[j]).sum())
+            na = float(np.sqrt((C[i] * C[i]).sum()))
+            nb = float(np.sqrt((C[j] * C[j]).sum()))
+            a_out.append(gs[i])
+            b_out.append(gs[j])
+            cos_out.append(dot / (na * nb))
+    return rd.from_arrow(pa.table({
+        "source_a": pa.array(a_out, pa.string()),
+        "source_b": pa.array(b_out, pa.string()),
+        "cos": pa.array(sql_round(np.asarray(cos_out, np.float64),
+                                  round_digits), pa.float64()),
+    }))

@@ -105,3 +105,32 @@ def test_ivf_assign_covers_all_cells_deterministically(planted):
     a2 = ivf_assign(planted, C).to_pandas().sort_values("vec_id")
     assert a1["cell"].tolist() == a2["cell"].tolist()
     assert a1["cell"].between(0, 5).all()
+
+
+def test_source_centroid_similarity_hand_truth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.embed import source_centroid_similarity
+
+    # source A vectors average to +x, source B to -x, source C to +y
+    vecs = [
+        (0, [1.0, 0.0], "A"), (1, [3.0, 0.0], "A"),
+        (2, [-2.0, 0.0], "B"),
+        (3, [0.0, 5.0], "C"), (4, [0.0, 1.0], "C"),
+    ]
+    embs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "source": pa.array([v[2] for v in vecs], pa.string()),
+    }))
+    got = (source_centroid_similarity(embs, docs).to_pandas()
+           .set_index(["source_a", "source_b"])["cos"])
+    assert got[("A", "B")] == -1.0
+    assert got[("A", "C")] == 0.0
+    assert got[("B", "C")] == 0.0
