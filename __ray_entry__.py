@@ -1442,6 +1442,17 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(docs, bucket=100)
 
 
+def q_benford(sf_dir: str):
+    """Benford's-law deviation per event type (leading-digit chi2 vs
+    log10(1+1/d) — the forensic fabricated-numbers screen) — integer
+    CASE-ladder digits, (key, digit) count partials
+    (forensics.benford_deviation); identical-arithmetic twin."""
+    from epstein_pipeline_ray.stages.forensics import benford_deviation
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return benford_deviation(ev, "event_type", "value")
+
+
 def q_source_sim(sf_dir: str):
     """Domain-similarity matrix: cosine between per-source embedding
     centroids (upper triangle) — size-switched source attach +
@@ -3256,6 +3267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_fertility": q_lang_fertility,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
+        "benford": q_benford,
         "type_entropy": q_type_entropy,
         "substring_pairs": q_substring_pairs,
         "turn_dedup_global": q_turn_dedup_global,
@@ -4479,6 +4491,48 @@ def oracle_sql() -> dict[str, str]:
                    round(exp(sum(ln(n_chars::DOUBLE)) / count(*)), 9)
                        AS geomean
             FROM documents WHERE n_chars > 0 GROUP BY source
+        """,
+        "benford": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+                FROM events
+                WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 1
+            ),
+            d AS (
+                SELECT event_type,
+                       CASE WHEN x >= 1000000000 THEN x // 1000000000
+                            WHEN x >= 100000000 THEN x // 100000000
+                            WHEN x >= 10000000 THEN x // 10000000
+                            WHEN x >= 1000000 THEN x // 1000000
+                            WHEN x >= 100000 THEN x // 100000
+                            WHEN x >= 10000 THEN x // 10000
+                            WHEN x >= 1000 THEN x // 1000
+                            WHEN x >= 100 THEN x // 100
+                            WHEN x >= 10 THEN x // 10
+                            ELSE x END AS dig
+                FROM x
+            ),
+            c AS (
+                SELECT event_type, dig, count(*)::DOUBLE AS c
+                FROM d GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT event_type, sum(c) AS n FROM c GROUP BY event_type
+            ),
+            e AS (
+                SELECT g.event_type, u.dig, g.n,
+                       coalesce(c.c, 0.0) AS obs,
+                       log10(1.0 + 1.0 / u.dig) * g.n AS exp
+                FROM g CROSS JOIN (
+                    SELECT unnest(generate_series(1, 9)) AS dig) u
+                LEFT JOIN c ON c.event_type = g.event_type
+                           AND c.dig = u.dig
+            )
+            SELECT event_type, max(n)::BIGINT AS n,
+                   round(sum((obs - exp) * (obs - exp) / exp), 9) AS chi2,
+                   round(max(abs(obs / n - exp / n)), 9) AS max_digit_gap
+            FROM e GROUP BY event_type
         """,
         "source_sim": """
             WITH sv AS (

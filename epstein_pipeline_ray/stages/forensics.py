@@ -185,3 +185,97 @@ def synth_plist_corpus(n: int, seed: int = 42) -> pa.Table:
     return pa.table(
         {"doc_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.large_binary())}
     )
+
+
+def benford_deviation(
+    ds, key: str, value_col: str, scale: int = 100,
+    round_digits: int = 9, num_partitions: int | None = None,
+):
+    """Benford's-law deviation per group — the classic forensic screen
+    for fabricated numeric data: leading-digit frequencies of
+    ``round(value * scale)`` (an integer in both engines) against the
+    log10(1 + 1/d) expectation, scored with the chi-square statistic.
+    The leading digit comes from a deterministic CASE ladder over
+    integer magnitude (NO float log10 — its floor at power-of-ten
+    boundaries is libm-dependent). Values rounding to < 1 are dropped
+    on both sides. Map-side (group, digit) count partials, one keyed
+    exchange, per-group closed form. Output:
+    (key, n, chi2, max_digit_gap)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    CNT = pa.schema([(key, ktype), ("dig", pa.int64()),
+                     ("c", pa.int64())])
+
+    def lead_digit(x: np.ndarray) -> np.ndarray:
+        # CASE ladder: shift down by powers of 10 until < 10
+        d = x.copy()
+        for _ in range(18):
+            big = d >= 10
+            if not big.any():
+                break
+            d = np.where(big, d // 10, d)
+        return d
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        # half-up (floor(x+0.5)) — np.rint is half-to-even but
+        # DuckDB round() is half-away; pin one rule on both sides
+        x = np.floor(v * scale + 0.5).astype(np.int64)
+        keep = x >= 1
+        if not keep.any():
+            return CNT.empty_table()
+        dig = lead_digit(x[keep])
+        df = pd.DataFrame({
+            "k": pd.Series(batch[key].to_pandas())[keep].to_numpy(),
+            "dig": dig})
+        g = df.groupby(["k", "dig"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "dig": pa.array(g["dig"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    OUT = pa.schema([(key, ktype), ("n", pa.int64()),
+                     ("chi2", pa.float64()),
+                     ("max_digit_gap", pa.float64())])
+
+    def score_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .groupby([key, "dig"], sort=True, as_index=False)["c"].sum())
+        rows = {"k": [], "n": [], "chi2": [], "gap": []}
+        for g, sub in df.groupby(key, sort=True):
+            n = float(sub["c"].sum())
+            obs = np.zeros(9, np.float64)
+            obs[sub["dig"].to_numpy(np.int64) - 1] = \
+                sub["c"].to_numpy(np.float64)
+            exp = np.log10(1.0 + 1.0 / np.arange(1, 10)) * n
+            chi2 = float(((obs - exp) ** 2 / exp).sum())
+            gap = float(np.max(np.abs(obs / n - exp / n)))
+            rows["k"].append(g)
+            rows["n"].append(int(n))
+            rows["chi2"].append(chi2)
+            rows["gap"].append(gap)
+        return pa.table({
+            key: pa.array(rows["k"], ktype, from_pandas=True),
+            "n": pa.array(rows["n"], pa.int64()),
+            "chi2": pa.array(sql_round(np.asarray(rows["chi2"]),
+                                       round_digits), pa.float64()),
+            "max_digit_gap": pa.array(sql_round(np.asarray(rows["gap"]),
+                                                round_digits),
+                                      pa.float64()),
+        }, schema=OUT)
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(parts, [key], score_block, num_partitions,
+                          sort_blocks=False)

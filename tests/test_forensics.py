@@ -69,3 +69,27 @@ def test_stage_parallel_scan(ray_session):
     # typed nested column survives the stage
     sch = extract_plist_metadata(rd.from_arrow(synth_plist_corpus(6))).schema()
     assert sch.types[sch.names.index("recipients")] == pa.list_(pa.string())
+
+
+def test_benford_deviation_signal(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.forensics import benford_deviation
+
+    rng = np.random.RandomState(7)
+    # benford-ish: log-uniform magnitudes; fabricated: all lead with 5
+    benfordish = np.exp(rng.uniform(np.log(0.01), np.log(900), 800))
+    fabricated = rng.uniform(5.0, 5.99, 800)
+    tbl = pa.table({
+        "k": pa.array(["real"] * 800 + ["fake"] * 800, pa.string()),
+        "v": pa.array(np.concatenate([benfordish, fabricated]),
+                      pa.float64()),
+    })
+    got = (benford_deviation(rd.from_arrow(tbl), "k", "v").to_pandas()
+           .set_index("k"))
+    # a single-digit distribution is maximally non-benford
+    assert got.loc["fake", "chi2"] > 10 * got.loc["real", "chi2"]
+    assert got.loc["fake", "max_digit_gap"] > 0.5
+    assert got.loc["real", "n"] == 800
