@@ -1500,6 +1500,18 @@ def q_compression_ratio(sf_dir: str):
     return with_compression_ratio(docs)
 
 
+def q_readability(sf_dir: str):
+    """Flesch–Kincaid grade per doc (the curriculum / quality-mix
+    signal): whitespace words, ``[.!?]+`` sentence runs clamped >= 1,
+    ``[aeiouy]+`` vowel-group syllables — three vectorized regex
+    kernels, no shuffle (textops.with_readability); identical
+    regexp-count twin."""
+    from epstein_pipeline_ray.stages.textops import with_readability
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return with_readability(docs)
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3265,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_spearman": q_price_spearman,
         "compression_ratio": q_compression_ratio,
         "lang_fertility": q_lang_fertility,
+        "readability": q_readability,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4572,6 +4585,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # readability twin: same three counts, same expression order —
+        # 0.39*(w/s) + 11.8*(syl/w) - 15.59 evaluated left-to-right as
+        # doubles on both engines, rounded 9 before compare.
+        "readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       (CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(regexp_split_to_array(
+                                 trim(text), '\\s+')) END)::BIGINT AS w,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')),
+                                1)::BIGINT AS s,
+                       len(regexp_extract_all(lower(text),
+                                              '[aeiouy]+'))::BIGINT AS syl
+                FROM documents
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   syl AS n_syllables,
+                   round(0.39 * (w::DOUBLE / s)
+                         + 11.8 * (syl::DOUBLE / w) - 15.59, 9) AS fk_grade
+            FROM t WHERE w > 0
         """,
         "lang_fertility": """
             WITH t AS (

@@ -667,3 +667,55 @@ def tokenizer_fertility(docs: Dataset, group_col: str = "lang",
         docs.select_columns([group_col, text_col]).map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True),
         [group_col], reduce_block, None, sort_blocks=False)
+
+
+def with_readability(docs: Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     round_digits: int = 9) -> Dataset:
+    """Flesch–Kincaid grade level per document (Kincaid 1975) — the
+    classic curriculum / quality-mix signal a training-data pipeline
+    bins its corpus by. Conventions (shared verbatim with the SQL
+    twin so the gate is hash-exact):
+
+      words     = whitespace tokens of trimmed text (token_counts★)
+      sentences = maximal ``[.!?]+`` runs, clamped to >= 1
+      syllables = maximal ``[aeiouy]+`` runs in lower(text) — the
+                  standard vowel-group heuristic, counted corpus-wide
+                  rather than clamped per word so both engines need
+                  only one regex pass
+      fk_grade  = round(0.39*(words/sentences)
+                        + 11.8*(syllables/words) - 15.59, 9)
+
+    Zero-word docs are dropped (the ratio is undefined). Stateless
+    Arrow map — three vectorized regex kernels per batch, no shuffle;
+    trivially map-parallel at any scale.
+    """
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        w = np.asarray(token_count_array(texts).to_numpy(zero_copy_only=False),
+                       np.int64)
+        s = np.asarray(
+            pc.count_substring_regex(texts, pattern=r"[.!?]+")
+            .cast(pa.int64()).to_numpy(zero_copy_only=False), np.int64)
+        syl = np.asarray(
+            pc.count_substring_regex(pc.utf8_lower(texts),
+                                     pattern=r"[aeiouy]+")
+            .cast(pa.int64()).to_numpy(zero_copy_only=False), np.int64)
+        s = np.maximum(s, 1)
+        keep = w > 0
+        wf = w[keep].astype(np.float64)
+        sf = s[keep].astype(np.float64)
+        yf = syl[keep].astype(np.float64)
+        grade = 0.39 * (wf / sf) + 11.8 * (yf / wf) - 15.59
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        return pa.table({
+            id_col: batch[id_col].take(idx),
+            "n_words": pa.array(w[keep], pa.int64()),
+            "n_sentences": pa.array(s[keep], pa.int64()),
+            "n_syllables": pa.array(syl[keep], pa.int64()),
+            "fk_grade": pa.array(sql_round(grade, round_digits),
+                                 pa.float64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -311,3 +311,31 @@ def test_tokenizer_fertility_cjk_vs_latin(ray_session):
     assert got.loc["zh", "bytes_per_token"] == 12.0  # CJK flagged
     import pandas as pd
     assert pd.isna(got.loc["empty", "bytes_per_token"])
+
+
+def test_readability_hand_truths(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.textops import with_readability
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "The cat sat. The dog ran!",   # 6 words, 2 sentences
+            "xyz xyz",                     # y-vowel runs, no .!? -> s=1
+            "   ",                         # 0 words -> dropped
+            "Hmm... ok?! sure",            # '...' one run, '?!' one run
+        ], pa.string()),
+    }))
+    got = with_readability(docs).to_pandas().set_index("doc_id")
+    assert 3 not in got.index
+    r1 = got.loc[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    assert r1.fk_grade == float(sql_round(
+        0.39 * (6 / 2) + 11.8 * (6 / 6) - 15.59, 9))
+    r2 = got.loc[2]
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (2, 1, 2)
+    r4 = got.loc[4]
+    assert (r4.n_words, r4.n_sentences) == (3, 2)
