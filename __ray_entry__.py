@@ -1512,6 +1512,53 @@ def q_readability(sf_dir: str):
     return with_readability(docs)
 
 
+def _docs_with_urls(sf_dir: str):
+    """documents with deterministic URLs appended (the sf corpus has
+    none): per doc one https URL whose host/path vary by (source,
+    doc_id mod 7/13), a trailing '.' every 3rd doc (tests the trailing-
+    punctuation strip) and an http://...:8080 mirror every 4th (tests
+    scheme, port strip and mixed-case host lowering). The SQL twins
+    rebuild the identical concatenation."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out = []
+        for i, s, t in zip(ids, batch["source"].to_pylist(),
+                           batch["text"].to_pylist()):
+            u = f"{t} See https://www.{s}{i % 7}.Example.com/p{i % 13}"
+            if i % 3 == 0:
+                u += "."
+            if i % 4 == 0:
+                u += f" http://Mirror.example.org:8080/x{i % 5}"
+            out.append(u)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    return docs.map_batches(aug, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_url_domains(sf_dir: str):
+    """Crawl-mix histogram: occurrences + distinct URLs per normalized
+    domain (lowercased host, www./:port stripped) — per-doc regex
+    extraction, (domain,url)-count partials, one domain-keyed exchange
+    (urls.extract_urls + url_domain_stats); regexp_extract_all +
+    unnest twin."""
+    from epstein_pipeline_ray.stages.urls import extract_urls, url_domain_stats
+
+    return url_domain_stats(extract_urls(_docs_with_urls(sf_dir)))
+
+
+def q_url_dedup(sf_dir: str):
+    """C4-style URL dedup: one row per normalized URL keeping the
+    smallest doc_id — decomposable min partials, one url-keyed exchange
+    (urls.url_keep_first); min() GROUP BY twin."""
+    from epstein_pipeline_ray.stages.urls import extract_urls, url_keep_first
+
+    return url_keep_first(extract_urls(_docs_with_urls(sf_dir)))
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3278,6 +3325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q_compression_ratio,
         "lang_fertility": q_lang_fertility,
         "readability": q_readability,
+        "url_domains": q_url_domains,
+        "url_dedup": q_url_dedup,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4585,6 +4634,64 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # URL twins: identical augmentation concat, identical match/strip
+        # conventions (module docstring of stages/urls.py). The regex char
+        # class needs a doubled quote inside the SQL literal.
+        "url_domains": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' See https://www.' || source
+                            || (doc_id % 7)::VARCHAR || '.Example.com/p'
+                            || (doc_id % 13)::VARCHAR
+                            || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+                            || CASE WHEN doc_id % 4 = 0
+                                    THEN ' http://Mirror.example.org:8080/x'
+                                         || (doc_id % 5)::VARCHAR
+                                    ELSE '' END AS text
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id,
+                       rtrim(unnest(regexp_extract_all(
+                           text, 'https?://[^\\s<>"'')\\]]+')),
+                             '.,;:!?') AS url
+                FROM aug
+            ),
+            d AS (
+                SELECT url,
+                       regexp_replace(regexp_replace(
+                           lower(regexp_extract(url,
+                                 '^https?://([^/?#]+)', 1)),
+                           '^www\\.', ''), ':[0-9]+$', '') AS domain
+                FROM u
+            )
+            SELECT domain, count(*)::BIGINT AS n_urls,
+                   count(DISTINCT url)::BIGINT AS n_distinct
+            FROM d GROUP BY domain
+        """,
+        "url_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' See https://www.' || source
+                            || (doc_id % 7)::VARCHAR || '.Example.com/p'
+                            || (doc_id % 13)::VARCHAR
+                            || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END
+                            || CASE WHEN doc_id % 4 = 0
+                                    THEN ' http://Mirror.example.org:8080/x'
+                                         || (doc_id % 5)::VARCHAR
+                                    ELSE '' END AS text
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id,
+                       rtrim(unnest(regexp_extract_all(
+                           text, 'https?://[^\\s<>"'')\\]]+')),
+                             '.,;:!?') AS url
+                FROM aug
+            )
+            SELECT url, min(doc_id)::BIGINT AS doc_id
+            FROM u GROUP BY url
         """,
         # readability twin: same three counts, same expression order —
         # 0.39*(w/s) + 11.8*(syl/w) - 15.59 evaluated left-to-right as
