@@ -1559,6 +1559,19 @@ def q_url_dedup(sf_dir: str):
     return url_keep_first(extract_urls(_docs_with_urls(sf_dir)))
 
 
+def q_gap_fill(sf_dir: str):
+    """Daily gap-fill / forward-fill resample per event type (the
+    time-series densification before stream alignment): per-(type, day)
+    closing-value partials [(ts, event_id) max], one keyed exchange,
+    vectorized dense-range + composite-searchsorted fill
+    (relational.gap_fill_daily); generate_series + last_value IGNORE
+    NULLS twin."""
+    from epstein_pipeline_ray.stages.relational import gap_fill_daily
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return gap_fill_daily(ev, "event_type")
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3327,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "url_domains": q_url_domains,
         "url_dedup": q_url_dedup,
+        "gap_fill": q_gap_fill,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4634,6 +4648,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # gap_fill twin: integer epoch days, closing value = (ts, event_id)
+        # max row of the (type, day), dense generate_series span per type,
+        # forward fill via last_value IGNORE NULLS.
+        "gap_fill": """
+            WITH r AS (
+                SELECT event_type,
+                       epoch_us(ts) // 1000000 // 86400 AS d, value,
+                       row_number() OVER (
+                           PARTITION BY event_type,
+                                        epoch_us(ts) // 1000000 // 86400
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ),
+            obs AS (SELECT event_type, d, value FROM r WHERE rn = 1),
+            span AS (
+                SELECT event_type, min(d) AS lo, max(d) AS hi
+                FROM obs GROUP BY event_type
+            ),
+            days AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi)) AS day
+                FROM span
+            ),
+            f AS (
+                SELECT dd.event_type, dd.day, o.value AS v,
+                       o.d IS NOT NULL AS is_observed
+                FROM days dd LEFT JOIN obs o
+                  ON o.event_type = dd.event_type AND o.d = dd.day
+            )
+            SELECT event_type, day::BIGINT AS day,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day) AS value,
+                   is_observed
+            FROM f
         """,
         # URL twins: identical augmentation concat, identical match/strip
         # conventions (module docstring of stages/urls.py). The regex char

@@ -3053,3 +3053,99 @@ def daily_anomaly(
 
     return map_key_blocks(counts, [key], z_block, num_partitions,
                           sort_blocks=False)
+
+
+def gap_fill_daily(
+    ds: Dataset, key: str, ts_col: str = "ts", value_col: str = "value",
+    tie_col: str = "event_id",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Daily gap-fill / forward-fill resample per key — the time-series
+    densification every monitoring join needs before aligning sparse
+    event streams. Conventions (shared with the SQL twin):
+
+      day     = epoch-microseconds // 1e6 // 86400 (integer epoch days)
+      closing = the value of the (ts, tie) max row of each (key, day)
+      output  = one row per day from the key's min to max observed day,
+                closing value forward-filled across unobserved days
+
+    Map-side: each batch collapses to per-(key, day) closing partials,
+    so the single keyed exchange moves at most one row per (key, day)
+    per batch. The reduce is fully vectorized across keys (repeat/cumsum
+    dense-range construction + one composite searchsorted for the fill);
+    per-key output size is bounded by the calendar span, never by rows.
+    Output: (key, day:int64, value, is_observed:bool)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    vtype = dict(zip(ds.schema().names, ds.schema().types))[value_col]
+    PART = pa.schema([(key, ktype), ("d", pa.int64()), ("us", pa.int64()),
+                      ("tie", pa.int64()), ("v", vtype)])
+    OUT = pa.schema([(key, ktype), ("day", pa.int64()), ("value", vtype),
+                     ("is_observed", pa.bool_())])
+
+    def _closing(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["k", "d", "us", "tie"], kind="mergesort")
+        return df.drop_duplicates(["k", "d"], keep="last")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                        np.int64)
+        df = _closing(pd.DataFrame({
+            "k": batch[key].to_pandas(),
+            "d": (us // 1_000_000) // 86_400,
+            "us": us,
+            "tie": np.asarray(batch[tie_col].to_numpy(
+                zero_copy_only=False), np.int64),
+            "v": batch[value_col].to_pandas(),
+        }))
+        return pa.table({
+            key: pa.array(df["k"], ktype, from_pandas=True),
+            "d": pa.array(df["d"].to_numpy(np.int64), pa.int64()),
+            "us": pa.array(df["us"].to_numpy(np.int64), pa.int64()),
+            "tie": pa.array(df["tie"].to_numpy(np.int64), pa.int64()),
+            "v": pa.array(df["v"], vtype, from_pandas=True),
+        }, schema=PART)
+
+    def fill_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        obs = _closing(pd.DataFrame({
+            "k": block[key].to_pandas(),
+            "d": block["d"].to_numpy(zero_copy_only=False),
+            "us": block["us"].to_numpy(zero_copy_only=False),
+            "tie": block["tie"].to_numpy(zero_copy_only=False),
+            "v": block["v"].to_pandas(),
+        }))
+        d = obs["d"].to_numpy(np.int64)
+        # key-group boundaries on the (k, d)-sorted obs table
+        k_codes, _ = pd.factorize(obs["k"], sort=False)
+        starts = np.flatnonzero(np.r_[True, k_codes[1:] != k_codes[:-1]])
+        ends = np.r_[starts[1:], len(obs)]
+        lo, hi = d[starts], d[ends - 1]
+        counts = hi - lo + 1
+        offsets = np.r_[0, np.cumsum(counts)]
+        key_idx = np.repeat(np.arange(len(starts)), counts)
+        days = (np.arange(offsets[-1]) - offsets[key_idx]) + lo[key_idx]
+        # composite-key ffill: one searchsorted over (key, day) codes
+        g_lo, g_hi = d.min(), d.max()
+        span = (g_hi - g_lo) + 1
+        obs_comp = k_codes.astype(np.int64) * span + (d - g_lo)
+        out_comp = key_idx.astype(np.int64) * span + (days - g_lo)
+        fi = np.searchsorted(obs_comp, out_comp, side="right") - 1
+        vals = obs["v"].to_numpy()[fi]
+        observed = obs_comp[fi] == out_comp
+        out_keys = obs["k"].iloc[starts].to_numpy()[key_idx]
+        return pa.table({
+            key: pa.array(out_keys, ktype, from_pandas=True),
+            "day": pa.array(days, pa.int64()),
+            "value": pa.array(vals, vtype, from_pandas=True),
+            "is_observed": pa.array(observed, pa.bool_()),
+        }, schema=OUT)
+
+    partials = ds.select_columns([key, ts_col, tie_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(partials, [key], fill_block, num_partitions)

@@ -1058,3 +1058,34 @@ def test_daily_anomaly_hand_truth(ray_session):
     import pandas as pd
     b = got[got.event_type == "b"]
     assert b.z.isna().all() and (~b.is_anomaly).all()
+
+
+def test_gap_fill_daily_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import gap_fill_daily
+
+    day_us = 86_400 * 1_000_000
+    ts = pa.array([
+        0 * day_us + 10,       # a, day 0
+        0 * day_us + 20,       # a, day 0 (later -> closing)
+        3 * day_us + 5,        # a, day 3 (days 1-2 are gaps)
+        1 * day_us + 7,        # b, day 1 only
+        0 * day_us + 20,       # a, day 0, SAME ts as event 2 -> tie on id
+    ], pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": ts,
+        "event_type": pa.array(["a", "a", "a", "b", "a"], pa.string()),
+        "value": pa.array([10.0, 20.0, 30.0, 7.0, 99.0], pa.float64()),
+    }))
+    got = (gap_fill_daily(ev, "event_type").to_pandas()
+           .sort_values(["event_type", "day"]).reset_index(drop=True))
+    a = got[got.event_type == "a"]
+    assert a.day.tolist() == [0, 1, 2, 3]
+    # tie at (day 0, ts 20): event_id 5 wins -> closing 99.0, then ffill
+    assert a.value.tolist() == [99.0, 99.0, 99.0, 30.0]
+    assert a.is_observed.tolist() == [True, False, False, True]
+    b = got[got.event_type == "b"]
+    assert b.day.tolist() == [1] and b.value.tolist() == [7.0]
