@@ -1572,6 +1572,18 @@ def q_gap_fill(sf_dir: str):
     return gap_fill_daily(ev, "event_type")
 
 
+def q_knn_vote(sf_dir: str):
+    """Semi-supervised kNN labeling: each held-out vector (vec_id%10==0)
+    takes the majority label of its 5 nearest labeled neighbors by
+    exact cosine — broadcast query panel, per-batch matmul partial
+    top-k, bounded driver vote (embed.knn_label_vote); cross-join +
+    double row_number twin with pinned (cos,id)/(count,label) ties."""
+    from epstein_pipeline_ray.stages.embed import knn_label_vote
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return knn_label_vote(embs, k=5)
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3341,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_domains": q_url_domains,
         "url_dedup": q_url_dedup,
         "gap_fill": q_gap_fill,
+        "knn_vote": q_knn_vote,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4648,6 +4661,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # knn_vote twin: neighbor rank on the unrounded cosine with vec_id
+        # tiebreak (the proven ann_topk convention), vote winner on
+        # (count DESC, label ASC).
+        "knn_vote": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id % 10 = 0),
+                 r AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+                       FROM embeddings WHERE vec_id % 10 != 0),
+                 s AS (SELECT q.qid, r.label,
+                              row_number() OVER (
+                                  PARTITION BY q.qid
+                                  ORDER BY list_cosine_similarity(q.qe, r.e)
+                                               DESC,
+                                           r.vec_id ASC) AS rk
+                       FROM q CROSS JOIN r),
+                 t AS (SELECT qid, label, count(*)::BIGINT AS c
+                       FROM s WHERE rk <= 5 GROUP BY qid, label)
+            SELECT qid AS vec_id, label AS pred_label, c AS n_votes
+            FROM (SELECT qid, label, c,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY c DESC, label ASC) AS vr
+                  FROM t)
+            WHERE vr = 1
         """,
         # gap_fill twin: integer epoch days, closing value = (ts, event_id)
         # max row of the (type, day), dense generate_series span per type,

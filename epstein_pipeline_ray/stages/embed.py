@@ -822,3 +822,91 @@ def source_centroid_similarity(
         "cos": pa.array(sql_round(np.asarray(cos_out, np.float64),
                                   round_digits), pa.float64()),
     }))
+
+
+def knn_label_vote(
+    vectors: Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    holdout_mod: int = 10,
+    max_queries: int = 10_000,
+) -> pd.DataFrame:
+    """Semi-supervised kNN labeling: every held-out vector
+    (``id % holdout_mod == 0``) gets the majority label of its k nearest
+    labeled neighbors by exact cosine. The classic silver-label /
+    quality-transfer step (label a small seed set, vote labels onto the
+    rest).
+
+    Plan: the query panel is gathered once and broadcast (``ray.put``);
+    each batch of the labeled side computes a vectorized matmul partial
+    top-k, so only ``batches x queries x k`` candidate rows reach the
+    driver merge. The panel is guarded by ``max_queries`` — a
+    corpus-proportional holdout should route through the IVF/LSH path
+    (``ann_ivf`` cells) instead; this is the exact labeled baseline.
+
+    Tie conventions (shared with the SQL twin): neighbor rank by
+    (cos DESC, id ASC); vote winner by (count DESC, label ASC).
+    Output: (id, pred_label, n_votes).
+    """
+    import pyarrow.compute as pc
+
+    def is_q(t: pa.Table) -> pa.Array:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), np.int64)
+        return pa.array(ids % holdout_mod == 0)
+    qtab = (vectors.select_columns([id_col, emb_col])
+            .map_batches(lambda t: t.filter(is_q(t)),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas())
+    if len(qtab) > max_queries:
+        raise ValueError(
+            f"query panel {len(qtab)} > max_queries={max_queries}: "
+            "use the IVF-bucketed path for corpus-proportional holdouts")
+    qids = qtab[id_col].to_numpy()
+    qn = _normalize_rows(np.stack(qtab[emb_col].to_numpy()).astype(np.float64))
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(is_q(batch))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({"q_index": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             label_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        q = ray.get(q_ref)
+        emb = _normalize_rows(_stack_embeddings(batch, emb_col))
+        sims = emb @ q.T  # (n, q)
+        ids = np.asarray(batch[id_col].to_pylist(), np.int64)
+        labels = np.asarray(batch[label_col].to_pylist(), np.int64)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]
+        rows_q, rows_id, rows_lab, rows_sim = [], [], [], []
+        for qi in range(sims.shape[1]):
+            sel = top[:, qi]
+            rows_q.extend([qi] * len(sel))
+            rows_id.extend(ids[sel].tolist())
+            rows_lab.extend(labels[sel].tolist())
+            rows_sim.extend(sims[sel, qi].tolist())
+        return pa.table({
+            "q_index": pa.array(rows_q, pa.int32()),
+            id_col: pa.array(rows_id, pa.int64()),
+            label_col: pa.array(rows_lab, pa.int64()),
+            "cos": pa.array(rows_sim, pa.float64()),
+        })
+
+    cand = vectors.select_columns([id_col, emb_col, label_col]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True).to_pandas()
+    out = []
+    for qi, qid in enumerate(qids):
+        sub = (cand[cand.q_index == qi]
+               .sort_values(["cos", id_col], ascending=[False, True],
+                            kind="mergesort").head(k))
+        votes = (sub.groupby(label_col).size().rename("c").reset_index()
+                 .sort_values(["c", label_col], ascending=[False, True],
+                              kind="mergesort"))
+        win = votes.iloc[0]
+        out.append((int(qid), int(win[label_col]), int(win["c"])))
+    return pd.DataFrame(out, columns=[id_col, "pred_label", "n_votes"])

@@ -134,3 +134,45 @@ def test_source_centroid_similarity_hand_truth(ray_session):
     assert got[("A", "B")] == -1.0
     assert got[("A", "C")] == 0.0
     assert got[("B", "C")] == 0.0
+
+
+def test_knn_label_vote_hand_truth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.embed import knn_label_vote
+
+    # query vec_id=0 (holdout); refs planted so the 3-NN are labels 7,7,2
+    vecs = {
+        0: [1.0, 0.0, 0.0],     # query
+        1: [0.99, 0.1, 0.0],    # label 7, closest
+        2: [0.98, 0.15, 0.0],   # label 7
+        3: [0.9, 0.3, 0.0],     # label 2
+        4: [0.0, 1.0, 0.0],     # label 9, far — outside k=3
+        5: [-1.0, 0.0, 0.0],    # label 9, opposite
+    }
+    labels = {0: 0, 1: 7, 2: 7, 3: 2, 4: 9, 5: 9}
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(list(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in vecs],
+                              pa.list_(pa.float64())),
+        "label": pa.array([labels[i] for i in vecs], pa.int64()),
+    }))
+    got = knn_label_vote(ds, k=3).set_index("vec_id")
+    assert got.loc[0, "pred_label"] == 7
+    assert got.loc[0, "n_votes"] == 2
+
+    # vote tie: drop vec 2 so the 2-NN are labels {7, 2} -> smaller wins
+    ds_no2 = rd.from_arrow(pa.table({
+        "vec_id": pa.array([i for i in vecs if i != 2], pa.int64()),
+        "embedding": pa.array([vecs[i] for i in vecs if i != 2],
+                              pa.list_(pa.float64())),
+        "label": pa.array([labels[i] for i in vecs if i != 2], pa.int64()),
+    }))
+    got2 = knn_label_vote(ds_no2, k=2).set_index("vec_id")
+    assert got2.loc[0, "pred_label"] == 2 and got2.loc[0, "n_votes"] == 1
+    # guard: corpus-proportional panel refused
+    import pytest
+    with pytest.raises(ValueError):
+        knn_label_vote(ds, k=2, max_queries=0)
