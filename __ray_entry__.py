@@ -1584,6 +1584,18 @@ def q_knn_vote(sf_dir: str):
     return knn_label_vote(embs, k=5)
 
 
+def q_event_paths(sf_dir: str):
+    """3-step event-path mining per user (the sequence generalization
+    of event_markov): key-sorted blocks emit vectorized path-count
+    partials, one path-keyed exchange sums them
+    (relational.event_path_ngrams); chained lead() twin."""
+    from epstein_pipeline_ray.stages.relational import event_path_ngrams
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return event_path_ngrams(ev, "user_id", "event_type", "ts", "event_id",
+                             n=3)
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3354,6 +3366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": q_url_dedup,
         "gap_fill": q_gap_fill,
         "knn_vote": q_knn_vote,
+        "event_paths": q_event_paths,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4661,6 +4674,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        "event_paths": """
+            WITH s AS (
+                SELECT event_type AS s1,
+                       lead(event_type, 1) OVER w AS s2,
+                       lead(event_type, 2) OVER w AS s3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT s1, s2, s3, count(*)::BIGINT AS n_paths
+            FROM s WHERE s3 IS NOT NULL
+            GROUP BY s1, s2, s3
         """,
         # knn_vote twin: neighbor rank on the unrounded cosine with vec_id
         # tiebreak (the proven ann_topk convention), vote winner on

@@ -3149,3 +3149,65 @@ def gap_fill_daily(
     partials = ds.select_columns([key, ts_col, tie_col, value_col]) \
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(partials, [key], fill_block, num_partitions)
+
+
+def event_path_ngrams(
+    ds: Dataset, key: str, state_col: str, ts_col: str, tie_col: str,
+    n: int = 3, min_count: int = 1,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Frequent n-step event paths: every run of ``n`` CONSECUTIVE
+    states inside one ``key``'s (ts, tie)-ordered sequence, counted
+    corpus-wide — the sequence-mining generalization of
+    ``markov_transitions`` (its n=2 case). Two exchanges: key-sorted
+    blocks emit per-path count partials (vectorized shift/compare, no
+    per-row loop), then a path-keyed exchange sums partials and prunes
+    below ``min_count``. Twin: chained lead() windows. Output:
+    (s1..sN, n_paths)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    stype = dict(zip(ds.schema().names, ds.schema().types))[state_col]
+    cols = [f"s{i + 1}" for i in range(n)]
+    PART = pa.schema([(c, stype) for c in cols] + [("c", pa.int64())])
+
+    def path_block(block: pa.Table) -> pa.Table:
+        if block.num_rows < n:
+            return PART.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, ts_col, tie_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        states = df[state_col].to_numpy()
+        m = len(df) - (n - 1)
+        valid = np.ones(m, dtype=bool)
+        for j in range(1, n):
+            valid &= kv[j:m + j] == kv[:m]
+        if not valid.any():
+            return PART.empty_table()
+        sub = pd.DataFrame({cols[j]: states[j:m + j][valid]
+                            for j in range(n)})
+        g = sub.groupby(cols, sort=False).size().rename("c").reset_index()
+        return pa.table(
+            {c: pa.array(g[c], stype, from_pandas=True) for c in cols}
+            | {"c": pa.array(g["c"].to_numpy(np.int64), pa.int64())},
+            schema=PART)
+
+    partials = map_key_blocks(
+        ds.select_columns([key, state_col, ts_col, tie_col]),
+        [key], path_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([(c, stype) for c in cols] + [("n_paths", pa.int64())])
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas()
+             .groupby(cols, sort=True, as_index=False)["c"].sum())
+        g = g[g["c"] >= min_count]
+        return pa.table(
+            {c: pa.array(g[c], stype, from_pandas=True) for c in cols}
+            | {"n_paths": pa.array(g["c"].to_numpy(np.int64), pa.int64())},
+            schema=OUT)
+
+    return map_key_blocks(partials, cols, sum_block, num_partitions,
+                          sort_blocks=False)

@@ -1089,3 +1089,33 @@ def test_gap_fill_daily_hand_truth(ray_session):
     assert a.is_observed.tolist() == [True, False, False, True]
     b = got[got.event_type == "b"]
     assert b.day.tolist() == [1] and b.value.tolist() == [7.0]
+
+
+def test_event_path_ngrams_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import event_path_ngrams
+
+    # user 1: a b a b  -> paths aba, bab ; user 2: a b (too short)
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 10, 20], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "a", "b"], pa.string()),
+    }))
+    got = (event_path_ngrams(ev, "user_id", "event_type", "ts", "event_id",
+                             n=3).to_pandas()
+           .sort_values(["s1", "s2", "s3"]).reset_index(drop=True))
+    assert got[["s1", "s2", "s3"]].agg("".join, axis=1).tolist() == \
+        ["aba", "bab"]
+    assert got.n_paths.tolist() == [1, 1]
+    # min_count prunes singletons
+    pruned = event_path_ngrams(ev, "user_id", "event_type", "ts",
+                               "event_id", n=3, min_count=2).to_pandas()
+    assert len(pruned) == 0
+    # n=2 equals the markov pair counts: ab x2(user1) +1(user2), ba x1
+    two = (event_path_ngrams(ev, "user_id", "event_type", "ts", "event_id",
+                             n=2).to_pandas()
+           .set_index(["s1", "s2"]).n_paths)
+    assert two.loc[("a", "b")] == 3 and two.loc[("b", "a")] == 1
