@@ -1596,6 +1596,18 @@ def q_event_paths(sf_dir: str):
                              n=3)
 
 
+def q_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the per-type value stream (burst /
+    mean-reversion diagnostic) — half-up integer scaling, exact int64
+    moment sums via segment cumsums, one fixed closed-form float
+    expression shared with the twin (relational.grouped_autocorr1);
+    lag-window + identical-arithmetic twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_autocorr1
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return grouped_autocorr1(ev, "event_type", "value", "ts", "event_id")
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3367,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_fill": q_gap_fill,
         "knn_vote": q_knn_vote,
         "event_paths": q_event_paths,
+        "autocorr": q_autocorr,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4674,6 +4687,49 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # autocorr twin: benford's half-up integer scaling, exact integer
+        # moments (S, Q, lagged product P, run endpoints), then the one
+        # shared closed form m=S/n; num = P - m(S-f) - m(S-l) + (n-1)m^2;
+        # den = Q - S*m — identical expression order on both engines.
+        "autocorr": """
+            WITH v AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS s
+                FROM events
+            ),
+            o AS (
+                SELECT event_type, s,
+                       lag(s) OVER w AS ps,
+                       row_number() OVER w AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS nn
+                FROM v WINDOW w AS (PARTITION BY event_type
+                                    ORDER BY ts, event_id)
+            ),
+            a AS (
+                SELECT event_type,
+                       max(nn)::BIGINT AS n,
+                       sum(s)::BIGINT AS ss,
+                       sum(s * s)::BIGINT AS q,
+                       sum(CASE WHEN ps IS NOT NULL THEN s * ps
+                                ELSE 0 END)::BIGINT AS p,
+                       sum(CASE WHEN rn = 1 THEN s END)::BIGINT AS f,
+                       sum(CASE WHEN rn = nn THEN s END)::BIGINT AS l
+                FROM o GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   CASE WHEN n >= 2
+                         AND (q::DOUBLE - ss::DOUBLE * (ss::DOUBLE / n)) > 0
+                        THEN round(
+                            (p::DOUBLE
+                             - (ss::DOUBLE / n) * (ss - f)
+                             - (ss::DOUBLE / n) * (ss - l)
+                             + (n - 1) * (ss::DOUBLE / n)
+                                       * (ss::DOUBLE / n))
+                            / (q::DOUBLE - ss::DOUBLE * (ss::DOUBLE / n)),
+                            9)
+                   END AS r1
+            FROM a
         """,
         "event_paths": """
             WITH s AS (

@@ -3211,3 +3211,83 @@ def event_path_ngrams(
 
     return map_key_blocks(partials, cols, sum_block, num_partitions,
                           sort_blocks=False)
+
+
+def grouped_autocorr1(
+    ds: Dataset, key: str, value_col: str, ts_col: str, tie_col: str,
+    scale: int = 100, round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Lag-1 autocorrelation of the per-``key`` value sequence ordered
+    by (ts, tie) — the burst/mean-reversion diagnostic:
+
+        r1 = sum((x_t - m)(x_{t-1} - m)) / sum((x - m)^2)
+
+    Exactness: values are pinned to integers first (half-up at
+    ``scale``, the benford convention — autocorrelation is
+    scale-invariant), every moment (S, Q, lagged product P, run ends)
+    is an exact int64 sum, and the final closed form is one fixed float
+    expression shared verbatim with the twin — so the float-sum
+    order-dependence that breaks naive avg()-based twins cannot occur.
+    One keyed exchange of (key, ts, tie, scaled-value) rows; the reduce
+    is a vectorized shift within key runs. NULL when n < 2 or zero
+    variance. Output: (key, n, r1)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+
+    def scale_batch(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        s = np.floor(v * scale + 0.5).astype(np.int64)
+        return pa.table({
+            key: batch[key],
+            ts_col: batch[ts_col],
+            tie_col: batch[tie_col],
+            "s": pa.array(s, pa.int64()),
+        })
+
+    OUT = pa.schema([(key, ktype), ("n", pa.int64()),
+                     ("r1", pa.float64())])
+
+    def corr_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, ts_col, tie_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        s = df["s"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(df)]
+        same = np.r_[False, kv[1:] == kv[:-1]]
+        prod = np.zeros(len(df), np.int64)
+        prod[same] = s[same] * np.roll(s, 1)[same]
+        cs = np.cumsum(s)
+        cq = np.cumsum(s * s)
+        cp = np.cumsum(prod)
+        def seg(c):  # exact per-segment sums from cumsums (ints)
+            return c[ends - 1] - np.where(starts > 0, c[starts - 1], 0)
+        n = (ends - starts).astype(np.float64)
+        S = seg(cs).astype(np.float64)
+        Q = seg(cq).astype(np.float64)
+        P = seg(cp).astype(np.float64)
+        first = s[starts].astype(np.float64)
+        last = s[ends - 1].astype(np.float64)
+        m = S / n
+        num = P - m * (S - first) - m * (S - last) + (n - 1) * m * m
+        den = Q - S * m
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r1 = np.where((n >= 2) & (den > 0), num / den, np.nan)
+        return pa.table({
+            key: pa.array(df[key].iloc[starts], ktype, from_pandas=True),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "r1": pa.array(sql_round(r1, round_digits), pa.float64(),
+                           from_pandas=True),
+        }, schema=OUT)
+
+    scaled = ds.select_columns([key, value_col, ts_col, tie_col]) \
+        .map_batches(scale_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return map_key_blocks(scaled, [key], corr_block, num_partitions)

@@ -1119,3 +1119,42 @@ def test_event_path_ngrams_hand_truth(ray_session):
                              n=2).to_pandas()
            .set_index(["s1", "s2"]).n_paths)
     assert two.loc[("a", "b")] == 3 and two.loc[("b", "a")] == 1
+
+
+def test_grouped_autocorr1_hand_truths(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_autocorr1
+
+    def mk(key, vals):
+        return [(key, i, float(v)) for i, v in enumerate(vals)]
+
+    rows = (mk("trend", [1, 2, 3, 4, 5, 6])        # strong positive r1
+            + mk("alt", [1, 9, 1, 9, 1, 9])        # strong negative r1
+            + mk("flat", [5, 5, 5])                # zero variance -> NULL
+            + mk("single", [3]))                   # n < 2 -> NULL
+    ev = rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([r[1] * 1000 for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+    got = (grouped_autocorr1(ev, "event_type", "value", "ts", "event_id")
+           .to_pandas().set_index("event_type"))
+
+    def ref(vals):
+        x = np.asarray(vals, np.float64)
+        m = x.mean()
+        return float(((x[1:] - m) * (x[:-1] - m)).sum()
+                     / ((x - m) ** 2).sum())
+
+    assert abs(got.loc["trend", "r1"] - ref([1, 2, 3, 4, 5, 6])) < 1e-9
+    assert got.loc["trend", "r1"] >= 0.5
+    assert abs(got.loc["alt", "r1"] - ref([1, 9, 1, 9, 1, 9])) < 1e-9
+    assert got.loc["alt", "r1"] < -0.5
+    assert pd.isna(got.loc["flat", "r1"])
+    assert pd.isna(got.loc["single", "r1"])
+    assert got.loc["single", "n"] == 1
