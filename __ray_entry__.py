@@ -1608,6 +1608,18 @@ def q_autocorr(sf_dir: str):
     return grouped_autocorr1(ev, "event_type", "value", "ts", "event_id")
 
 
+def q_zipf(sf_dir: str):
+    """Zipf rank–frequency slope per source (corpus-mix fingerprint —
+    natural text ~ -1): (source, term) count partials, term-keyed sum
+    exchange, then a source-keyed block doing vectorized ranks + the
+    OLS closed form over (ln rank, ln count)
+    (textops.zipf_slope); row_number + moment-sum twin rounded 6."""
+    from epstein_pipeline_ray.stages.textops import zipf_slope
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return zipf_slope(docs, "source")
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3380,6 +3392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_vote": q_knn_vote,
         "event_paths": q_event_paths,
         "autocorr": q_autocorr,
+        "zipf": q_zipf,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4687,6 +4700,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # zipf twin: tfidf token convention, (count DESC, term ASC) ranks,
+        # identical OLS closed form on (ln rank, ln count); slope rounded
+        # at 6 — far above ln accumulation-order noise (~1e-13).
+        "zipf": """
+            WITH toks AS (
+                SELECT source,
+                       lower(unnest(regexp_extract_all(
+                           text, '[a-zA-Z0-9]+'))) AS term
+                FROM documents
+            ),
+            tc AS (SELECT source, term, count(*)::BIGINT AS c
+                   FROM toks GROUP BY source, term),
+            r AS (SELECT source, c,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY c DESC, term ASC) AS rk
+                  FROM tc),
+            m AS (SELECT source, count(*)::BIGINT AS n,
+                         sum(ln(rk::DOUBLE)) AS sx,
+                         sum(ln(c::DOUBLE)) AS sy,
+                         sum(ln(rk::DOUBLE) * ln(c::DOUBLE)) AS sxy,
+                         sum(ln(rk::DOUBLE) * ln(rk::DOUBLE)) AS sxx
+                  FROM r GROUP BY source)
+            SELECT source, n AS vocab,
+                   CASE WHEN (n * sxx - sx * sx) != 0
+                        THEN round((n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx), 6)
+                   END AS zipf_slope
+            FROM m
         """,
         # autocorr twin: benford's half-up integer scaling, exact integer
         # moments (S, Q, lagged product P, run endpoints), then the one

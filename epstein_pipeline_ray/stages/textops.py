@@ -719,3 +719,105 @@ def with_readability(docs: Dataset, id_col: str = "doc_id",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zipf_slope(docs: Dataset, group_col: str = "source",
+               text_col: str = "text", round_digits: int = 6,
+               num_partitions: int | None = None) -> Dataset:
+    """Zipf rank–frequency slope per group: OLS of ln(term count) on
+    ln(rank) over the group's vocabulary — natural text tracks ~-1;
+    boilerplate/generated text flattens or steepens it (a corpus-mix
+    fingerprint). Token convention is tfidf's (``[a-zA-Z0-9]+``,
+    lowered); rank = row_number by (count DESC, term ASC).
+
+    Two keyed exchanges: (group, term) count partials (map-side
+    collapsed), then a group-keyed exchange where ranks and the
+    OLS closed form are vectorized per block. Counts are exact ints;
+    the ln() moments are float but rounded at 6, far above the
+    ~1e-13 accumulation-order noise (the geomean convention).
+    Output: (group, vocab, zipf_slope)."""
+    import re as _re
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    gtype = dict(zip(docs.schema().names, docs.schema().types))[group_col]
+    CNT = pa.schema([(group_col, gtype), ("term", pa.string()),
+                     ("c", pa.int64())])
+    word_re = _re.compile(r"[a-zA-Z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        groups: list = []
+        terms: list[str] = []
+        for g, t in zip(batch[group_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for w in word_re.findall(t or ""):
+                groups.append(g)
+                terms.append(w.lower())
+        df = (pd.DataFrame({"g": groups, "term": terms})
+              .groupby(["g", "term"], sort=False).size().rename("c")
+              .reset_index())
+        return pa.table({
+            group_col: pa.array(df["g"], gtype, from_pandas=True),
+            "term": pa.array(df["term"], pa.string()),
+            "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if block.num_rows == 0:
+            return CNT.empty_table()
+        g = (block.to_pandas()
+             .groupby([group_col, "term"], sort=False, as_index=False)["c"]
+             .sum())
+        return pa.table({
+            group_col: pa.array(g[group_col], gtype, from_pandas=True),
+            "term": pa.array(g["term"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    counts = map_key_blocks(
+        docs.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "term"], sum_block, num_partitions, sort_blocks=False)
+
+    OUT = pa.schema([(group_col, gtype), ("vocab", pa.int64()),
+                     ("zipf_slope", pa.float64())])
+
+    def fit_block(block: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .sort_values([group_col, "c", "term"],
+                           ascending=[True, False, True], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[group_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(df)]
+        rank = np.arange(len(df), dtype=np.int64) \
+            - np.repeat(starts, ends - starts) + 1
+        x = np.log(rank.astype(np.float64))
+        y = np.log(df["c"].to_numpy(np.float64))
+        cx, cy = np.cumsum(x), np.cumsum(y)
+        cxy, cxx = np.cumsum(x * y), np.cumsum(x * x)
+        def seg(c):
+            return c[ends - 1] - np.where(starts > 0, c[starts - 1], 0.0)
+        n = (ends - starts).astype(np.float64)
+        sx, sy, sxy, sxx = seg(cx), seg(cy), seg(cxy), seg(cxx)
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den != 0, (n * sxy - sx * sy) / den, np.nan)
+        return pa.table({
+            group_col: pa.array(df[group_col].iloc[starts], gtype,
+                                from_pandas=True),
+            "vocab": pa.array(n.astype(np.int64), pa.int64()),
+            "zipf_slope": pa.array(sql_round(slope, round_digits),
+                                   pa.float64(), from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(counts, [group_col], fit_block, num_partitions,
+                          sort_blocks=False)

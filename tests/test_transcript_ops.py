@@ -339,3 +339,32 @@ def test_readability_hand_truths(ray_session):
     assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (2, 1, 2)
     r4 = got.loc[4]
     assert (r4.n_words, r4.n_sentences) == (3, 2)
+
+
+def test_zipf_slope_hand_truth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import zipf_slope
+
+    # geometric counts 8,4,2,1 at ranks 1..4: slope = -ln2-exact OLS fit?
+    # counts 2^(3-i) vs rank r: y=ln c not linear in ln r; compute ref.
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s2"], pa.string()),
+        "text": pa.array([text, "x x x y"], pa.string()),
+    }))
+    got = zipf_slope(docs, "source").to_pandas().set_index("source")
+    assert got.loc["s1", "vocab"] == 4
+    x = np.log(np.arange(1, 5, dtype=np.float64))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    n = 4.0
+    ref = (n * (x * y).sum() - x.sum() * y.sum()) \
+        / (n * (x * x).sum() - x.sum() ** 2)
+    assert abs(got.loc["s1", "zipf_slope"] - ref) < 1e-6
+    assert got.loc["s1", "zipf_slope"] < -1.0
+    # s2: x(3) rank 1, y(1) rank 2 — slope = (ln1-ln3)/(ln2-ln1) < 0
+    assert got.loc["s2", "vocab"] == 2
+    ref2 = (np.log(1.0) - np.log(3.0)) / (np.log(2.0) - np.log(1.0))
+    assert abs(got.loc["s2", "zipf_slope"] - ref2) < 1e-6
