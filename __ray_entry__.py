@@ -1631,6 +1631,37 @@ def q_iqr_outliers(sf_dir: str):
     return iqr_outliers(ev, "event_type", "value")
 
 
+def q_cdc_merge(sf_dir: str):
+    """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
+    lineitem-derived upsert/delete change rows (version = linenumber,
+    delete when (orderkey+linenumber)%10==0), last-write-wins per key
+    in one keyed exchange (cdc.apply_changelog); UNION ALL +
+    row_number twin."""
+    from epstein_pipeline_ray.stages.cdc import apply_changelog
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def to_changes(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        ln = np.asarray(batch["l_linenumber"].to_numpy(
+            zero_copy_only=False), np.int64)
+        op = np.where((k + ln) % 10 == 0, "delete", "upsert")
+        return pa.table({
+            "o_orderkey": pa.array(k, pa.int64()),
+            "version": pa.array(ln, pa.int64()),
+            "op": pa.array(op.tolist(), pa.string()),
+            "o_totalprice": batch["l_extendedprice"],
+        })
+
+    changes = li.map_batches(to_changes, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return apply_changelog(orders, changes, "o_orderkey",
+                           ["o_totalprice"])
+
+
 def q_price_spearman(sf_dir: str):
     """Spearman rank correlation (average-rank ties) of quantity vs
     extended price per return flag — one keyed exchange with tie-aware
@@ -3405,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr": q_autocorr,
         "zipf": q_zipf,
         "iqr_outliers": q_iqr_outliers,
+        "cdc_merge": q_cdc_merge,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4712,6 +4744,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # cdc_merge twin: snapshot rides as version 0 / src 0; change rows
+        # beat it on (version, src); a winning delete drops the key. The
+        # synthetic lineitem has duplicate (orderkey, linenumber) rows, so
+        # the pick order extends through (op, price) — the engine's full
+        # deterministic tie-break.
+        "cdc_merge": """
+            WITH snap AS (
+                SELECT o_orderkey AS k, 0::BIGINT AS version,
+                       'upsert' AS op, 0 AS src,
+                       o_totalprice AS price
+                FROM orders
+            ),
+            chg AS (
+                SELECT l_orderkey AS k, l_linenumber::BIGINT AS version,
+                       CASE WHEN (l_orderkey + l_linenumber) % 10 = 0
+                            THEN 'delete' ELSE 'upsert' END AS op,
+                       1 AS src,
+                       l_extendedprice AS price
+                FROM lineitem
+            ),
+            u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+            w AS (SELECT k, version, op, price,
+                         row_number() OVER (
+                             PARTITION BY k
+                             ORDER BY version DESC, src DESC,
+                                      op DESC, price DESC) AS rn
+                  FROM u)
+            SELECT k AS o_orderkey, version,
+                   price AS o_totalprice
+            FROM w WHERE rn = 1 AND op = 'upsert'
         """,
         "iqr_outliers": """
             WITH q AS (

@@ -1,0 +1,102 @@
+"""Changelog application (CDC merge / upsert) — the lakehouse MERGE INTO.
+
+A snapshot table plus a stream of keyed change rows (upsert/delete with a
+monotone version) collapses to the post-merge snapshot: per key the
+highest-version row wins; a winning ``delete`` removes the key. This is
+the incremental-ingest primitive every snapshot-diff / compaction flow
+builds on (Delta/Hudi/Iceberg MERGE semantics, re-expressed as one keyed
+exchange).
+
+Plan: tag both inputs with (version, op), union, ONE key-keyed exchange,
+then a vectorized last-write-wins pick per key-sorted block (sort +
+keep-last, no per-group Python). The exchange moves only the projected
+merge columns; at 10^12 rows the reduce is bounded by rows-per-key, and
+skewed keys are just big blocks, not driver state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def apply_changelog(
+    snapshot: Dataset,
+    changes: Dataset,
+    key: str,
+    value_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    snapshot_version: int = 0,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Merge ``changes`` (columns: key, version_col, op_col, value_cols)
+    into ``snapshot`` (columns: key, value_cols — implicit version
+    ``snapshot_version``, op upsert). Winner per key = the max version
+    row ((version, is-change) tie: a change beats the snapshot at equal
+    version); a winning delete drops the key. Output: (key, version_col,
+    *value_cols) of surviving winners."""
+    ktype = dict(zip(snapshot.schema().names, snapshot.schema().types))[key]
+    vtypes = dict(zip(snapshot.schema().names, snapshot.schema().types))
+    UNION = pa.schema(
+        [(key, ktype), (version_col, pa.int64()), (op_col, pa.string()),
+         ("__src", pa.int8())] + [(c, vtypes[c]) for c in value_cols])
+
+    def tag_snapshot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            key: batch[key],
+            version_col: pa.array(np.full(n, snapshot_version, np.int64),
+                                  pa.int64()),
+            op_col: pa.array([OP_UPSERT] * n, pa.string()),
+            "__src": pa.array(np.zeros(n, np.int8), pa.int8()),
+            **{c: batch[c] for c in value_cols},
+        }, schema=UNION)
+
+    def tag_changes(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            key: batch[key],
+            version_col: batch[version_col].cast(pa.int64()),
+            op_col: batch[op_col],
+            "__src": pa.array(np.ones(n, np.int8), pa.int8()),
+            **{c: batch[c] for c in value_cols},
+        }, schema=UNION)
+
+    tagged = snapshot.select_columns([key] + value_cols).map_batches(
+        tag_snapshot, batch_format="pyarrow", zero_copy_batch=True).union(
+        changes.select_columns(
+            [key, version_col, op_col] + value_cols).map_batches(
+            tag_changes, batch_format="pyarrow", zero_copy_batch=True))
+
+    OUT = pa.schema([(key, ktype), (version_col, pa.int64())]
+                    + [(c, vtypes[c]) for c in value_cols])
+
+    def pick_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        # full deterministic order: duplicate (key, version, src) rows —
+        # legal in real changelogs — resolve on (op, value_cols), so both
+        # engines pick the same winner (rows equal on ALL of these are
+        # output-identical and the pick is immaterial)
+        df = (block.to_pandas()
+              .sort_values([key, version_col, "__src", op_col]
+                           + value_cols, kind="mergesort")
+              .drop_duplicates([key], keep="last"))
+        df = df[df[op_col] == OP_UPSERT]
+        return pa.table(
+            {key: pa.array(df[key], ktype, from_pandas=True),
+             version_col: pa.array(df[version_col].to_numpy(np.int64),
+                                   pa.int64())}
+            | {c: pa.array(df[c], vtypes[c], from_pandas=True)
+               for c in value_cols},
+            schema=OUT)
+
+    return map_key_blocks(tagged, [key], pick_block, num_partitions)
