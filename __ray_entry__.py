@@ -1631,6 +1631,18 @@ def q_iqr_outliers(sf_dir: str):
     return iqr_outliers(ev, "event_type", "value")
 
 
+def q_soundex_blocks(sf_dir: str):
+    """Phonetic blocking-key histogram over part names (simplified
+    Soundex of the first word — the ER block-size report): per-code
+    (code, word) count partials, one keyed exchange
+    (textops.soundex_block_stats); translate + per-digit run-collapse
+    twin (RE2 has no backrefs)."""
+    from epstein_pipeline_ray.stages.textops import soundex_block_stats
+
+    parts = _read(sf_dir, "part", ["p_name"])
+    return soundex_block_stats(parts, "p_name")
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3437,6 +3449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf": q_zipf,
         "iqr_outliers": q_iqr_outliers,
         "cdc_merge": q_cdc_merge,
+        "soundex_blocks": q_soundex_blocks,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4744,6 +4757,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # soundex twin: simplified Soundex (functions/fuzzy.py soundex4
+        # docstring) — translate maps consonants to digits and DELETES
+        # aeiouyhw; runs collapse with one '{2,}' replace per digit
+        # because RE2 has no backreferences.
+        "soundex_blocks": """
+            WITH w AS (
+                SELECT lower(regexp_extract(p_name, '^[a-zA-Z]+')) AS w
+                FROM part
+            ),
+            c AS (
+                SELECT w,
+                       CASE WHEN w = '' THEN ''
+                       ELSE substr(
+                           upper(substr(w, 1, 1)) ||
+                           regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(regexp_replace(regexp_replace(
+                               translate(substr(w, 2),
+                                   'bfpvcgjkqszxdtlmnraeiouyhw',
+                                   '111122222222334556'),
+                               '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+                               '3{2,}', '3', 'g'), '4{2,}', '4', 'g'),
+                               '5{2,}', '5', 'g'), '6{2,}', '6', 'g')
+                           || '000', 1, 4) END AS soundex
+                FROM w
+            )
+            SELECT soundex, count(*)::BIGINT AS n_rows,
+                   count(DISTINCT w)::BIGINT AS n_words
+            FROM c GROUP BY soundex
         """,
         # cdc_merge twin: snapshot rides as version 0 / src 0; change rows
         # beat it on (version, src); a winning delete drops the key. The

@@ -87,3 +87,30 @@ def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
             break
         prefix += 1
     return jaro + prefix * prefix_scale * (1 - jaro)
+
+
+# --- simplified Soundex (the classic ER phonetic blocking key) ---------
+#
+# Convention (shared verbatim with the SQL twin — DuckDB's RE2 has no
+# backreferences, so the twin collapses runs with one '{2,}' replace per
+# digit): first letter uppercased; the REST maps bfpv->1 cgjkqszx->2
+# dt->3 l->4 mn->5 r->6, drops aeiouyhw, then collapses adjacent equal
+# digits; padded with '0' to 4 chars. Differs from full Soundex only in
+# the first-letter-duplicate and h/w-separator rules (documented
+# simplification, identical on both engines).
+
+_SOUNDEX_MAP = str.maketrans(
+    "bfpvcgjkqszxdtlmnr", "111122222222334556", "aeiouyhw")
+
+
+def soundex4(word: str) -> str:
+    """Simplified 4-char Soundex code of an ASCII word ('' if empty)."""
+    w = word.lower()
+    if not w:
+        return ""
+    digits = w[1:].translate(_SOUNDEX_MAP)
+    out = []
+    for ch in digits:
+        if not out or out[-1] != ch:
+            out.append(ch)
+    return (w[0].upper() + "".join(out) + "000")[:4]

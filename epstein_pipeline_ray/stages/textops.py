@@ -821,3 +821,62 @@ def zipf_slope(docs: Dataset, group_col: str = "source",
 
     return map_key_blocks(counts, [group_col], fit_block, num_partitions,
                           sort_blocks=False)
+
+
+def soundex_block_stats(ds: Dataset, name_col: str,
+                        num_partitions: int | None = None) -> Dataset:
+    """Phonetic blocking diagnostic (the ER blocking-key histogram):
+    simplified Soundex of the FIRST word of ``name_col``, then per-code
+    member + distinct-word counts in one keyed exchange of
+    (code, word) -> count partials. The code is the blocking key a
+    Splink-style linkage would group on; this reports block sizes (the
+    n^2 cost driver) before anyone pays them. Output:
+    (soundex, n_rows, n_words)."""
+    import re as _re
+
+    import pandas as pd
+
+    from epstein_pipeline_ray.functions.fuzzy import soundex4
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    first_re = _re.compile(r"^[a-zA-Z]+")
+    PART = pa.schema([("soundex", pa.string()), ("word", pa.string()),
+                      ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes: list[str] = []
+        words: list[str] = []
+        for nm in batch[name_col].to_pylist():
+            m = first_re.match(nm or "")
+            w = m.group(0).lower() if m else ""
+            words.append(w)
+            codes.append(soundex4(w))
+        df = (pd.DataFrame({"soundex": codes, "word": words})
+              .groupby(["soundex", "word"], sort=False).size().rename("c")
+              .reset_index())
+        return pa.table({
+            "soundex": pa.array(df["soundex"], pa.string()),
+            "word": pa.array(df["word"], pa.string()),
+            "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=PART)
+
+    OUT = pa.schema([("soundex", pa.string()), ("n_rows", pa.int64()),
+                     ("n_words", pa.int64())])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas().groupby("soundex", sort=True)
+             .agg(n_rows=("c", "sum"), n_words=("word", "nunique"))
+             .reset_index())
+        return pa.table({
+            "soundex": pa.array(g["soundex"], pa.string()),
+            "n_rows": pa.array(g["n_rows"].to_numpy(np.int64), pa.int64()),
+            "n_words": pa.array(g["n_words"].to_numpy(np.int64),
+                                pa.int64()),
+        }, schema=OUT)
+
+    partials = ds.select_columns([name_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(partials, ["soundex"], per_block, num_partitions,
+                          sort_blocks=False)

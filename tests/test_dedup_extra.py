@@ -285,3 +285,34 @@ def test_edit_distance_pairs_brute(ray_session):
     # ("ab","ac") sharing zero bigrams at dist 1
     pairs = set(zip(got.id_a, got.id_b))
     assert (7, 8) in pairs and (5, 6) in pairs
+
+
+def test_soundex4_classic_truths():
+    from epstein_pipeline_ray.functions.fuzzy import soundex4
+
+    # classic Soundex agreement cases (no first-letter-dup / hw rules hit)
+    assert soundex4("Robert") == soundex4("Rupert") == "R163"
+    assert soundex4("Smith") == soundex4("Smyth") == "S530"
+    assert soundex4("cold") == "C430"
+    assert soundex4("a") == "A000"
+    assert soundex4("") == ""
+    # run collapse after vowel drop (documented simplification)
+    assert soundex4("sassy") == "S200"
+
+
+def test_soundex_block_stats_groups_phonetic_matches(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import soundex_block_stats
+
+    ds = rd.from_arrow(pa.table({
+        "name": pa.array(["Robert widget", "rupert bolt", "Smith x",
+                          "Smyth y", "Smith z"], pa.string()),
+    }))
+    got = (soundex_block_stats(ds, "name").to_pandas()
+           .set_index("soundex"))
+    assert got.loc["R163", "n_rows"] == 2
+    assert got.loc["R163", "n_words"] == 2  # robert, rupert
+    assert got.loc["S530", "n_rows"] == 3
+    assert got.loc["S530", "n_words"] == 2  # smith, smyth
