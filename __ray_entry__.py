@@ -1643,6 +1643,41 @@ def q_soundex_blocks(sf_dir: str):
     return soundex_block_stats(parts, "p_name")
 
 
+def q_stratified_folds(sf_dir: str):
+    """Stratified 5-fold assignment over documents by language (equal
+    per-stratum fold shares — the leakage-free eval split): one
+    stratum-keyed exchange, vectorized segment ranks
+    (relational.stratified_fold_assign); row_number-mod twin."""
+    from epstein_pipeline_ray.stages.relational import stratified_fold_assign
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_fold_assign(docs, "lang", "doc_id", k=5)
+
+
+def q_impute_median(sf_dir: str):
+    """Group-median null imputation over a deterministically nulled
+    value column (event_id%7==0 -> null): exact rounded non-null group
+    median + size-switched attach + vectorized coalesce
+    (relational.impute_group_median); median + coalesce twin."""
+    from epstein_pipeline_ray.stages.relational import impute_group_median
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def null_out(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["event_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        import pyarrow.compute as pc
+        v = pc.if_else(pa.array(ids % 7 == 0),
+                       pa.scalar(None, pa.float64()),
+                       batch["value"])
+        return pa.table({"event_id": batch["event_id"],
+                         "event_type": batch["event_type"], "value": v})
+
+    nulled = ev.map_batches(null_out, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return impute_group_median(nulled, "event_type", "value", "event_id")
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3450,6 +3485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outliers": q_iqr_outliers,
         "cdc_merge": q_cdc_merge,
         "soundex_blocks": q_soundex_blocks,
+        "stratified_folds": q_stratified_folds,
+        "impute_median": q_impute_median,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
         "benford": q_benford,
@@ -4757,6 +4794,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        "stratified_folds": """
+            SELECT doc_id, lang,
+                   ((row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                     - 1) % 5)::BIGINT AS fold
+            FROM documents
+        """,
+        # impute twin: identical deterministic nulling, median over the
+        # non-null values rounded 6 (grouped_median convention), coalesce.
+        "impute_median": """
+            WITH n AS (
+                SELECT event_id, event_type,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, round(median(value), 6) AS med
+                FROM n WHERE value IS NOT NULL GROUP BY event_type
+            )
+            SELECT n.event_id, n.event_type,
+                   coalesce(n.value, m.med) AS value_filled,
+                   n.value IS NULL AS was_null
+            FROM n LEFT JOIN m USING (event_type)
         """,
         # soundex twin: simplified Soundex (functions/fuzzy.py soundex4
         # docstring) — translate maps consonants to digits and DELETES

@@ -3375,3 +3375,87 @@ def iqr_outliers(
                                   zero_copy_batch=True)
     return map_key_blocks(partials, [key], sum_block, num_partitions,
                           sort_blocks=False)
+
+
+def stratified_fold_assign(
+    ds: Dataset, stratum_col: str, id_col: str, k: int = 5,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Stratified k-fold assignment: within each stratum, rows ranked by
+    ``id_col`` take fold ``(rank - 1) % k`` — every fold gets an equal
+    (+-1) share of EVERY stratum, the leakage-free eval-split prep a
+    plain hash split (assign_split) cannot guarantee on skewed strata.
+    One keyed exchange (stratum-sorted blocks), vectorized segment
+    ranks. Output: (id, stratum, fold)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    stype = dict(zip(ds.schema().names, ds.schema().types))[stratum_col]
+    itype = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    OUT = pa.schema([(id_col, itype), (stratum_col, stype),
+                     ("fold", pa.int64())])
+
+    def rank_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .sort_values([stratum_col, id_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[stratum_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(df)]
+        rank = np.arange(len(df), dtype=np.int64) \
+            - np.repeat(starts, ends - starts)
+        return pa.table({
+            id_col: pa.array(df[id_col], itype, from_pandas=True),
+            stratum_col: pa.array(df[stratum_col], stype,
+                                  from_pandas=True),
+            "fold": pa.array(rank % k, pa.int64()),
+        }, schema=OUT)
+
+    return map_key_blocks(ds.select_columns([stratum_col, id_col]),
+                          [stratum_col], rank_block, num_partitions,
+                          sort_blocks=False)
+
+
+def impute_group_median(
+    ds: Dataset, key: str, value_col: str, id_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Null imputation with the group median (the standard numeric
+    cleaning step): the exact rounded per-group median of the NON-NULL
+    values (grouped_median convention) fills every null via a
+    size-switched attach — no driver pull. Groups that are all-null
+    stay null. Output: (id, key, value_filled, was_null)."""
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    itype = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[value_col]))
+
+    med = grouped_median(
+        ds.select_columns([key, value_col]).map_batches(
+            drop_nulls, batch_format="pyarrow", zero_copy_batch=True),
+        key, value_col, out_col="__med", num_partitions=num_partitions)
+    tagged = attach_column(ds.select_columns([id_col, key, value_col]),
+                           med, key, key, "__med", "__med",
+                           num_partitions=num_partitions)
+
+    OUT = pa.schema([(id_col, itype), (key, ktype),
+                     ("value_filled", pa.float64()),
+                     ("was_null", pa.bool_())])
+
+    def fill(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].cast(pa.float64())
+        m = batch["__med"].cast(pa.float64())
+        nulls = pc.is_null(v)
+        return pa.table({
+            id_col: batch[id_col],
+            key: batch[key],
+            "value_filled": pc.if_else(nulls, m, v),
+            "was_null": nulls,
+        }, schema=OUT)
+
+    return tagged.map_batches(fill, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1181,3 +1181,46 @@ def test_iqr_outliers_hand_truth(ray_session):
     assert abs(got.q1 - round(q1, 6)) < 1e-9
     assert abs(got.q3 - round(q3, 6)) < 1e-9
     assert got.n_outliers == 1 and got.n == 12
+
+
+def test_stratified_fold_assign_balance(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import stratified_fold_assign
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(23)), pa.int64()),
+        "lang": pa.array(["en"] * 17 + ["fr"] * 6, pa.string()),
+    }))
+    got = stratified_fold_assign(ds, "lang", "doc_id", k=5).to_pandas()
+    en = got[got.lang == "en"].fold.value_counts()
+    fr = got[got.lang == "fr"].fold.value_counts()
+    # every fold's share of every stratum within +-1
+    assert en.max() - en.min() <= 1 and sorted(en.index) == [0, 1, 2, 3, 4]
+    assert fr.max() - fr.min() <= 1
+    # deterministic: smallest en doc_id gets fold 0
+    assert got.set_index("doc_id").loc[0, "fold"] == 0
+
+
+def test_impute_group_median_hand_truth(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import impute_group_median
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "a", "b", "b"],
+                               pa.string()),
+        "value": pa.array([1.0, None, 3.0, 10.0, None, None],
+                          pa.float64()),
+    }))
+    got = (impute_group_median(ev, "event_type", "value", "event_id")
+           .to_pandas().set_index("event_id").sort_index())
+    # group a non-null median of [1,3,10] = 3.0 fills event 2
+    assert got.loc[2, "value_filled"] == 3.0 and got.loc[2, "was_null"]
+    assert got.loc[1, "value_filled"] == 1.0 and not got.loc[1, "was_null"]
+    # all-null group stays null
+    assert pd.isna(got.loc[5, "value_filled"]) and got.loc[5, "was_null"]
