@@ -1678,6 +1678,18 @@ def q_impute_median(sf_dir: str):
     return impute_group_median(nulled, "event_type", "value", "event_id")
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window counts (2h windows every 30min — the overlapping
+    streaming window tumbling can't express): vectorized repeat/tile
+    explode, (key, window) count partials, one keyed exchange
+    (relational.events_hopping_window); generate_series explode twin."""
+    from epstein_pipeline_ray.stages.relational import events_hopping_window
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return events_hopping_window(ev, "event_type", size_s=7200,
+                                 hop_s=1800)
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3486,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge": q_cdc_merge,
         "soundex_blocks": q_soundex_blocks,
         "stratified_folds": q_stratified_folds,
+        "events_hopping": q_events_hopping,
         "impute_median": q_impute_median,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
@@ -4794,6 +4807,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # hopping twin: same epoch-second/window arithmetic; each event
+        # explodes into size/hop = 4 overlapping windows.
+        "events_hopping": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) // 1000000 AS s
+                FROM events
+            ),
+            w AS (
+                SELECT event_type,
+                       (s // 1800 - j) * 1800 AS window_start
+                FROM e, (SELECT unnest(generate_series(0, 3)) AS j) t
+            )
+            SELECT event_type, window_start, count(*)::BIGINT AS n
+            FROM w GROUP BY event_type, window_start
         """,
         "stratified_folds": """
             SELECT doc_id, lang,

@@ -3459,3 +3459,68 @@ def impute_group_median(
 
     return tagged.map_batches(fill, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def events_hopping_window(
+    ds: Dataset, key: str, ts_col: str = "ts",
+    size_s: int = 7200, hop_s: int = 1800,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Hopping (sliding) window counts per key — the streaming-window
+    family member tumbling windows can't express: every event lands in
+    ``size_s / hop_s`` overlapping windows (hop must divide size), so
+    the map side EXPLODES each batch with one vectorized repeat/tile
+    (no per-row loop), collapses to (key, window_start) count partials,
+    and one keyed exchange sums them. Window starts are epoch-second
+    multiples of ``hop_s``. Output: (key, window_start:int64, n)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    if size_s % hop_s:
+        raise ValueError("hop_s must divide size_s")
+    m = size_s // hop_s
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    CNT = pa.schema([(key, ktype), ("window_start", pa.int64()),
+                     ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        s = np.asarray(ts.cast(pa.int64()).to_numpy(zero_copy_only=False),
+                       np.int64) // 1_000_000
+        base = (s // hop_s) * hop_s
+        starts = (np.repeat(base, m)
+                  - np.tile(np.arange(m, dtype=np.int64) * hop_s, len(s)))
+        df = pd.DataFrame({
+            "k": batch[key].to_pandas().repeat(m).reset_index(drop=True),
+            "w": starts,
+        })
+        g = df.groupby(["k", "w"], sort=False).size().rename("c") \
+              .reset_index()
+        return pa.table({
+            key: pa.array(g["k"], ktype, from_pandas=True),
+            "window_start": pa.array(g["w"].to_numpy(np.int64),
+                                     pa.int64()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    OUT = pa.schema([(key, ktype), ("window_start", pa.int64()),
+                     ("n", pa.int64())])
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        g = (block.to_pandas()
+             .groupby([key, "window_start"], sort=True,
+                      as_index=False)["c"].sum())
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "window_start": pa.array(
+                g["window_start"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=OUT)
+
+    partials = ds.select_columns([key, ts_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return map_key_blocks(partials, [key, "window_start"], sum_block,
+                          num_partitions, sort_blocks=False)

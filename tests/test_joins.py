@@ -1224,3 +1224,25 @@ def test_impute_group_median_hand_truth(ray_session):
     assert got.loc[1, "value_filled"] == 1.0 and not got.loc[1, "was_null"]
     # all-null group stays null
     assert pd.isna(got.loc[5, "value_filled"]) and got.loc[5, "was_null"]
+
+
+def test_events_hopping_window_hand_truth(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import events_hopping_window
+
+    # one event at t=3600s with size=3600, hop=1800: windows 1800 and 3600
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array([3600 * 1_000_000, 3599 * 1_000_000],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "a"], pa.string()),
+    }))
+    got = (events_hopping_window(ev, "event_type", size_s=3600,
+                                 hop_s=1800).to_pandas()
+           .set_index("window_start").n)
+    # t=3600 -> windows {1800, 3600}; t=3599 -> windows {0, 1800}
+    assert got.loc[0] == 1 and got.loc[1800] == 2 and got.loc[3600] == 1
+    with pytest.raises(ValueError):
+        events_hopping_window(ev, "event_type", size_s=3600, hop_s=1000)
