@@ -1690,6 +1690,30 @@ def q_events_hopping(sf_dir: str):
                                  hop_s=1800)
 
 
+def q_psi_drift(sf_dir: str):
+    """PSI drift per event type between the even-id (reference) and
+    odd-id (current) halves — reference deciles, strict-greater
+    bucketing, half-count smoothing, all inside one keyed exchange
+    (relational.psi_drift); count-above-edge difference twin."""
+    from epstein_pipeline_ray.stages.relational import psi_drift
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["event_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "value": batch["value"],
+            "split": pa.array(np.where(ids % 2 == 0, "ref", "cur")
+                              .tolist(), pa.string()),
+        })
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return psi_drift(tagged, "event_type", "value", "split", "ref")
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3499,6 +3523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soundex_blocks": q_soundex_blocks,
         "stratified_folds": q_stratified_folds,
         "events_hopping": q_events_hopping,
+        "psi_drift": q_psi_drift,
         "impute_median": q_impute_median,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
@@ -4807,6 +4832,66 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # psi twin: bucket(v) = #edges strictly below v, so the count of
+        # rows with bucket >= t equals count(v > t-th smallest edge) —
+        # bucket counts come from differences of those tail counts (the
+        # identity holds with duplicate edges); half-count smoothing and
+        # the (p-q)*ln(p/q) expression match the engine verbatim.
+        "psi_drift": """
+            WITH s AS (
+                SELECT event_type, value,
+                       (event_id % 2 = 0) AS is_ref
+                FROM events
+            ),
+            e AS (
+                SELECT event_type,
+                       generate_subscripts(qs, 1) AS t,
+                       round(unnest(qs), 6) AS edge
+                FROM (SELECT event_type,
+                             quantile_cont(value, [0.1, 0.2, 0.3, 0.4,
+                                                   0.5, 0.6, 0.7, 0.8,
+                                                   0.9]) AS qs
+                      FROM s WHERE is_ref GROUP BY event_type)
+            ),
+            tot AS (SELECT event_type, is_ref, count(*)::BIGINT AS n
+                    FROM s GROUP BY 1, 2),
+            g AS (
+                SELECT s.event_type, s.is_ref, e.t,
+                       sum(CASE WHEN s.value > e.edge
+                                THEN 1 ELSE 0 END)::BIGINT AS gt
+                FROM s JOIN e ON s.event_type = e.event_type
+                GROUP BY 1, 2, 3
+            ),
+            grid AS (
+                SELECT event_type, is_ref, n,
+                       unnest(generate_series(0, 9)) AS b
+                FROM tot
+            ),
+            c AS (
+                SELECT grid.event_type, grid.is_ref, grid.n, grid.b,
+                       coalesce(glo.gt, grid.n) - coalesce(ghi.gt, 0) AS c
+                FROM grid
+                LEFT JOIN g glo ON glo.event_type = grid.event_type
+                    AND glo.is_ref = grid.is_ref AND glo.t = grid.b
+                LEFT JOIN g ghi ON ghi.event_type = grid.event_type
+                    AND ghi.is_ref = grid.is_ref AND ghi.t = grid.b + 1
+            ),
+            sh AS (
+                SELECT event_type, b,
+                       max(CASE WHEN is_ref
+                                THEN (c + 0.5) / (n + 5.0) END) AS p,
+                       max(CASE WHEN NOT is_ref
+                                THEN (c + 0.5) / (n + 5.0) END) AS q,
+                       max(CASE WHEN is_ref THEN n END) AS n_ref,
+                       max(CASE WHEN NOT is_ref THEN n END) AS n_cur
+                FROM c GROUP BY event_type, b
+            )
+            SELECT event_type,
+                   max(n_ref)::BIGINT AS n_ref,
+                   max(n_cur)::BIGINT AS n_cur,
+                   round(sum((p - q) * ln(p / q)), 6) AS psi
+            FROM sh GROUP BY event_type
         """,
         # hopping twin: same epoch-second/window arithmetic; each event
         # explodes into size/hop = 4 overlapping windows.

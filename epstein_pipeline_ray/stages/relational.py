@@ -3524,3 +3524,71 @@ def events_hopping_window(
         partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(partials, [key, "window_start"], sum_block,
                           num_partitions, sort_blocks=False)
+
+
+def psi_drift(
+    ds: Dataset, key: str, value_col: str, split_col: str,
+    ref_value, n_buckets: int = 10, round_digits: int = 6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Population Stability Index per key between a reference split and
+    everything else — THE train/serve drift gate. Conventions (shared
+    verbatim with the twin):
+
+      edges   = rounded-6 linear-interp quantiles of the REFERENCE
+                values at 1/n .. (n-1)/n
+      bucket  = number of edges strictly below the value (0..n-1)
+      shares  = (count + 0.5) / (split_total + n/2)  — half-count
+                smoothing so empty cells stay finite
+      psi     = sum over ALL n buckets of (p - q) * ln(p / q)
+
+    One keyed exchange (values only): each key's block computes its own
+    reference deciles, buckets both splits with one searchsorted, and
+    emits a single PSI row — rows per key bound the block, the output
+    is keys-sized. Output: (key, n_ref, n_cur, psi)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("n_ref", pa.int64()),
+                     ("n_cur", pa.int64()), ("psi", pa.float64())])
+    qs = [(i + 1) / n_buckets for i in range(n_buckets - 1)]
+
+    def psi_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = block.to_pandas()
+        keys_out, nref_out, ncur_out, psi_out = [], [], [], []
+        for k, sub in df.groupby(key, sort=True):
+            is_ref = (sub[split_col] == ref_value).to_numpy()
+            v = sub[value_col].to_numpy(np.float64)
+            ref_v, cur_v = v[is_ref], v[~is_ref]
+            edges = sql_round(
+                np.quantile(ref_v, qs, method="linear"), round_digits) \
+                if len(ref_v) else np.array([])
+            n = n_buckets
+            if len(ref_v) and len(cur_v):
+                rb = np.searchsorted(edges, ref_v, side="left")
+                cb = np.searchsorted(edges, cur_v, side="left")
+                cr = np.bincount(rb, minlength=n).astype(np.float64)
+                cc = np.bincount(cb, minlength=n).astype(np.float64)
+                p = (cr + 0.5) / (len(ref_v) + n / 2.0)
+                q = (cc + 0.5) / (len(cur_v) + n / 2.0)
+                psi = float(sql_round(((p - q) * np.log(p / q)).sum(),
+                                      round_digits))
+            else:
+                psi = None
+            keys_out.append(k)
+            nref_out.append(len(ref_v))
+            ncur_out.append(len(cur_v))
+            psi_out.append(psi)
+        return pa.table({
+            key: pa.array(keys_out, ktype),
+            "n_ref": pa.array(nref_out, pa.int64()),
+            "n_cur": pa.array(ncur_out, pa.int64()),
+            "psi": pa.array(psi_out, pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(
+        ds.select_columns([key, value_col, split_col]),
+        [key], psi_block, num_partitions)

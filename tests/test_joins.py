@@ -1246,3 +1246,27 @@ def test_events_hopping_window_hand_truth(ray_session):
     assert got.loc[0] == 1 and got.loc[1800] == 2 and got.loc[3600] == 1
     with pytest.raises(ValueError):
         events_hopping_window(ev, "event_type", size_s=3600, hop_s=1000)
+
+
+def test_psi_drift_hand_truths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import psi_drift
+
+    rng = np.random.default_rng(3)
+    same = rng.normal(0, 1, 400)
+    shifted = rng.normal(3, 1, 200)  # strong drift
+    tbl = pa.table({
+        "k": ["stable"] * 400 + ["drift"] * 400,
+        "value": np.r_[same, same[:200], shifted].tolist(),
+        "split": (["ref", "cur"] * 200) + ["ref"] * 200 + ["cur"] * 200,
+    })
+    got = (psi_drift(rd.from_arrow(tbl), "k", "value", "split", "ref")
+           .to_pandas().set_index("k"))
+    # identical distributions: PSI ~ 0; 3-sigma shift: PSI >> 0.25
+    assert got.loc["stable", "psi"] < 0.1
+    assert got.loc["drift", "psi"] > 0.25
+    assert got.loc["drift", "n_ref"] == 200
+    assert got.loc["drift", "n_cur"] == 200
