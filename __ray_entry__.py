@@ -1714,6 +1714,17 @@ def q_psi_drift(sf_dir: str):
     return psi_drift(tagged, "event_type", "value", "split", "ref")
 
 
+def q_ewma(sf_dir: str):
+    """Trailing EWMA (alpha 0.5, depth 8) of event values per type —
+    exact binary-fraction weights, fixed-order accumulation, one keyed
+    exchange with depth vectorized shifted adds
+    (relational.ewma_trailing); exactly-unrolled 8-lag twin."""
+    from epstein_pipeline_ray.stages.relational import ewma_trailing
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return ewma_trailing(ev, "event_type", "value", "ts", "event_id")
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3524,6 +3535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_folds": q_stratified_folds,
         "events_hopping": q_events_hopping,
         "psi_drift": q_psi_drift,
+        "ewma": q_ewma,
         "impute_median": q_impute_median,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
@@ -4832,6 +4844,42 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # ewma twin: exactly-unrolled 8-lag chain, exact binary-fraction
+        # weights, identical left-to-right accumulation order.
+        "ewma": """
+            WITH o AS (
+                SELECT event_id, event_type, value,
+                       lag(value, 1) OVER w AS l1,
+                       lag(value, 2) OVER w AS l2,
+                       lag(value, 3) OVER w AS l3,
+                       lag(value, 4) OVER w AS l4,
+                       lag(value, 5) OVER w AS l5,
+                       lag(value, 6) OVER w AS l6,
+                       lag(value, 7) OVER w AS l7
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            )
+            SELECT event_id, event_type,
+                   round((
+                        0.5 * value
+                        + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 * l1 END
+                        + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 * l2 END
+                        + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 * l3 END
+                        + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 * l4 END
+                        + CASE WHEN l5 IS NULL THEN 0 ELSE 0.015625 * l5 END
+                        + CASE WHEN l6 IS NULL THEN 0 ELSE 0.0078125 * l6 END
+                        + CASE WHEN l7 IS NULL THEN 0 ELSE 0.00390625 * l7 END)
+                        / (
+                        0.5
+                        + CASE WHEN l1 IS NULL THEN 0 ELSE 0.25 END
+                        + CASE WHEN l2 IS NULL THEN 0 ELSE 0.125 END
+                        + CASE WHEN l3 IS NULL THEN 0 ELSE 0.0625 END
+                        + CASE WHEN l4 IS NULL THEN 0 ELSE 0.03125 END
+                        + CASE WHEN l5 IS NULL THEN 0 ELSE 0.015625 END
+                        + CASE WHEN l6 IS NULL THEN 0 ELSE 0.0078125 END
+                        + CASE WHEN l7 IS NULL THEN 0 ELSE 0.00390625 END), 9) AS ewma
+            FROM o
         """,
         # psi twin: bucket(v) = #edges strictly below v, so the count of
         # rows with bucket >= t equals count(v > t-th smallest edge) —

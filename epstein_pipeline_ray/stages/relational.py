@@ -3592,3 +3592,57 @@ def psi_drift(
     return map_key_blocks(
         ds.select_columns([key, value_col, split_col]),
         [key], psi_block, num_partitions)
+
+
+def ewma_trailing(
+    ds: Dataset, key: str, value_col: str, ts_col: str, tie_col: str,
+    alpha: float = 0.5, depth: int = 8, round_digits: int = 9,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Trailing EWMA per key with a FIXED unroll depth — the smoothing
+    every monitoring chart applies, made engine-exact: the infinite
+    recursion is truncated at ``depth`` lags and renormalized over the
+    terms that exist, so both engines evaluate the SAME finite
+    expression (the twin unrolls the identical lag chain; with
+    alpha = 0.5 every weight 2^-(j+1) is an exact binary fraction).
+    Terms accumulate in fixed j = 0..depth-1 order on both sides. One
+    keyed exchange; the reduce is ``depth`` vectorized shifted adds.
+    Output: (tie, key, ewma)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    ttype = dict(zip(ds.schema().names, ds.schema().types))[tie_col]
+    OUT = pa.schema([(tie_col, ttype), (key, ktype),
+                     ("ewma", pa.float64())])
+    weights = [alpha * (1.0 - alpha) ** j for j in range(depth)]
+
+    def ewma_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        df = (block.to_pandas()
+              .sort_values([key, ts_col, tie_col], kind="mergesort")
+              .reset_index(drop=True))
+        kv = df[key].to_numpy()
+        x = df[value_col].to_numpy(np.float64)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(df)]
+        row_start = np.repeat(starts, ends - starts)
+        pos = np.arange(len(df)) - row_start
+        num = np.zeros(len(df))
+        den = np.zeros(len(df))
+        for j, w in enumerate(weights):
+            valid = pos >= j
+            shifted = np.r_[np.zeros(j), x[:len(df) - j]] if j else x
+            num = num + np.where(valid, w * shifted, 0.0)
+            den = den + np.where(valid, w, 0.0)
+        return pa.table({
+            tie_col: pa.array(df[tie_col], ttype, from_pandas=True),
+            key: pa.array(df[key], ktype, from_pandas=True),
+            "ewma": pa.array(sql_round(num / den, round_digits),
+                             pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(
+        ds.select_columns([key, value_col, ts_col, tie_col]),
+        [key], ewma_block, num_partitions)

@@ -1270,3 +1270,24 @@ def test_psi_drift_hand_truths(ray_session):
     assert got.loc["drift", "psi"] > 0.25
     assert got.loc["drift", "n_ref"] == 200
     assert got.loc["drift", "n_cur"] == 200
+
+
+def test_ewma_trailing_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import ewma_trailing
+
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "a"], pa.string()),
+        "value": pa.array([4.0, 8.0, 2.0], pa.float64()),
+    }))
+    got = (ewma_trailing(ev, "event_type", "value", "ts", "event_id",
+                         alpha=0.5, depth=8).to_pandas()
+           .set_index("event_id").ewma)
+    # t=0: just x0; t=1: (.5*8 + .25*4)/.75; t=2: (.5*2+.25*8+.125*4)/.875
+    assert got.loc[1] == 4.0
+    assert abs(got.loc[2] - (0.5 * 8 + 0.25 * 4) / 0.75) < 1e-9
+    assert abs(got.loc[3] - (0.5 * 2 + 0.25 * 8 + 0.125 * 4) / 0.875) < 1e-9
