@@ -3633,7 +3633,8 @@ def ewma_trailing(
         den = np.zeros(len(df))
         for j, w in enumerate(weights):
             valid = pos >= j
-            shifted = np.r_[np.zeros(j), x[:len(df) - j]] if j else x
+            jj = min(j, len(df))
+            shifted = np.r_[np.zeros(jj), x[:len(df) - jj]] if jj else x
             num = num + np.where(valid, w * shifted, 0.0)
             den = den + np.where(valid, w, 0.0)
         return pa.table({
