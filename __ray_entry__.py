@@ -1725,6 +1725,18 @@ def q_ewma(sf_dir: str):
     return ewma_trailing(ev, "event_type", "value", "ts", "event_id")
 
 
+def q_blocking_quality(sf_dir: str):
+    """ER blocking evaluation: reduction ratio + pairs completeness of a
+    first-4-raw-chars blocking key against exact-content truth
+    (fingerprints★ md5 convention) — three keyed count exchanges,
+    C(n,2) partial sums, scalars-only driver assembly
+    (dedup_extra.blocking_quality); GROUP BY pair-sum twin."""
+    from epstein_pipeline_ray.stages.dedup_extra import blocking_quality
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return blocking_quality(docs)
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3536,6 +3548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "psi_drift": q_psi_drift,
         "ewma": q_ewma,
+        "blocking_quality": q_blocking_quality,
         "impute_median": q_impute_median,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
@@ -4844,6 +4857,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # blocking_quality twin: same md5-of-normalized truth, same raw
+        # 4-char block key, integer C(n,2) sums, shared final ratios.
+        "blocking_quality": """
+            WITH d AS (
+                SELECT md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                               '\\s+', ' ', 'g'))) AS hsh,
+                       substr(coalesce(text, ''), 1, 4) AS blk
+                FROM documents
+            ),
+            tot AS (SELECT count(*)::BIGINT AS n FROM d),
+            cb AS (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS v
+                   FROM (SELECT count(*)::BIGINT AS c FROM d GROUP BY blk)),
+            ct AS (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS v
+                   FROM (SELECT count(*)::BIGINT AS c FROM d GROUP BY hsh)),
+            cc AS (SELECT coalesce(sum(c * (c - 1) // 2), 0)::BIGINT AS v
+                   FROM (SELECT count(*)::BIGINT AS c FROM d
+                         GROUP BY hsh, blk))
+            SELECT tot.n AS n_docs,
+                   (tot.n * (tot.n - 1) // 2)::BIGINT AS total_pairs,
+                   cb.v AS cand_pairs, ct.v AS true_pairs,
+                   cc.v AS co_blocked,
+                   CASE WHEN tot.n > 1
+                        THEN round(1.0 - cb.v::DOUBLE
+                                   / (tot.n * (tot.n - 1) // 2), 9)
+                   END AS reduction_ratio,
+                   CASE WHEN ct.v > 0
+                        THEN round(cc.v::DOUBLE / ct.v, 9)
+                   END AS completeness
+            FROM tot, cb, ct, cc
         """,
         # ewma twin: exactly-unrolled 8-lag chain, exact binary-fraction
         # weights, identical left-to-right accumulation order.

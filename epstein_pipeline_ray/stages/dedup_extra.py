@@ -1057,3 +1057,71 @@ def edit_distance_pairs(
 
     return map_key_blocks(partials, ["id_a", "id_b"], confirm_block,
                           num_partitions, sort_blocks=False)
+
+
+def blocking_quality(docs, id_col: str = "doc_id", text_col: str = "text",
+                     block_chars: int = 4,
+                     num_partitions: int | None = None) -> pa.Table:
+    """Blocking-quality report (the ER evaluation pair): REDUCTION RATIO
+    (1 - candidate pairs / all pairs — how much work the blocking key
+    saves) and PAIRS COMPLETENESS (co-blocked true pairs / true pairs —
+    how many real matches it keeps reachable). Truth = identical
+    normalized content (the fingerprints★ md5 convention); blocking key
+    = first ``block_chars`` RAW characters, deliberately sensitive to
+    leading noise so imperfect blocks register.
+
+    Three keyed count exchanges (block, hash, hash×block) each collapse
+    to per-key totals before the C(n,2) sums; only fixed-size scalars
+    reach the driver. Returns a one-row Arrow table."""
+    import pyarrow.compute as _pc
+
+    from epstein_pipeline_ray.functions.normalize import normalize_array
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.functions.textstats import fingerprint_md5
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = _pc.coalesce(texts, pa.scalar("", pa.string()))
+        return pa.table({
+            "hsh": fingerprint_md5(normalize_array(texts)),
+            "blk": _pc.utf8_slice_codeunits(texts, 0, block_chars),
+        })
+
+    keyed_ds = docs.select_columns([text_col]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_sum(keys: list[str]) -> int:
+        g = grouped_stats(keyed_ds, keys, count_alias="n")
+
+        def pairs(batch: pa.Table) -> pa.Table:
+            n = np.asarray(batch["n"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            return pa.table({"p": pa.array(n * (n - 1) // 2, pa.int64())})
+
+        out = g.map_batches(pairs, batch_format="pyarrow",
+                            zero_copy_batch=True).sum("p")
+        return int(out or 0)
+
+    n_docs = keyed_ds.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    cand_pairs = pair_sum(["blk"])
+    true_pairs = pair_sum(["hsh"])
+    co_blocked = pair_sum(["hsh", "blk"])
+    rr = (sql_round(1.0 - cand_pairs / total_pairs, 9)
+          if total_pairs > 0 else None)
+    comp = (sql_round(co_blocked / true_pairs, 9)
+            if true_pairs > 0 else None)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_pairs": pa.array([total_pairs], pa.int64()),
+        "cand_pairs": pa.array([cand_pairs], pa.int64()),
+        "true_pairs": pa.array([true_pairs], pa.int64()),
+        "co_blocked": pa.array([co_blocked], pa.int64()),
+        "reduction_ratio": pa.array(
+            [None if rr is None else float(rr)], pa.float64()),
+        "completeness": pa.array(
+            [None if comp is None else float(comp)], pa.float64()),
+    })

@@ -316,3 +316,30 @@ def test_soundex_block_stats_groups_phonetic_matches(ray_session):
     assert got.loc["R163", "n_words"] == 2  # robert, rupert
     assert got.loc["S530", "n_rows"] == 3
     assert got.loc["S530", "n_words"] == 2  # smith, smyth
+
+
+def test_blocking_quality_hand_truth(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.dedup_extra import blocking_quality
+
+    # 4 docs: A/B identical content but different leading raw case (true
+    # pair NOT co-blocked); C/D identical and same raw prefix (co-blocked)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma",
+            "Alpha beta gamma",   # same normalized content, block differs
+            "delta one two",
+            "delta one two",
+        ], pa.string()),
+    }))
+    got = blocking_quality(docs).to_pandas().iloc[0]
+    assert got.n_docs == 4 and got.total_pairs == 6
+    assert got.true_pairs == 2          # {1,2} and {3,4}
+    assert got.co_blocked == 1          # only {3,4} share 'delt'
+    assert got.completeness == 0.5
+    # blocks: 'alph'(1), 'Alph'(1), 'delt'(2) -> cand = 1
+    assert got.cand_pairs == 1
+    assert abs(got.reduction_ratio - round(1 - 1 / 6, 9)) < 1e-12
