@@ -1737,6 +1737,18 @@ def q_blocking_quality(sf_dir: str):
     return blocking_quality(docs)
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Distinctive terms per source (PMI lift of in-group rate over
+    corpus rate, min-count 5, top-10 by rounded score): count
+    exchanges + term-keyed corpus-count attach + bounded group-total
+    attach + map-side-pruned topk (textops.distinctive_terms);
+    count-CTE + row_number twin."""
+    from epstein_pipeline_ray.stages.textops import distinctive_terms
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return distinctive_terms(docs, "source")
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -3549,6 +3561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": q_psi_drift,
         "ewma": q_ewma,
         "blocking_quality": q_blocking_quality,
+        "distinctive_terms": q_distinctive_terms,
         "impute_median": q_impute_median,
         "daily_anomaly": q_daily_anomaly,
         "source_sim": q_source_sim,
@@ -4857,6 +4870,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN abs(round((c.c - m.mu) / m.sd, 9)) > 2.0
                         ELSE false END AS is_anomaly
             FROM c JOIN m USING (event_type)
+        """,
+        # distinctive_terms twin: tfidf tokens, exact integer counts, the
+        # one shared ln lift expression, rank on the ROUNDED score with
+        # term tiebreak.
+        "distinctive_terms": """
+            WITH toks AS (
+                SELECT source,
+                       lower(unnest(regexp_extract_all(
+                           text, '[a-zA-Z0-9]+'))) AS term
+                FROM documents
+            ),
+            gt AS (SELECT source, term, count(*)::BIGINT AS c
+                   FROM toks GROUP BY source, term),
+            tt AS (SELECT term, sum(c)::BIGINT AS ct FROM gt GROUP BY term),
+            st AS (SELECT source, sum(c)::BIGINT AS cg FROM gt
+                   GROUP BY source),
+            tot AS (SELECT sum(c)::BIGINT AS grand FROM gt),
+            scored AS (
+                SELECT gt.source, gt.term, gt.c AS n,
+                       round(ln((gt.c::DOUBLE / st.cg)
+                                / (tt.ct::DOUBLE / tot.grand)), 9)
+                           AS score
+                FROM gt JOIN tt USING (term) JOIN st USING (source), tot
+                WHERE gt.c >= 5
+            )
+            SELECT source, term, n, score
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY score DESC, term ASC) AS rk
+                  FROM scored)
+            WHERE rk <= 10
         """,
         # blocking_quality twin: same md5-of-normalized truth, same raw
         # 4-char block key, integer C(n,2) sums, shared final ratios.

@@ -880,3 +880,120 @@ def soundex_block_stats(ds: Dataset, name_col: str,
         partial, batch_format="pyarrow", zero_copy_batch=True)
     return map_key_blocks(partials, ["soundex"], per_block, num_partitions,
                           sort_blocks=False)
+
+
+def distinctive_terms(docs: Dataset, group_col: str = "source",
+                      text_col: str = "text", min_count: int = 5,
+                      k: int = 10, round_digits: int = 9,
+                      num_partitions: int | None = None) -> Dataset:
+    """Distinctive terms per group — the "what characterizes this
+    source" curation report: PMI-style lift of each term's in-group
+    rate over its corpus rate,
+
+        score = ln( (c_gt / C_g) / (c_t / C) )
+
+    over tfidf-convention tokens with ``c_gt >= min_count``, top-``k``
+    per group by (rounded score DESC, term ASC). Exchanges: (group,
+    term) count partials; a term-keyed exchange attaching each term's
+    corpus count (all rows of a term co-locate); a size-switched
+    attach of the group totals (groups are bounded); one scalar grand
+    total; then the existing map-side-pruned topk_per_group. All counts
+    are exact integers; the single ln expression is shared verbatim.
+    Output: (group, term, n, score)."""
+    import pandas as pd
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import (
+        grouped_stats,
+        topk_per_group,
+    )
+
+    gtype = dict(zip(docs.schema().names, docs.schema().types))[group_col]
+    # (group, term) counts — the zipf_slope partial conventions inline
+    import re as _re
+    word_re = _re.compile(r"[a-zA-Z0-9]+")
+    CNT = pa.schema([(group_col, gtype), ("term", pa.string()),
+                     ("c", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups: list = []
+        terms: list[str] = []
+        for g, t in zip(batch[group_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for w in word_re.findall(t or ""):
+                groups.append(g)
+                terms.append(w.lower())
+        df = (pd.DataFrame({"g": groups, "term": terms})
+              .groupby(["g", "term"], sort=False).size().rename("c")
+              .reset_index())
+        return pa.table({
+            group_col: pa.array(df["g"], gtype, from_pandas=True),
+            "term": pa.array(df["term"], pa.string()),
+            "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    def sum_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return CNT.empty_table()
+        g = (block.to_pandas()
+             .groupby([group_col, "term"], sort=False, as_index=False)["c"]
+             .sum())
+        return pa.table({
+            group_col: pa.array(g[group_col], gtype, from_pandas=True),
+            "term": pa.array(g["term"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+        }, schema=CNT)
+
+    gt = map_key_blocks(
+        docs.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "term"], sum_block, num_partitions, sort_blocks=False)
+
+    WITH_CT = pa.schema(list(CNT) + [("ct", pa.int64())])
+
+    def attach_term_total(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return WITH_CT.empty_table()
+        df = block.to_pandas()
+        df["ct"] = df.groupby("term")["c"].transform("sum")
+        return pa.table({
+            group_col: pa.array(df[group_col], gtype, from_pandas=True),
+            "term": pa.array(df["term"], pa.string()),
+            "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+            "ct": pa.array(df["ct"].to_numpy(np.int64), pa.int64()),
+        }, schema=WITH_CT)
+
+    with_ct = map_key_blocks(gt, ["term"], attach_term_total,
+                             num_partitions, sort_blocks=False)
+    # group totals (bounded) + grand total
+    gtot = grouped_stats(gt, [group_col], sum_cols=["c"])
+    grand = int(gt.sum("c") or 0)
+    tagged = attach_column(with_ct, gtot, group_col, group_col,
+                           "sum_c", "cg", num_partitions=num_partitions)
+
+    OUT = pa.schema([(group_col, gtype), ("term", pa.string()),
+                     ("n", pa.int64()), ("score", pa.float64())])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"].to_numpy(zero_copy_only=False), np.int64)
+        keep = c >= min_count
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        c = c[keep].astype(np.float64)
+        ct = np.asarray(batch["ct"].to_numpy(zero_copy_only=False),
+                        np.int64)[keep].astype(np.float64)
+        cg = np.asarray(batch["cg"].to_numpy(zero_copy_only=False),
+                        np.float64)[keep]
+        score = np.log((c / cg) / (ct / grand))
+        return pa.table({
+            group_col: batch[group_col].take(idx),
+            "term": batch["term"].take(idx),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+            "score": pa.array(sql_round(score, round_digits),
+                              pa.float64()),
+        }, schema=OUT)
+
+    scored = tagged.map_batches(score_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return topk_per_group(scored, group_col, "score", k, "term",
+                          num_partitions=num_partitions)

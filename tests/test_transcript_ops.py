@@ -368,3 +368,30 @@ def test_zipf_slope_hand_truth(ray_session):
     assert got.loc["s2", "vocab"] == 2
     ref2 = (np.log(1.0) - np.log(3.0)) / (np.log(2.0) - np.log(1.0))
     assert abs(got.loc["s2", "zipf_slope"] - ref2) < 1e-6
+
+
+def test_distinctive_terms_hand_truth(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import distinctive_terms
+
+    # 'rare' appears only in s1 (5x >= min_count); 'common' everywhere
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["s1", "s2"], pa.string()),
+        "text": pa.array([
+            "rare rare rare rare rare common common common common common",
+            "common common common common common common common common "
+            "common common",
+        ], pa.string()),
+    }))
+    got = (distinctive_terms(docs, "source", min_count=5, k=2)
+           .to_pandas())
+    s1 = got[got.source == "s1"].set_index("term")
+    # rare: (5/10)/(5/20) = 2 -> ln 2 ; common: (5/10)/(15/20) < 1
+    assert abs(s1.loc["rare", "score"] - np.log(2.0)) < 1e-9
+    assert s1.loc["rare", "n"] == 5
+    assert s1.loc["common", "score"] < 0
+    # ranking: rare first for s1
+    assert got[got.source == "s1"].iloc[0].term == "rare"
