@@ -145,6 +145,15 @@ def run_bench() -> dict:
         "dup_rate",
         "rolling_wau",
         "cohort_retention",
+        # round-3 session-5 additions (the exchange-bearing ones)
+        "gap_fill",
+        "cdc_merge",
+        "psi_drift",
+        "ewma",
+        "event_paths",
+        "url_dedup",
+        "distinctive_terms",
+        "events_hopping",
     ):
         q = entrymod.queries()[name]
         best = None
