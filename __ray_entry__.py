@@ -236,6 +236,110 @@ def q_region_suppliers(sf_dir: str):
     return grouped_stats(joined, ["r_name"], count_alias="n_suppliers")
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority (reference cli.py stats-style
+    relational composition): customer segment filter → orders semi-join
+    on custkey (size-switched membership join) → two order-attribute
+    attaches onto lineitem keyed on l_orderkey (the at-scale exchange)
+    → revenue partial-agg → deterministic top-10 on the rounded sum."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import attach_column, key_membership_join
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    from datetime import datetime as _dt
+    cutoff = pa.scalar(_dt(1998, 6, 1), pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                      "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = key_membership_join(orders, cust, "o_custkey", "c_custkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                    "l_discount", "l_shipdate"]).map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = attach_column(li, orders, "l_orderkey", "o_orderkey",
+                       "o_orderdate", "o_orderdate")
+    li = attach_column(li, orders, "l_orderkey", "o_orderkey",
+                       "o_orderpriority", "o_orderpriority")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["o_orderpriority"]))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue", rev).select(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"])
+
+    li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_stats(li, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                        sum_cols=["revenue"])
+    return out.sort(["sum_revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped local supplier volume: region/nation driver dims
+    (tiny, ≤25 rows by TPC-H construction), supplier nation attach on
+    l_suppkey, customer-nation ride through orders onto lineitem keyed on
+    l_orderkey (both size-switched exchanges at scale), same-nation
+    filter, revenue rollup per nation name."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    from datetime import datetime as _dt
+    lo = pa.scalar(_dt(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt(1998, 1, 1), pa.timestamp("us"))
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = dim[dim["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    nat_name = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                                   pc.less(b["o_orderdate"], hi))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    orders = attach_column(orders, cust, "o_custkey", "c_custkey",
+                           "c_nationkey", "c_nat")
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    li = attach_column(li, sup, "l_suppkey", "s_suppkey",
+                       "s_nationkey", "s_nat")
+    li = attach_column(li, orders, "l_orderkey", "o_orderkey",
+                       "c_nat", "c_nat")
+
+    keys = pa.array(sorted(nat_name), pa.int32())
+    names_arr = pa.array([nat_name[k] for k in sorted(nat_name)], pa.string())
+
+    def derive(batch: pa.Table) -> pa.Table:
+        c_nat = batch["c_nat"]
+        mask = pc.and_(
+            pc.and_(pc.is_valid(c_nat),
+                    pc.equal(c_nat, batch["s_nat"].cast(c_nat.type))),
+            pc.is_in(c_nat.cast(pa.int32()), value_set=keys),
+        )
+        batch = batch.filter(mask)
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        idx = pc.index_in(batch["c_nat"].cast(pa.int32()), value_set=keys)
+        return pa.table({"n_name": names_arr.take(idx), "revenue": rev})
+
+    li = li.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_stats(li, ["n_name"], sum_cols=["revenue"])
+
+
 # ---------------------------------------------------------------------------
 # dedup family on the documents table (SQL-verifiable where expressible)
 # ---------------------------------------------------------------------------
@@ -739,9 +843,12 @@ def q_json_gz_roundtrip(sf_dir: str):
     docs = _read(sf_dir, "documents",
                  ["doc_id", "text", "lang", "source", "n_chars"])
     write_ndjson_gz(docs, out)
-    with gzip.open(os.path.join(out, "zz_dirty.jsonl.gz"), "wt",
-                   encoding="utf-8") as f:
+    # atomic publish (same temp+replace discipline as write_ndjson_gz) so a
+    # concurrent reader can never observe a half-written gz member
+    dirty = os.path.join(out, "zz_dirty.jsonl.gz")
+    with gzip.open(dirty + ".tmp", "wt", encoding="utf-8") as f:
         f.write('{"broken": , }\n[1, 2]\n\nnot json\n')
+    os.replace(dirty + ".tmp", dirty)
     return read_ndjson_gz(out, DOCS_JSON_SCHEMA, policy="skip",
                           required=("doc_id",))
 
@@ -3476,6 +3583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "props_k_sum": q_props_k_sum,
         "region_suppliers": q_region_suppliers,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -3856,6 +3965,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC LIMIT 20
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum_revenue DESC, l_orderkey LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

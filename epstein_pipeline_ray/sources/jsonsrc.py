@@ -161,7 +161,12 @@ def read_ndjson_gz(paths: str | list[str], schema: pa.Schema,
     (file-parallel decompression in the read tasks) into the same
     malformed-row policy parse as :func:`read_ndjson`."""
     assert policy in ("skip", "error", "null")
-    ds = rd.read_text(paths, arrow_open_stream_args={"compression": "gzip"})
+    # restrict to *.gz: the writer publishes shards atomically via
+    # `<name>.tmp.<pid>` + os.replace, and a directory listing that races a
+    # concurrent writer must never hand a half-written temp to the gzip
+    # decoder ("zlib inflate failed")
+    ds = rd.read_text(paths, file_extensions=["gz"],
+                      arrow_open_stream_args={"compression": "gzip"})
 
     def parse(batch: pa.Table) -> pa.Table:
         return parse_ndjson_lines(
