@@ -340,6 +340,96 @@ def q_local_supplier_volume(sf_dir: str):
     return grouped_stats(li, ["n_name"], sum_cols=["revenue"])
 
 
+def _with_doc_label(docs, score_expr: str = "chars"):
+    """Deterministic (score, label) columns shared verbatim with the SQL
+    twins: label = doc_id % 3 == 0, score = n_chars (rank flavors) or
+    (n_chars % 997)/997 (unit-interval flavors)."""
+    import pyarrow.compute as pc
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        nch = np.asarray(batch["n_chars"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        y = (did % 3 == 0).astype(np.int64)
+        score = (nch.astype(np.float64) if score_expr == "chars"
+                 else (nch % 997).astype(np.float64) / 997.0)
+        return (batch.append_column("score", pa.array(score, pa.float64()))
+                .append_column("y", pa.array(y, pa.int64())))
+
+    return docs.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_quality_auc(sf_dir: str):
+    """ROC AUC per language of a length score against a deterministic
+    doc_id-parity label — tie-aware Mann-Whitney rank sum in one
+    lang-keyed exchange (evalmetrics.grouped_auc); rank()+ties window
+    twin. Average ranks are exact halves so the division is bit-equal."""
+    from epstein_pipeline_ray.stages.evalmetrics import grouped_auc
+
+    docs = _with_doc_label(
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]))
+    return grouped_auc(docs, "lang", "score", "y")
+
+
+def q_calibration(sf_dir: str):
+    """Reliability-diagram bins (10 fixed-width buckets over a
+    unit-interval score): map-side (bin,count,sums) partials + one bin
+    exchange (evalmetrics.calibration_bins); floor-bucket + avg twin."""
+    from epstein_pipeline_ray.stages.evalmetrics import calibration_bins
+
+    docs = _with_doc_label(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), "unit")
+    return calibration_bins(docs, "score", "y", n_bins=10)
+
+
+def q_lang_kappa(sf_dir: str):
+    """Cohen's kappa between the stored lang column and the engine's
+    heuristic detect_lang — (a,b)-keyed confusion-cell exchange +
+    scalars-only closed form (evalmetrics.cohen_kappa); twin reuses the
+    langid CTE so the two labelings cannot drift."""
+    from epstein_pipeline_ray.stages.evalmetrics import cohen_kappa
+    from epstein_pipeline_ray.stages.textops import with_lang_guess
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return cohen_kappa(with_lang_guess(docs), "lang", "lang_guess")
+
+
+def q_scd2(sf_dir: str):
+    """SCD type-2 validity intervals from the lineitem changelog
+    (version = linenumber per order): one keyed exchange, vectorized
+    next-version shift, open latest interval (cdc.scd2_intervals);
+    lead() window twin."""
+    from epstein_pipeline_ray.stages.cdc import scd2_intervals
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return scd2_intervals(li, "l_orderkey", "l_linenumber",
+                          "l_extendedprice")
+
+
+def q_pareto_parts(sf_dir: str):
+    """Pareto frontier over parts (maximize retail price, minimize
+    size): map-side local skylines + one bounded final pass — the
+    mergeable-skyline decomposition (skyline.pareto_front); NOT EXISTS
+    dominance twin."""
+    from epstein_pipeline_ray.stages.skyline import pareto_front
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    return pareto_front(part, "p_retailprice", "p_size")
+
+
+def q_event_ntile(sf_dir: str):
+    """NTILE(4) per event type over (value, event_id) — SQL tile-size
+    semantics exactly, one keyed exchange of vectorized position
+    arithmetic (relational.with_group_ntile); NTILE window twin."""
+    from epstein_pipeline_ray.stages.relational import with_group_ntile
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return with_group_ntile(ev, "event_type", "value", "event_id", 4)
+
+
 # ---------------------------------------------------------------------------
 # dedup family on the documents table (SQL-verifiable where expressible)
 # ---------------------------------------------------------------------------
@@ -3585,6 +3675,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_suppliers": q_region_suppliers,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "quality_auc": q_quality_auc,
+        "calibration": q_calibration,
+        "lang_kappa": q_lang_kappa,
+        "scd2": q_scd2,
+        "pareto_parts": q_pareto_parts,
+        "event_ntile": q_event_ntile,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -3995,6 +4091,97 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        # AUC via the tie-aware Mann-Whitney rank-sum identity; the
+        # (2*rank + ties - 1)/2 expression IS pandas rank(method='average'),
+        # so every intermediate is an exact half and the one division is
+        # bit-equal across engines
+        "quality_auc": """
+            WITH s AS (
+                SELECT lang, n_chars::DOUBLE AS score,
+                       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM documents
+            ), r AS (
+                SELECT lang, y,
+                       (2 * rank() OVER (PARTITION BY lang ORDER BY score)
+                        + count(*) OVER (PARTITION BY lang, score) - 1)
+                           / 2.0 AS ar
+                FROM s
+            )
+            SELECT lang, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+                   CASE WHEN sum(y) > 0 AND sum(y) < count(*) THEN
+                       round((sum(CASE WHEN y = 1 THEN ar ELSE 0 END)
+                              - sum(y) * (sum(y) + 1.0) / 2.0)
+                             / (sum(y) * 1.0 * (count(*) - sum(y))), 6)
+                   ELSE NULL END AS auc
+            FROM r GROUP BY lang
+        """,
+        "calibration": """
+            WITH s AS (
+                SELECT least(CAST(floor(((n_chars % 997) / 997.0) * 10)
+                                  AS BIGINT), 9) AS bin,
+                       (n_chars % 997) / 997.0 AS score,
+                       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM documents
+            )
+            SELECT bin, count(*)::BIGINT AS n,
+                   round(sum(score) / count(*), 6) AS mean_score,
+                   round(sum(y) / count(*)::DOUBLE, 6) AS frac_pos
+            FROM s GROUP BY bin
+        """,
+        "lang_kappa": f"""
+            WITH lang AS ({_langid_select()}),
+            j AS (
+                SELECT d.lang AS a, l.lang_guess AS b
+                FROM documents d JOIN lang l ON d.doc_id = l.doc_id
+            ),
+            cells AS (SELECT a, b, count(*)::BIGINT AS cnt
+                      FROM j GROUP BY a, b),
+            tot AS (SELECT sum(cnt)::BIGINT AS n,
+                           sum(CASE WHEN a = b THEN cnt ELSE 0 END)::BIGINT
+                               AS diag
+                    FROM cells),
+            rows_ AS (SELECT a AS lb, sum(cnt)::BIGINT AS rc
+                      FROM cells GROUP BY a),
+            cols_ AS (SELECT b AS lb, sum(cnt)::BIGINT AS cc
+                      FROM cells GROUP BY b),
+            pen AS (SELECT sum(coalesce(rc, 0) * coalesce(cc, 0))::BIGINT
+                        AS pe_num
+                    FROM rows_ FULL JOIN cols_ USING (lb))
+            SELECT n,
+                   round(diag / n::DOUBLE, 6) AS po,
+                   round(pe_num / (n::DOUBLE * n), 6) AS pe,
+                   round((diag / n::DOUBLE - pe_num / (n::DOUBLE * n))
+                         / (1.0 - pe_num / (n::DOUBLE * n)), 6) AS kappa
+            FROM tot, pen
+        """,
+        "scd2": """
+            WITH c AS (
+                SELECT l_orderkey, l_linenumber,
+                       max(l_extendedprice) AS l_extendedprice
+                FROM lineitem GROUP BY l_orderkey, l_linenumber
+            )
+            SELECT l_orderkey, l_linenumber AS valid_from,
+                   lead(l_linenumber) OVER (PARTITION BY l_orderkey
+                                            ORDER BY l_linenumber)
+                       AS valid_to,
+                   l_extendedprice
+            FROM c
+        """,
+        "pareto_parts": """
+            SELECT p_partkey, p_retailprice, p_size FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice >= p.p_retailprice
+                  AND q.p_size <= p.p_size
+                  AND (q.p_retailprice > p.p_retailprice
+                       OR q.p_size < p.p_size))
+        """,
+        "event_ntile": """
+            SELECT event_id, event_type, value,
+                   ntile(4) OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS tile
+            FROM events
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

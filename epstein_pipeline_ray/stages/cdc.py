@@ -100,3 +100,53 @@ def apply_changelog(
             schema=OUT)
 
     return map_key_blocks(tagged, [key], pick_block, num_partitions)
+
+
+def scd2_intervals(
+    changes: Dataset,
+    key: str,
+    version_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Slowly-changing-dimension type-2 history: each keyed change row
+    becomes a validity interval [version, next version) under the
+    per-key version order, the latest row staying open (NULL
+    valid_to). The warehouse-history twin of :func:`apply_changelog` —
+    MERGE keeps only the winner, SCD2 keeps every version with its
+    reign. One keyed exchange; per key-sorted block the valid_to
+    column is one vectorized shift (next row's version where the next
+    row is the same key). Duplicate (key, version) rows are collapsed
+    to one, keeping the maximum value (deterministic tie rule, shared
+    with the twin). Output: (key, valid_from, valid_to, value)."""
+    sch = dict(zip(changes.schema().names, changes.schema().types))
+    ktype, vtype, valt = sch[key], sch[version_col], sch[value_col]
+    OUT = pa.schema([(key, ktype), ("valid_from", vtype),
+                     ("valid_to", vtype), (value_col, valt)])
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return OUT.empty_table()
+        df = block_.to_pandas()
+        # dedup (key, version) keeping max value — deterministic
+        df = (df.groupby([key, version_col], sort=True)[value_col]
+              .max().reset_index())
+        k = df[key].to_numpy()
+        ver = df[version_col].to_numpy()
+        nxt = np.empty(len(df), dtype=object)
+        nxt[:-1] = ver[1:]
+        nxt[-1] = None
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[:-1] = k[:-1] == k[1:]
+        valid_to = np.where(same, nxt, None)
+        return pa.table({
+            key: pa.array(df[key], ktype, from_pandas=True),
+            "valid_from": pa.array(df[version_col], vtype, from_pandas=True),
+            "valid_to": pa.array(valid_to, vtype, from_pandas=True),
+            value_col: pa.array(df[value_col], valt, from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(
+        changes.select_columns([key, version_col, value_col]),
+        [key], block, num_partitions, sort_blocks=False)

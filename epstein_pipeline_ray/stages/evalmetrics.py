@@ -1,0 +1,187 @@
+"""Model-evaluation operators over scored corpora.
+
+A curation pipeline ships classifiers (quality gates, language ID,
+dedup tiers — reference processors/classifier.py, dedup.py confidence
+scores) and needs to EVALUATE them at corpus scale: ranking quality
+(AUC), probability calibration (reliability bins), and inter-labeler
+agreement (Cohen's kappa). All three decompose into bounded exchanges:
+AUC is one key-partitioned rank pass, calibration is a bin-keyed count
+exchange, kappa is a label-pair-keyed count exchange with a
+scalars-only closed form.
+
+Determinism notes (oracle hash-exactness): average ranks are halves
+(exact doubles), count sums are integers, so every intermediate is
+exact and the single final division + sql_round matches DuckDB bit-
+for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from epstein_pipeline_ray.functions.rounding import sql_round
+from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+
+def grouped_auc(
+    ds: Dataset,
+    key: str,
+    score_col: str,
+    label_col: str,
+    round_digits: int = 6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """ROC AUC per group via the tie-aware Mann-Whitney rank-sum
+    identity: AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) where
+    R_pos is the sum of fractional (average) ranks of the positives
+    under the score ordering. One keyed exchange; a group with zero
+    positives or zero negatives emits NULL (undefined AUC). Output:
+    (key, n, n_pos, auc).
+
+    Scale note: one group's rows co-locate in a block (same assumption
+    as grouped_spearman); ranks never leave the block — only the
+    (key, 3-scalar) result row does.
+    """
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("n", pa.int64()),
+                     ("n_pos", pa.int64()), ("auc", pa.float64())])
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return OUT.empty_table()
+        df = block_.to_pandas()
+        df["__r"] = (df.groupby(key, sort=False)[score_col]
+                     .rank(method="average").to_numpy(np.float64))
+        y = df[label_col].to_numpy(np.int64)
+        df["__rp"] = np.where(y == 1, df["__r"].to_numpy(), 0.0)
+        df["__y"] = y
+        g = df.groupby(key, sort=True).agg(
+            n=("__y", "size"), n_pos=("__y", "sum"),
+            r_pos=("__rp", "sum")).reset_index()
+        n = g["n"].to_numpy(np.float64)
+        npos = g["n_pos"].to_numpy(np.float64)
+        nneg = n - npos
+        with np.errstate(divide="ignore", invalid="ignore"):
+            auc = np.where(
+                (npos > 0) & (nneg > 0),
+                (g["r_pos"].to_numpy(np.float64)
+                 - npos * (npos + 1) / 2.0) / (npos * nneg),
+                np.nan,
+            )
+        return pa.table({
+            key: pa.array(g[key], ktype, from_pandas=True),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "n_pos": pa.array(g["n_pos"].to_numpy(np.int64), pa.int64()),
+            "auc": pa.array(sql_round(auc, round_digits), pa.float64(),
+                            from_pandas=True),
+        }, schema=OUT)
+
+    return map_key_blocks(ds.select_columns([key, score_col, label_col]),
+                          [key], block, num_partitions, sort_blocks=False)
+
+
+def calibration_bins(
+    ds: Dataset,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_digits: int = 6,
+) -> Dataset:
+    """Reliability-diagram bins: scores in [0, 1] bucket into
+    ``n_bins`` fixed-width bins (the top edge folds into the last bin),
+    each bin reporting row count, mean score and empirical positive
+    rate. Map-side (bin, count, sum_score, sum_label) partials collapse
+    each batch to ≤ n_bins rows before the exchange. Output:
+    (bin, n, mean_score, frac_pos)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[score_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        y = np.asarray(batch[label_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        b = np.minimum((s * n_bins).astype(np.int64), n_bins - 1)
+        df = pd.DataFrame({"bin": b, "__s": s, "__y": y})
+        g = df.groupby("bin", sort=False).agg(
+            __cnt=("__s", "size"), __ss=("__s", "sum"),
+            __sy=("__y", "sum")).reset_index()
+        return pa.table({
+            "bin": pa.array(g["bin"].to_numpy(np.int64), pa.int64()),
+            "__cnt": pa.array(g["__cnt"].to_numpy(np.int64), pa.int64()),
+            "__ss": pa.array(g["__ss"].to_numpy(np.float64), pa.float64()),
+            "__sy": pa.array(g["__sy"].to_numpy(np.int64), pa.int64()),
+        })
+
+    partials = ds.select_columns([score_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("bin").aggregate(
+        Sum("__cnt", alias_name="n"),
+        Sum("__ss", alias_name="__ts"),
+        Sum("__sy", alias_name="__ty"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False), np.float64)
+        ts = np.asarray(batch["__ts"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        ty = np.asarray(batch["__ty"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        return pa.table({
+            "bin": batch["bin"],
+            "n": batch["n"],
+            "mean_score": pa.array(sql_round(ts / n, round_digits),
+                                   pa.float64()),
+            "frac_pos": pa.array(sql_round(ty / n, round_digits),
+                                 pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def cohen_kappa(
+    ds: Dataset,
+    col_a: str,
+    col_b: str,
+    round_digits: int = 6,
+) -> Dataset:
+    """Cohen's kappa between two label columns: one (a, b)-keyed count
+    exchange produces the confusion cells (bounded by |labels_a| ×
+    |labels_b|), then the closed form po = Σ diag / n,
+    pe = Σ_k row_k·col_k / n², kappa = (po − pe)/(1 − pe) assembles
+    from those cells alone — integers in, one division out. Output:
+    one row (n, po, pe, kappa); kappa is NULL when pe = 1 (single
+    cell on both sides)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col_a, col_b])
+        g = pa.TableGroupBy(t, [col_a, col_b]).aggregate([([], "count_all")])
+        return pa.table({col_a: g[col_a], col_b: g[col_b],
+                         "__cnt": g["count_all"]})
+
+    cells_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby(
+        [col_a, col_b]).aggregate(Sum("__cnt", alias_name="cnt"))
+    # the cell table is label-alphabet-sized (bounded), a legitimate
+    # scalars-only driver assembly (blocking_quality precedent)
+    cells = cells_ds.to_pandas()
+    n = int(cells["cnt"].sum())
+    diag = int(cells.loc[cells[col_a] == cells[col_b], "cnt"].sum())
+    row = cells.groupby(col_a)["cnt"].sum()
+    col = cells.groupby(col_b)["cnt"].sum()
+    labels = sorted(set(row.index) | set(col.index))
+    pe_num = sum(int(row.get(lb, 0)) * int(col.get(lb, 0)) for lb in labels)
+    po = diag / n if n else float("nan")
+    pe = pe_num / (n * n) if n else float("nan")
+    kappa = (po - pe) / (1.0 - pe) if n and pe != 1.0 else float("nan")
+    arr = sql_round(np.array([po, pe, kappa]), round_digits)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "po": pa.array([arr[0]], pa.float64()),
+        "pe": pa.array([arr[1]], pa.float64()),
+        "kappa": pa.array([arr[2]] if not np.isnan(arr[2]) else [None],
+                          pa.float64()),
+    })

@@ -1,0 +1,136 @@
+"""Hand truths for the evaluation-metric operators (stages/evalmetrics.py),
+SCD2 intervals (stages/cdc.py) and the Pareto skyline (stages/skyline.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from epstein_pipeline_ray.stages.cdc import scd2_intervals
+from epstein_pipeline_ray.stages.evalmetrics import (
+    calibration_bins,
+    cohen_kappa,
+    grouped_auc,
+)
+from epstein_pipeline_ray.stages.skyline import pareto_front
+
+
+def _scored(rows):
+    return rd.from_arrow(pa.table({
+        "g": pa.array([r[0] for r in rows], pa.string()),
+        "score": pa.array([r[1] for r in rows], pa.float64()),
+        "y": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+
+
+def test_auc_perfect_and_reversed(ray_session):
+    ds = _scored([
+        # group a: every positive outscores every negative → AUC 1
+        ("a", 1.0, 0), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 4.0, 1),
+        # group b: every positive below every negative → AUC 0
+        ("b", 1.0, 1), ("b", 2.0, 1), ("b", 3.0, 0), ("b", 4.0, 0),
+    ])
+    out = {r["g"]: r for r in grouped_auc(ds, "g", "score", "y").take_all()}
+    assert out["a"]["auc"] == 1.0 and out["a"]["n_pos"] == 2
+    assert out["b"]["auc"] == 0.0
+
+
+def test_auc_ties_and_degenerate(ray_session):
+    ds = _scored([
+        # all scores tied → average ranks equal → AUC exactly 0.5
+        ("t", 5.0, 1), ("t", 5.0, 0), ("t", 5.0, 1), ("t", 5.0, 0),
+        # single-class group → undefined
+        ("p", 1.0, 1), ("p", 2.0, 1),
+    ])
+    out = {r["g"]: r for r in grouped_auc(ds, "g", "score", "y").take_all()}
+    assert out["t"]["auc"] == 0.5
+    assert out["p"]["auc"] is None or np.isnan(out["p"]["auc"])
+
+
+def test_calibration_bins_hand(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "score": pa.array([0.05, 0.15, 0.15, 0.95, 1.0], pa.float64()),
+        "y": pa.array([0, 1, 0, 1, 1], pa.int64()),
+    }))
+    out = {r["bin"]: r for r in
+           calibration_bins(ds, "score", "y", n_bins=10).take_all()}
+    assert out[0]["n"] == 1 and out[0]["frac_pos"] == 0.0
+    assert out[1]["n"] == 2 and out[1]["frac_pos"] == 0.5
+    assert out[1]["mean_score"] == 0.15
+    # 1.0 folds into the top bin
+    assert out[9]["n"] == 2 and out[9]["frac_pos"] == 1.0
+
+
+def test_cohen_kappa_hand(ray_session):
+    # classic 2×2: a/b agree on 20 yes + 15 no of 50; row marginals
+    # (25 yes, 25 no), col marginals (30 yes, 20 no) → po=0.7, pe=0.5,
+    # kappa = 0.4
+    rows_a, rows_b = [], []
+    rows_a += ["y"] * 20 + ["y"] * 5 + ["n"] * 10 + ["n"] * 15
+    rows_b += ["y"] * 20 + ["n"] * 5 + ["y"] * 10 + ["n"] * 15
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(rows_a, pa.string()),
+        "b": pa.array(rows_b, pa.string()),
+    }))
+    t = cohen_kappa(ds, "a", "b").to_pandas()
+    assert int(t["n"][0]) == 50
+    assert t["po"][0] == 0.7
+    assert t["pe"][0] == 0.5
+    assert t["kappa"][0] == 0.4
+
+
+def test_cohen_kappa_perfect(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "y", "z", "x"], pa.string()),
+        "b": pa.array(["x", "y", "z", "x"], pa.string()),
+    }))
+    t = cohen_kappa(ds, "a", "b").to_pandas()
+    assert t["po"][0] == 1.0 and t["kappa"][0] == 1.0
+
+
+def test_scd2_intervals_hand(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "ver": pa.array([1, 3, 7, 2, 2, 5], pa.int64()),
+        "v": pa.array([10.0, 30.0, 70.0, 20.0, 21.0, 50.0], pa.float64()),
+    }))
+    out = scd2_intervals(ds, "k", "ver", "v").to_pandas()
+    out = out.sort_values(["k", "valid_from"]).reset_index(drop=True)
+    assert list(out["valid_from"]) == [1, 3, 7, 2, 5]
+    # duplicate (k=2, ver=2) collapses keeping max value 21.0
+    assert out.loc[3, "v"] == 21.0
+    # chained intervals, last one open (pandas renders nullable ints as
+    # floats with NaN for the open end)
+    vt = out["valid_to"].to_numpy(np.float64)
+    assert vt[0] == 3 and vt[1] == 7 and np.isnan(vt[2])
+    assert np.isnan(vt[4])
+
+
+def test_pareto_front_hand(ray_session):
+    # maximize x, minimize y; planted frontier {(5,1),(3,0)}; (5,2) loses
+    # to (5,1) on equal x; duplicate frontier point survives twice
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "x": pa.array([5.0, 5.0, 3.0, 2.0, 4.0, 3.0], pa.float64()),
+        "y": pa.array([1.0, 2.0, 0.0, 0.0, 1.0, 0.0], pa.float64()),
+    }))
+    out = pareto_front(ds, "x", "y").to_pandas()
+    assert sorted(out["id"]) == [0, 2, 5]
+
+
+def test_pareto_front_merge_invariance(ray_session):
+    # many-block input must give the same frontier as single-block
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 50, 4000).astype(np.float64)
+    y = rng.integers(0, 50, 4000).astype(np.float64)
+    tbl = pa.table({"id": pa.array(np.arange(4000), pa.int64()),
+                    "x": pa.array(x), "y": pa.array(y)})
+    many = pareto_front(rd.from_arrow(tbl).repartition(16), "x", "y")
+    one = pareto_front(rd.from_arrow(tbl), "x", "y")
+    a = sorted(many.to_pandas()["id"])
+    b = sorted(one.to_pandas()["id"])
+    assert a == b and len(a) > 0
+    # brute-force dominance check
+    fx, fy = x[a], y[a]
+    for i in range(len(a)):
+        dom = (x >= fx[i]) & (y <= fy[i]) & ((x > fx[i]) | (y < fy[i]))
+        assert not dom.any()
