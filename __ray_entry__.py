@@ -420,6 +420,55 @@ def q_pareto_parts(sf_dir: str):
     return pareto_front(part, "p_retailprice", "p_size")
 
 
+def q_pr_curve(sf_dir: str):
+    """Precision/recall/F1 at nine fixed thresholds over the unit score
+    — constant-size map-side count partials, one tiny exchange
+    (evalmetrics.pr_curve); cross-join threshold-table twin."""
+    from epstein_pipeline_ray.stages.evalmetrics import pr_curve
+
+    docs = _with_doc_label(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), "unit")
+    return pr_curve(docs, "score", "y")
+
+
+def q_embed_moments(sf_dir: str):
+    """Per-dimension embedding moments (count/mean/population variance)
+    — zero-copy list-buffer decode, d-row map partials, one dim-keyed
+    exchange (embed.embedding_moments); generate_subscripts twin."""
+    from epstein_pipeline_ray.stages.embed import embedding_moments
+
+    return embedding_moments(_read(sf_dir, "embeddings", ["embedding"]))
+
+
+def q_bucketed_join(sf_dir: str):
+    """Storage-partitioned join: both sides written once bucketed by
+    the join key's hash, then joined bucket-by-bucket in independent
+    map tasks — ZERO exchange at join time (bucketed.write_bucketed /
+    bucketed_join, the lakehouse bucketed-join plan); per-segment
+    value rollup on top. Plain-join twin."""
+    import os
+    import shutil
+
+    from epstein_pipeline_ray.stages.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    base = f"/tmp/epr_bucketed_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    sa = pa.schema(list(zip(ev.schema().names, ev.schema().types)))
+    sb = pa.schema(list(zip(cust.schema().names, cust.schema().types)))
+    n_buckets = 16
+    write_bucketed(ev, "user_id", n_buckets, f"{base}/events")
+    write_bucketed(cust, "c_custkey", n_buckets, f"{base}/customer")
+    joined = bucketed_join(f"{base}/events", f"{base}/customer",
+                           "user_id", "c_custkey", n_buckets, sa, sb)
+    return grouped_stats(joined, ["c_mktsegment"], sum_cols=["value"])
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3681,6 +3730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2": q_scd2,
         "pareto_parts": q_pareto_parts,
         "event_ntile": q_event_ntile,
+        "pr_curve": q_pr_curve,
+        "embed_moments": q_embed_moments,
+        "bucketed_join": q_bucketed_join,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4182,6 +4234,56 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS tile
             FROM events
+        """,
+        "pr_curve": """
+            WITH s AS (
+                SELECT (n_chars % 997) / 997.0 AS score,
+                       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+                FROM documents
+            ), t AS (
+                SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold
+            ), c AS (
+                SELECT threshold,
+                       sum(CASE WHEN score >= threshold AND y = 1
+                                THEN 1 ELSE 0 END)::BIGINT AS tp,
+                       sum(CASE WHEN score >= threshold AND y = 0
+                                THEN 1 ELSE 0 END)::BIGINT AS fp,
+                       sum(y)::BIGINT AS n_pos
+                FROM s, t GROUP BY threshold
+            ), pr AS (
+                SELECT *,
+                       CASE WHEN tp + fp > 0
+                            THEN tp / (tp + fp)::DOUBLE END AS p_,
+                       CASE WHEN n_pos > 0
+                            THEN tp / n_pos::DOUBLE END AS r_
+                FROM c
+            )
+            SELECT threshold, tp, fp, n_pos,
+                   round(p_, 6) AS precision,
+                   round(r_, 6) AS recall,
+                   CASE WHEN p_ + r_ > 0
+                        THEN round(2.0 * p_ * r_ / (p_ + r_), 6) END AS f1
+            FROM pr
+        """,
+        "embed_moments": """
+            WITH sv AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings
+            )
+            SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+                   round(sum(v) / count(*), 6) AS mean,
+                   round(sum(v * v) / count(*)
+                         - (sum(v) / count(*)) * (sum(v) / count(*)), 6)
+                       AS var
+            FROM sv GROUP BY dim
+        """,
+        "bucketed_join": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -910,3 +910,61 @@ def knn_label_vote(
         win = votes.iloc[0]
         out.append((int(qid), int(win[label_col]), int(win["c"])))
     return pd.DataFrame(out, columns=[id_col, "pred_label", "n_votes"])
+
+
+def embedding_moments(
+    embs: Dataset, vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> Dataset:
+    """Per-dimension corpus moments (count, mean, population variance)
+    of an embedding column — the whitening/normalization prep stats.
+    Map-side (dim, Σv, Σv², n) partials collapse every batch to d rows
+    before one dim-keyed exchange; vectors decode zero-copy via the
+    Arrow list buffer (no per-row Python). Dims are 1-based to match
+    SQL generate_subscripts. Output: (dim, n, mean, var)."""
+    from ray.data.aggregate import Sum
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # flatten() (not .values) so sliced arrays don't leak
+        # out-of-window elements into the moment sums
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        n = len(col)
+        d = flat.size // n if n else 0
+        vecs = flat.reshape(n, d)
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "__s": pa.array(vecs.sum(axis=0), pa.float64()),
+            "__ss": pa.array((vecs * vecs).sum(axis=0), pa.float64()),
+            "__n": pa.array(np.full(d, n, np.int64), pa.int64()),
+        })
+
+    partials = embs.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("dim").aggregate(
+        Sum("__s", alias_name="__ts"),
+        Sum("__ss", alias_name="__tss"),
+        Sum("__n", alias_name="n"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["__ts"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        ss = np.asarray(batch["__tss"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False), np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table({
+            "dim": batch["dim"], "n": batch["n"],
+            "mean": pa.array(sql_round(mean, round_digits), pa.float64()),
+            "var": pa.array(sql_round(var, round_digits), pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

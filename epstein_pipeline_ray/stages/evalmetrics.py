@@ -185,3 +185,71 @@ def cohen_kappa(
         "kappa": pa.array([arr[2]] if not np.isnan(arr[2]) else [None],
                           pa.float64()),
     })
+
+
+def pr_curve(
+    ds: Dataset,
+    score_col: str,
+    label_col: str,
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9),
+    round_digits: int = 6,
+) -> Dataset:
+    """Precision/recall/F1 at fixed score thresholds (predict positive
+    when score >= t). Map-side partials emit one (threshold, tp, fp,
+    pos) row per threshold per batch — len(thresholds) rows — so the
+    exchange is constant-size regardless of corpus size. All counts are
+    integers; the ratios are single divisions, bit-equal to the twin.
+    Empty-prediction thresholds emit NULL precision/F1; recall is NULL
+    only when there are no positives at all."""
+    thr = np.asarray(thresholds, np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[score_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        y = np.asarray(batch[label_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        pred = s[None, :] >= thr[:, None]            # (T, n)
+        tp = (pred & (y == 1)[None, :]).sum(axis=1)
+        fp = (pred & (y == 0)[None, :]).sum(axis=1)
+        pos = np.full(len(thr), int((y == 1).sum()), np.int64)
+        return pa.table({
+            "threshold": pa.array(thr, pa.float64()),
+            "__tp": pa.array(tp.astype(np.int64), pa.int64()),
+            "__fp": pa.array(fp.astype(np.int64), pa.int64()),
+            "__pos": pa.array(pos, pa.int64()),
+        })
+
+    partials = ds.select_columns([score_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("threshold").aggregate(
+        Sum("__tp", alias_name="tp"),
+        Sum("__fp", alias_name="fp"),
+        Sum("__pos", alias_name="n_pos"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tp = np.asarray(batch["tp"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        fp = np.asarray(batch["fp"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        pos = np.asarray(batch["n_pos"].to_numpy(zero_copy_only=False),
+                         np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prec = np.where(tp + fp > 0, tp / (tp + fp), np.nan)
+            rec = np.where(pos > 0, tp / pos, np.nan)
+            f1 = np.where((prec + rec) > 0,
+                          2.0 * prec * rec / (prec + rec), np.nan)
+        return pa.table({
+            "threshold": batch["threshold"],
+            "tp": batch["tp"], "fp": batch["fp"], "n_pos": batch["n_pos"],
+            "precision": pa.array(sql_round(prec, round_digits),
+                                  pa.float64(), from_pandas=True),
+            "recall": pa.array(sql_round(rec, round_digits),
+                               pa.float64(), from_pandas=True),
+            "f1": pa.array(sql_round(f1, round_digits),
+                           pa.float64(), from_pandas=True),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
