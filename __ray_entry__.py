@@ -469,6 +469,43 @@ def q_bucketed_join(sf_dir: str):
     return grouped_stats(joined, ["c_mktsegment"], sum_cols=["value"])
 
 
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout diagnostic over events: 8-bit buckets of
+    (user_id, floor(value)), interleaved-bit file assignment, per-file
+    count + both dimensions' min/max spread — the OPTIMIZE ZORDER
+    planning report (zorder.zorder_layout, one file-keyed min/max/count
+    exchange); unrolled bit-interleave twin."""
+    from epstein_pipeline_ray.stages.zorder import zorder_layout
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        v = np.asarray(batch["value"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({
+            "a": pa.array(((u % 256) + 256) % 256, pa.int64()),
+            "b": pa.array(((np.floor(v).astype(np.int64) % 256) + 256)
+                          % 256, pa.int64()),
+        })
+
+    ev = ev.map_batches(bucketize, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return zorder_layout(ev, "a", "b", file_shift=10)
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8 embedding-quantization error report (the float32→uint8
+    storage decision): d-row min/max exchange, broadcast ranges,
+    per-batch dequantization-error partials, one dim exchange
+    (embed.quantization_error); identical pinned floor/clip arithmetic
+    in the twin."""
+    from epstein_pipeline_ray.stages.embed import quantization_error
+
+    return quantization_error(_read(sf_dir, "embeddings", ["embedding"]))
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3733,6 +3770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pr_curve": q_pr_curve,
         "embed_moments": q_embed_moments,
         "bucketed_join": q_bucketed_join,
+        "zorder_layout": q_zorder_layout,
+        "embed_quantize": q_embed_quantize,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4284,6 +4323,50 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events JOIN customer ON user_id = c_custkey
             GROUP BY c_mktsegment
+        """,
+        # Morton interleave unrolled: bit i of a → position 2i+1, bit i
+        # of b → position 2i (the pinned zorder.py convention)
+        "zorder_layout": """
+            WITH d AS (
+                SELECT ((user_id % 256) + 256) % 256 AS a,
+                       ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256
+                           AS b
+                FROM events
+            ), z AS (
+                SELECT a, b, ("""
+        + " + ".join(
+            f"(((a >> {i}) & 1) << {2 * i + 1})"
+            f" + (((b >> {i}) & 1) << {2 * i})"
+            for i in range(8)
+        )
+        + """) >> 10 AS file_id
+                FROM d
+            )
+            SELECT file_id, count(*) AS n,
+                   min(a) AS a_min, max(a) AS a_max,
+                   min(b) AS b_min, max(b) AS b_max
+            FROM z GROUP BY file_id
+        """,
+        "embed_quantize": """
+            WITH sv AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding)::DOUBLE AS v
+                FROM embeddings
+            ), r AS (
+                SELECT dim, min(v) AS mn, max(v) AS mx FROM sv GROUP BY dim
+            ), e AS (
+                SELECT s.dim,
+                       CASE WHEN mx > mn THEN
+                           abs(v - (mn + least(greatest(floor(
+                               (v - mn) / (mx - mn) * 255 + 0.5), 0), 255)
+                               * (mx - mn) / 255))
+                       ELSE 0.0 END AS err
+                FROM sv s JOIN r USING (dim)
+            )
+            SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+                   round(sum(err) / count(*), 6) AS mean_abs_err,
+                   round(max(err), 6) AS max_abs_err
+            FROM e GROUP BY dim
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -968,3 +968,96 @@ def embedding_moments(
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def quantization_error(
+    embs: Dataset, vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> Dataset:
+    """Int8 (0..255) per-dimension min/max quantization error report —
+    the storage decision for embedding columns at corpus scale (float32
+    → uint8 is 4× less object-store and disk traffic; this op says
+    what that costs per dimension). Two bounded exchanges: a d-row
+    min/max pass, then per-batch dequantization-error partials against
+    the broadcast ranges.
+
+    Pinned arithmetic (shared verbatim with the twin): q = floor((v -
+    mn) / (mx - mn) * 255 + 0.5) clipped to [0, 255]; deq = mn + q *
+    (mx - mn) / 255; zero-range dims quantize to 0 with zero error.
+    Output: (dim, n, mean_abs_err, max_abs_err)."""
+    import ray
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+    from ray.data.aggregate import Sum as AggSum
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def _vecs(batch: pa.Table) -> np.ndarray:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        n = len(col)
+        return flat.reshape(n, flat.size // n if n else 0)
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        vecs = _vecs(batch)
+        d = vecs.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "__mn": pa.array(vecs.min(axis=0), pa.float64()),
+            "__mx": pa.array(vecs.max(axis=0), pa.float64()),
+        })
+
+    pruned = embs.select_columns([vec_col])
+    ranges = pruned.map_batches(
+        mm_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("dim").aggregate(
+        AggMin("__mn", alias_name="mn"), AggMax("__mx", alias_name="mx"))
+    # d rows — bounded by the embedding dimension, broadcast once
+    rng_df = ranges.to_pandas().sort_values("dim")
+    mn = np.asarray(rng_df["mn"].to_numpy(), np.float64)
+    mx = np.asarray(rng_df["mx"].to_numpy(), np.float64)
+    ref = ray.put((mn, mx))
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        mn_, mx_ = ray.get(ref)
+        vecs = _vecs(batch)
+        d = vecs.shape[1]
+        span = mx_ - mn_
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((vecs - mn_) / span * 255.0 + 0.5)
+        q = np.clip(np.where(span > 0, q, 0.0), 0.0, 255.0)
+        deq = mn_ + q * span / 255.0
+        err = np.abs(vecs - deq)
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "__se": pa.array(err.sum(axis=0), pa.float64()),
+            "__me": pa.array(err.max(axis=0), pa.float64()),
+            "__n": pa.array(np.full(d, vecs.shape[0], np.int64), pa.int64()),
+        })
+
+    agg = pruned.map_batches(
+        err_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("dim").aggregate(
+        AggSum("__se", alias_name="__tse"),
+        AggMax("__me", alias_name="__tme"),
+        AggSum("__n", alias_name="n"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        se = np.asarray(batch["__tse"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        me = np.asarray(batch["__tme"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table({
+            "dim": batch["dim"], "n": batch["n"],
+            "mean_abs_err": pa.array(sql_round(se / n, round_digits),
+                                     pa.float64()),
+            "max_abs_err": pa.array(sql_round(me, round_digits),
+                                    pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -75,3 +75,44 @@ def test_embedding_moments_hand(ray_session):
     assert out[1]["mean"] == 2.0 and out[1]["var"] == 1.0
     assert out[2]["mean"] == 10.0 and out[2]["var"] == 0.0
     assert out[1]["n"] == 2
+
+
+def test_interleave8_hand():
+    from epstein_pipeline_ray.stages.zorder import interleave8
+
+    a = np.array([0b11111111, 0b00000001, 0], np.int64)
+    b = np.array([0, 0b00000001, 0b11111111], np.int64)
+    z = interleave8(a, b)
+    assert z[0] == 0b1010101010101010
+    assert z[1] == 0b11
+    assert z[2] == 0b0101010101010101
+
+
+def test_zorder_layout_hand(ray_session):
+    from epstein_pipeline_ray.stages.zorder import zorder_layout
+
+    # two tight clusters in (a,b) space land in different z files with
+    # tight per-file spreads
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([0, 1, 0, 255, 254, 255], pa.int64()),
+        "b": pa.array([0, 0, 1, 255, 255, 254], pa.int64()),
+    }))
+    out = zorder_layout(ds, "a", "b", file_shift=10).to_pandas()
+    out = out.sort_values("file_id").reset_index(drop=True)
+    assert len(out) == 2
+    lo, hi = out.iloc[0], out.iloc[1]
+    assert lo["n"] == 3 and lo["a_max"] <= 1 and lo["b_max"] <= 1
+    assert hi["n"] == 3 and hi["a_min"] >= 254 and hi["b_min"] >= 254
+
+
+def test_quantization_error_hand(ray_session):
+    from epstein_pipeline_ray.stages.embed import quantization_error
+
+    # dim1 spans [0,255] with integer values → lossless at 8 bits;
+    # dim2 constant → zero-range rule, zero error
+    vecs = pa.array([[0.0, 5.0], [100.0, 5.0], [255.0, 5.0]],
+                    pa.list_(pa.float64()))
+    ds = rd.from_arrow(pa.table({"embedding": vecs}))
+    out = {r["dim"]: r for r in quantization_error(ds).take_all()}
+    assert out[1]["mean_abs_err"] == 0.0 and out[1]["max_abs_err"] == 0.0
+    assert out[2]["mean_abs_err"] == 0.0 and out[2]["n"] == 3
