@@ -506,6 +506,31 @@ def q_embed_quantize(sf_dir: str):
     return quantization_error(_read(sf_dir, "embeddings", ["embedding"]))
 
 
+def q_langid_prf(sf_dir: str):
+    """Per-class precision/recall/F1 of the heuristic language-ID
+    against the stored lang column — bounded confusion-cell exchange +
+    label-alphabet-sized closed form (evalmetrics.per_class_prf); twin
+    reuses the langid CTE."""
+    from epstein_pipeline_ray.stages.evalmetrics import per_class_prf
+    from epstein_pipeline_ray.stages.textops import with_lang_guess
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return per_class_prf(with_lang_guess(docs), "lang", "lang_guess")
+
+
+def q_event_throttle(sf_dir: str):
+    """Debounce dedup (telemetry retry-squash): drop events arriving
+    within an hour of the previous same-(user, type) event — one keyed
+    exchange, vectorized lag on exact microsecond ints
+    (relational.event_throttle); lag() window twin."""
+    from epstein_pipeline_ray.stages.relational import event_throttle
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    return event_throttle(ev, ["user_id", "event_type"], "ts", "event_id",
+                          min_gap_s=3600)
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3772,6 +3797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "zorder_layout": q_zorder_layout,
         "embed_quantize": q_embed_quantize,
+        "langid_prf": q_langid_prf,
+        "event_throttle": q_event_throttle,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4346,6 +4373,58 @@ def oracle_sql() -> dict[str, str]:
                    min(a) AS a_min, max(a) AS a_max,
                    min(b) AS b_min, max(b) AS b_max
             FROM z GROUP BY file_id
+        """,
+        "langid_prf": f"""
+            WITH lang AS ({_langid_select()}),
+            j AS (SELECT d.lang AS t, l.lang_guess AS p
+                  FROM documents d JOIN lang l ON d.doc_id = l.doc_id),
+            cells AS (SELECT t, p, count(*)::BIGINT AS cnt
+                      FROM j GROUP BY t, p),
+            labels AS (SELECT DISTINCT t AS label FROM cells
+                       UNION SELECT DISTINCT p FROM cells),
+            m AS (
+                SELECT label,
+                       coalesce((SELECT cnt FROM cells
+                                 WHERE t = label AND p = label), 0) AS tp,
+                       coalesce((SELECT sum(cnt) FROM cells
+                                 WHERE p = label), 0)
+                           - coalesce((SELECT cnt FROM cells
+                                       WHERE t = label AND p = label), 0)
+                           AS fp,
+                       coalesce((SELECT sum(cnt) FROM cells
+                                 WHERE t = label), 0)
+                           - coalesce((SELECT cnt FROM cells
+                                       WHERE t = label AND p = label), 0)
+                           AS fn
+                FROM labels)
+            SELECT label, tp::BIGINT AS tp, fp::BIGINT AS fp,
+                   fn::BIGINT AS fn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp / (tp + fp)::DOUBLE, 6)
+                   END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp / (tp + fn)::DOUBLE, 6)
+                   END AS recall,
+                   CASE WHEN tp + fp > 0 AND tp + fn > 0
+                            AND tp / (tp + fp)::DOUBLE
+                                + tp / (tp + fn)::DOUBLE > 0
+                        THEN round(2.0 * (tp / (tp + fp)::DOUBLE)
+                                   * (tp / (tp + fn)::DOUBLE)
+                                   / (tp / (tp + fp)::DOUBLE
+                                      + tp / (tp + fn)::DOUBLE), 6)
+                   END AS f1
+            FROM m
+        """,
+        "event_throttle": """
+            WITH l AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS pts
+                FROM events
+            )
+            SELECT event_id, ts, user_id, event_type, value FROM l
+            WHERE pts IS NULL
+               OR epoch_us(ts) - epoch_us(pts) >= 3600::BIGINT * 1000000
         """,
         "embed_quantize": """
             WITH sv AS (

@@ -253,3 +253,65 @@ def pr_curve(
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def per_class_prf(
+    ds: Dataset,
+    truth_col: str,
+    pred_col: str,
+    round_digits: int = 6,
+) -> Dataset:
+    """Per-class precision/recall/F1 of a predicted label column
+    against a truth column: the same bounded confusion-cell exchange
+    as :func:`cohen_kappa`, then a label-alphabet-sized closed form —
+    tp = cell(L, L), fp = predicted-L minus tp, fn = truth-L minus tp.
+    Classes missing on one side report NULL for the undefined ratio.
+    Output: (label, tp, fp, fn, precision, recall, f1)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([truth_col, pred_col])
+        g = pa.TableGroupBy(t, [truth_col, pred_col]).aggregate(
+            [([], "count_all")])
+        return pa.table({truth_col: g[truth_col], pred_col: g[pred_col],
+                         "__cnt": g["count_all"]})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby(
+        [truth_col, pred_col]).aggregate(
+        Sum("__cnt", alias_name="cnt")).to_pandas()
+    truth_tot = cells.groupby(truth_col)["cnt"].sum()
+    pred_tot = cells.groupby(pred_col)["cnt"].sum()
+    diag = {r[truth_col]: int(r["cnt"]) for _, r in cells.iterrows()
+            if r[truth_col] == r[pred_col]}
+    labels = sorted(set(truth_tot.index) | set(pred_tot.index))
+    rows = {"label": [], "tp": [], "fp": [], "fn": [],
+            "precision": [], "recall": [], "f1": []}
+    for lb in labels:
+        tp = diag.get(lb, 0)
+        fp = int(pred_tot.get(lb, 0)) - tp
+        fn = int(truth_tot.get(lb, 0)) - tp
+        p = tp / (tp + fp) if tp + fp > 0 else float("nan")
+        r = tp / (tp + fn) if tp + fn > 0 else float("nan")
+        f1 = (2.0 * p * r / (p + r)
+              if not (np.isnan(p) or np.isnan(r)) and p + r > 0
+              else float("nan"))
+        rows["label"].append(lb)
+        rows["tp"].append(tp)
+        rows["fp"].append(fp)
+        rows["fn"].append(fn)
+        rows["precision"].append(p)
+        rows["recall"].append(r)
+        rows["f1"].append(f1)
+    rd_ = sql_round
+    return pa.table({
+        "label": pa.array(rows["label"], pa.string()),
+        "tp": pa.array(rows["tp"], pa.int64()),
+        "fp": pa.array(rows["fp"], pa.int64()),
+        "fn": pa.array(rows["fn"], pa.int64()),
+        "precision": pa.array(rd_(np.array(rows["precision"]), round_digits),
+                              pa.float64(), from_pandas=True),
+        "recall": pa.array(rd_(np.array(rows["recall"]), round_digits),
+                           pa.float64(), from_pandas=True),
+        "f1": pa.array(rd_(np.array(rows["f1"]), round_digits),
+                       pa.float64(), from_pandas=True),
+    })

@@ -3647,3 +3647,50 @@ def ewma_trailing(
     return map_key_blocks(
         ds.select_columns([key, value_col, ts_col, tie_col]),
         [key], ewma_block, num_partitions)
+
+
+def event_throttle(
+    ds: Dataset,
+    keys: list[str],
+    ts_col: str,
+    tie_col: str,
+    min_gap_s: int = 60,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Debounce / throttle dedup: within each key group (ordered by
+    ``ts_col`` then ``tie_col``) keep a row only when it arrives at
+    least ``min_gap_s`` after the PREVIOUS row of the group (the first
+    row always survives). The telemetry retry-squash — one keyed
+    exchange, one vectorized lag per key-sorted block; integer
+    microsecond timestamps so the gap comparison is exact on both
+    engines."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    out_schema = pa.schema([(c, sch[c]) for c in ds.schema().names])
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return out_schema.empty_table()
+        block_ = block_.sort_by(
+            [(k, "ascending") for k in keys]
+            + [(ts_col, "ascending"), (tie_col, "ascending")])
+        ts = np.asarray(
+            block_[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False),
+            np.int64)
+        kid = np.zeros(block_.num_rows, dtype=np.int64)
+        for k in keys:
+            col = block_[k]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = np.asarray(col.dictionary_encode().indices)
+            kid = kid * (codes.max() + 1 if len(codes) else 1) + codes
+        same_key = np.zeros(block_.num_rows, dtype=bool)
+        same_key[1:] = kid[1:] == kid[:-1]
+        gap_ok = np.ones(block_.num_rows, dtype=bool)
+        gap_ok[1:] = (ts[1:] - ts[:-1]) >= min_gap_s * 1_000_000
+        keep = ~same_key | gap_ok
+        return block_.filter(pa.array(keep)).cast(out_schema)
+
+    return map_key_blocks(ds, keys, block, num_partitions,
+                          sort_blocks=False)

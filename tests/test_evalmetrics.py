@@ -134,3 +134,45 @@ def test_pareto_front_merge_invariance(ray_session):
     for i in range(len(a)):
         dom = (x >= fx[i]) & (y <= fy[i]) & ((x > fx[i]) | (y < fy[i]))
         assert not dom.any()
+
+
+def test_per_class_prf_hand(ray_session):
+    from epstein_pipeline_ray.stages.evalmetrics import per_class_prf
+
+    ds = rd.from_arrow(pa.table({
+        "t": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "p": pa.array(["a", "a", "b", "b", "a", "d"], pa.string()),
+    }))
+    out = {r["label"]: r for r in
+           per_class_prf(ds, "t", "p").to_pylist()}
+    # a: tp=2 fp=1 fn=1 → p=2/3 r=2/3 f1=2/3
+    assert out["a"]["tp"] == 2 and out["a"]["fp"] == 1 and out["a"]["fn"] == 1
+    assert out["a"]["precision"] == round(2 / 3, 6)
+    assert out["a"]["f1"] == round(2 / 3, 6)
+    # c: never predicted → precision NULL, recall 0
+    assert out["c"]["precision"] is None and out["c"]["recall"] == 0.0
+    # d: predicted only → recall NULL
+    assert out["d"]["recall"] is None and out["d"]["precision"] == 0.0
+
+
+def test_event_throttle_hand(ray_session):
+    import datetime as dt
+
+    from epstein_pipeline_ray.stages.relational import event_throttle
+
+    t0 = dt.datetime(2024, 1, 1)
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([t0,
+                        t0 + dt.timedelta(seconds=30),   # <60s → dropped
+                        t0 + dt.timedelta(seconds=90),   # 60s after #2 → kept
+                        t0 + dt.timedelta(seconds=90),   # other key
+                        t0 + dt.timedelta(seconds=100),  # other key, <60s
+                        ], pa.timestamp("us")),
+        "k": pa.array(["x", "x", "x", "y", "y"], pa.string()),
+    }))
+    kept = sorted(r["event_id"] for r in
+                  event_throttle(ds, ["k"], "ts", "event_id",
+                                 min_gap_s=60).take_all())
+    # lag semantics: row 3 is 60s after row 2 (dropped or not) → kept
+    assert kept == [1, 3, 4]
