@@ -531,6 +531,43 @@ def q_event_throttle(sf_dir: str):
                           min_gap_s=3600)
 
 
+def q_corpus_digest(sf_dir: str):
+    """Order-invariant corpus checksum (Σ md5-low64(norm) mod 2^61-1 +
+    hashed count): snapshot-equality verification with one residue row
+    per batch and zero text movement (validate.corpus_digest);
+    md5_number_lower + HUGEINT-sum twin."""
+    from epstein_pipeline_ray.stages.validate import corpus_digest
+
+    return corpus_digest(_read(sf_dir, "documents", ["text"]))
+
+
+def q_kwic(sf_dir: str):
+    """Keyword-in-context concordance for 'window' (first occurrence,
+    ±40 code points) — vectorized substring scan, per-row slice only on
+    matched rows (textops.kwic_snippets); instr/substr twin."""
+    from epstein_pipeline_ray.stages.textops import kwic_snippets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return kwic_snippets(docs, "window", width=40)
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) sink + source roundtrip: atomic shard
+    publish, file-parallel read-back (sources/ipc.py) — output equals
+    the documents table exactly."""
+    import os
+    import shutil
+
+    from epstein_pipeline_ray.sources.ipc import read_ipc, write_ipc
+
+    out = f"/tmp/epr_ipc_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    write_ipc(docs, out)
+    return read_ipc(out)
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3799,6 +3836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": q_embed_quantize,
         "langid_prf": q_langid_prf,
         "event_throttle": q_event_throttle,
+        "corpus_digest": q_corpus_digest,
+        "kwic": q_kwic,
+        "ipc_roundtrip": q_ipc_roundtrip,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4414,6 +4454,25 @@ def oracle_sql() -> dict[str, str]:
                                       + tp / (tp + fn)::DOUBLE), 6)
                    END AS f1
             FROM m
+        """,
+        "corpus_digest": f"""
+            SELECT count(norm)::BIGINT AS n_hashed,
+                   (sum(md5_number_lower(norm)::HUGEINT
+                        % 2305843009213693951)
+                    % 2305843009213693951)::BIGINT AS digest
+            FROM (SELECT {_NORM_SQL} AS norm FROM documents)
+        """,
+        "kwic": """
+            SELECT doc_id, instr(text, 'window') - 1 AS pos,
+                   substr(text,
+                          greatest(instr(text, 'window') - 1 - 40, 0) + 1,
+                          instr(text, 'window') - 1 + 6 + 40
+                          - greatest(instr(text, 'window') - 1 - 40, 0))
+                       AS snippet
+            FROM documents WHERE instr(text, 'window') > 0
+        """,
+        "ipc_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "event_throttle": """
             WITH l AS (

@@ -997,3 +997,44 @@ def distinctive_terms(docs: Dataset, group_col: str = "source",
                                 zero_copy_batch=True)
     return topk_per_group(scored, group_col, "score", k, "term",
                           num_partitions=num_partitions)
+
+
+def kwic_snippets(docs: Dataset, term: str, width: int = 40,
+                  id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Keyword-in-context concordance: for each document containing
+    ``term`` (case-sensitive, first occurrence), the 0-based match
+    position and a ±``width``-character snippet — the human-review
+    sampling view every curation report links to. Vectorized substring
+    scan (pc.find_substring) picks the matching rows; only those rows
+    pay the per-row slice. Character (code-point) positions on both
+    engines, so CJK documents agree with SQL instr/substr."""
+    import pyarrow.compute as pc
+
+    def extract(batch: pa.Table) -> pa.Table:
+        pos = pc.find_substring(batch[text_col], pattern=term)
+        mask = pc.greater_equal(pos, 0)
+        hit = batch.filter(mask)
+        if hit.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], batch[id_col].type),
+                "pos": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            })
+        texts = hit[text_col].to_pylist()
+        # find_substring reports BYTE offsets on utf8 arrays; recompute
+        # code-point positions Python-side for the matched rows only so
+        # the twin's instr()/substr() character arithmetic agrees
+        out_pos, out_snip = [], []
+        for t in texts:
+            p = t.find(term)
+            start = max(0, p - width)
+            out_snip.append(t[start:p + len(term) + width])
+            out_pos.append(p)
+        return pa.table({
+            id_col: hit[id_col],
+            "pos": pa.array(out_pos, pa.int64()),
+            "snippet": pa.array(out_snip, pa.string()),
+        })
+
+    return docs.map_batches(extract, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -270,3 +270,40 @@ def profile_columns(ds, cols: list[str], num_partitions: int | None = None):
         "n_null": pa.array(out_rows["n_null"], pa.int64()),
         "n_distinct": pa.array(out_rows["n_distinct"], pa.int64()),
     }))
+
+
+def corpus_digest(ds, text_col: str = "text"):
+    """Order-invariant corpus checksum: Σ (md5-low64 of normalized text
+    mod P) mod P with P = 2^61 - 1, plus the hashed-row count. Equality
+    of two digests verifies snapshot identity WITHOUT sorting or moving
+    any text — the 100-TB resume/replication check (each batch
+    collapses to one residue row; the final fold sees one row per
+    batch). Null texts are skipped on both engines (SQL md5(NULL) is
+    NULL). The low-64 convention matches DuckDB md5_number_lower:
+    digest bytes [8:16] little-endian."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.normalize import normalize_array
+
+    P = (1 << 61) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = normalize_array(batch[text_col])
+        res, cnt = 0, 0
+        for s in norm.to_pylist():
+            if s is None:
+                continue
+            d = hashlib.md5(s.encode()).digest()
+            res = (res + int.from_bytes(d[8:16], "little") % P) % P
+            cnt += 1
+        return pa.table({"__r": pa.array([res], pa.int64()),
+                         "__n": pa.array([cnt], pa.int64())})
+
+    rows = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    digest = sum(r["__r"] for r in rows) % P
+    n = sum(r["__n"] for r in rows)
+    return pa.table({"n_hashed": pa.array([n], pa.int64()),
+                     "digest": pa.array([digest], pa.int64())})
