@@ -568,6 +568,50 @@ def q_ipc_roundtrip(sf_dir: str):
     return read_ipc(out)
 
 
+def q_pruned_read(sf_dir: str):
+    """Predicate-pushdown read: the o_totalprice filter is handed to
+    the parquet scan itself (row-group/fragment pruning — only
+    qualifying bytes leave storage) with column pruning on top; status
+    rollup over the survivors. The read-side half of the 'prune at the
+    read' rule."""
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+        filter=(pds.field("o_totalprice") > 400000.0),
+    )
+    return grouped_stats(orders, ["o_orderstatus"],
+                         sum_cols=["o_totalprice"])
+
+
+def q_contrastive_negatives(sf_dir: str):
+    """Deterministic contrastive negative sampling (k=3 pinned-hash
+    partners per doc, self-collisions dropped) — reproducible with no
+    RNG state (mixing.contrastive_negatives); generate_series +
+    identical mod-arithmetic twin."""
+    from epstein_pipeline_ray.stages.mixing import contrastive_negatives
+
+    return contrastive_negatives(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def q_mmr_select(sf_dir: str):
+    """MMR diversified top-8 (λ=0.7, 32-candidate panel) against the
+    vec_id-0 embedding as query — distributed partial top-m fetch, the
+    greedy re-rank bounded to the panel (embed.mmr_topk). Iterative
+    argmax → rows-only; invariants (panel containment, first pick =
+    top relevance, diversity) in tests/test_mmr.py."""
+    from epstein_pipeline_ray.stages.embed import mmr_topk
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = embs.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    return mmr_topk(embs, np.asarray(q, np.float64), k=8, fetch_m=32)
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3839,6 +3883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_digest": q_corpus_digest,
         "kwic": q_kwic,
         "ipc_roundtrip": q_ipc_roundtrip,
+        "pruned_read": q_pruned_read,
+        "contrastive_negatives": q_contrastive_negatives,
+        "mmr_select": q_mmr_select,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4473,6 +4520,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ipc_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "pruned_read": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS sum_o_totalprice
+            FROM orders WHERE o_totalprice > 400000.0
+            GROUP BY o_orderstatus
+        """,
+        "contrastive_negatives": """
+            WITH n AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT doc_id, j,
+                   (doc_id * 2654435761 + j * 40503) % n.n AS neg_id
+            FROM documents,
+                 LATERAL unnest(generate_series(1, 3)) AS u(j), n
+            WHERE (doc_id * 2654435761 + j * 40503) % n.n <> doc_id
         """,
         "event_throttle": """
             WITH l AS (

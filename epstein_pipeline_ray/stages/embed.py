@@ -1061,3 +1061,72 @@ def quantization_error(
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def mmr_topk(
+    vectors: Dataset,
+    query: np.ndarray,
+    k: int = 8,
+    fetch_m: int = 32,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98): fetch the ``fetch_m`` highest-cosine
+    candidates distributed (per-batch partial top-m, the ann_topk
+    plan), then the greedy MMR re-rank — argmax of
+    ``lam*cos(q,d) - (1-lam)*max_cos(d, selected)`` — runs on the
+    m-candidate panel only (m², driver-bounded by construction).
+    Deterministic ties: higher score, then smaller id. Output:
+    (rank, vec_id, relevance, mmr_score)."""
+    qn = _normalize_rows(np.asarray(query, np.float64).reshape(1, -1))[0]
+    q_ref = ray.put(qn)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        emb = _normalize_rows(_stack_embeddings(batch, emb_col))
+        sims = emb @ q
+        m = min(fetch_m, len(sims))
+        sel = np.argpartition(-sims, kth=m - 1)[:m] if m else np.array([], int)
+        out = pa.table({
+            id_col: batch[id_col].take(pa.array(sel, pa.int64())),
+            "cos": pa.array(sims[sel], pa.float64()),
+        })
+        # candidate vectors ride along for the driver-side diversity term
+        vecs = emb[sel]
+        return out.append_column(
+            "vec", pa.array(list(vecs), pa.list_(pa.float64())))
+
+    cand = vectors.select_columns([id_col, emb_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cand = cand.sort_values(["cos", id_col],
+                            ascending=[False, True]).head(fetch_m)
+    ids = cand[id_col].to_numpy()
+    rel = cand["cos"].to_numpy(np.float64)
+    vecs = np.stack(cand["vec"].to_numpy()) if len(cand) else np.zeros((0, 1))
+    pair = vecs @ vecs.T
+    chosen: list[int] = []
+    remaining = list(range(len(ids)))
+    while remaining and len(chosen) < k:
+        if chosen:
+            div = pair[np.ix_(remaining, chosen)].max(axis=1)
+        else:
+            div = np.zeros(len(remaining))
+        scores = lam * rel[remaining] - (1.0 - lam) * div
+        # ties: higher score, then smaller id
+        best = min(range(len(remaining)),
+                   key=lambda i: (-scores[i], ids[remaining[i]]))
+        chosen.append(remaining.pop(best))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(chosen) + 1, dtype=np.int64),
+                         pa.int64()),
+        id_col: pa.array([ids[c] for c in chosen]),
+        "relevance": pa.array(sql_round(rel[np.array(chosen, int)], 6),
+                              pa.float64()),
+        "mmr_score": pa.array(
+            sql_round(np.array([
+                lam * rel[c] - (0.0 if i == 0 else
+                                (1.0 - lam) * pair[c, chosen[:i]].max())
+                for i, c in enumerate(chosen)]), 6), pa.float64()),
+    })

@@ -371,3 +371,37 @@ def temperature_mixture(
         "n_tokens": pa.array(totals["n_tokens"].to_numpy(np.int64), pa.int64()),
         "weight": pa.array(w, pa.float64()),
     })
+
+
+def contrastive_negatives(
+    ds, id_col: str = "doc_id", k: int = 3,
+    mult: int = 2654435761, step: int = 40503,
+):
+    """Deterministic negative sampling for contrastive training: for
+    each row, ``k`` pseudo-random partner indices via the pinned Knuth
+    multiplicative hash ``neg = (id*mult + j*step) mod n`` (j = 1..k),
+    dropping self-collisions — reproducible across runs/engines with no
+    RNG state, so the oracle can replay it exactly. Assumes dense
+    0..n-1 ids (the training-shard convention after assign_split
+    re-indexing); ``n`` is one metadata-only count. Output:
+    (id, j, neg_id)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = ds.count()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        rep = np.repeat(ids, k)
+        j = np.tile(np.arange(1, k + 1, dtype=np.int64), len(ids))
+        neg = (rep * mult + j * step) % n
+        keep = neg != rep
+        return pa.table({
+            id_col: pa.array(rep[keep], pa.int64()),
+            "j": pa.array(j[keep], pa.int64()),
+            "neg_id": pa.array(neg[keep], pa.int64()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True)
