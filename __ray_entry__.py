@@ -612,6 +612,32 @@ def q_mmr_select(sf_dir: str):
     return mmr_topk(embs, np.asarray(q, np.float64), k=8, fetch_m=32)
 
 
+def q_strip_html(sf_dir: str):
+    """C4 front-door HTML cleanup over a deterministic HTML
+    augmentation (every 4th doc wrapped in tags + entities, shared
+    verbatim with the twin): tag strip → entity decode → whitespace
+    collapse → trim, all RE2 kernels (c4_filter.strip_html)."""
+    from epstein_pipeline_ray.stages.c4_filter import strip_html
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        texts = batch["text"].to_pylist()
+        out = [
+            f'<div class="x">{t}</div> &amp; <b>tail</b>'
+            if i % 4 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    docs = docs.map_batches(augment, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return strip_html(docs)
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3886,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_read": q_pruned_read,
         "contrastive_negatives": q_contrastive_negatives,
         "mmr_select": q_mmr_select,
+        "strip_html": q_strip_html,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4526,6 +4553,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "strip_html": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN '<div class="x">' || text
+                                 || '</div> &amp; <b>tail</b>'
+                            ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(
+                           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean_text
+            FROM aug
         """,
         "contrastive_negatives": """
             WITH n AS (SELECT count(*)::BIGINT AS n FROM documents)

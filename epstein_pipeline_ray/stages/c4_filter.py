@@ -71,3 +71,40 @@ def c4_line_filter(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# pinned op order, shared verbatim with the SQL twin: tags → entities
+# (amp LAST so '&amp;lt;' decodes to '&lt;', the HTML spec order) →
+# whitespace collapse → trim
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&amp;", "&")]
+
+
+def strip_html(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> Dataset:
+    """HTML boilerplate removal — the front-door cleanup before any
+    C4-style line filtering on web-crawled text: drop ``<...>`` tags
+    (replaced by a space so adjacent words don't fuse), decode the five
+    core character entities, collapse whitespace runs, trim. Every step
+    is an RE2 kernel (pyarrow.compute) — the same regex engine DuckDB
+    uses, so the twin is expression-for-expression identical."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        t = pc.replace_substring_regex(t, pattern="<[^>]*>",
+                                       replacement=" ")
+        for ent, ch in _ENTITIES:
+            t = pc.replace_substring(t, pattern=ent, replacement=ch)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        # trim ASCII space only — RE2's \s already collapsed every run it
+        # recognizes, and DuckDB trim() is ASCII-space too, so exotic
+        # unicode spaces behave identically on both engines
+        t = pc.utf8_trim(t, characters=" ")
+        return pa.table({id_col: batch[id_col], out_col: t})
+
+    return docs.map_batches(clean, batch_format="pyarrow",
+                            zero_copy_batch=True)

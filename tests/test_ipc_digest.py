@@ -50,3 +50,23 @@ def test_kwic_positions_and_cjk(ray_session):
     assert set(out) == {1, 3}
     assert out[1]["pos"] == 2 and out[1]["snippet"] == "a window her"
     assert out[3]["pos"] == 5 and out[3]["snippet"] == "文中文 window 后缀"
+
+
+def test_strip_html_hand(ray_session):
+    from epstein_pipeline_ray.stages.c4_filter import strip_html
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "<p>Hello <b>world</b></p>",
+            "a &amp;lt; b &amp; c &lt;tag&gt;",   # spec order: amp last
+            "  no   markup\there  ",
+        ], pa.string()),
+    }))
+    out = {r["doc_id"]: r["clean_text"]
+           for r in strip_html(docs).take_all()}
+    assert out[1] == "Hello world"
+    # '&amp;lt;' → '&lt;' literal (NOT '<' twice); '&lt;tag&gt;' decodes
+    # to '<tag>' AFTER tag-stripping so it survives as text
+    assert out[2] == 'a &lt; b & c <tag>'
+    assert out[3] == "no markup here"
