@@ -249,16 +249,22 @@ def q_shipping_priority(sf_dir: str):
 
     from datetime import datetime as _dt
     cutoff = pa.scalar(_dt(1998, 6, 1), pa.timestamp("us"))
+    # dimension sides are bounded by construction — materialize once so
+    # the size-switched joins' count+gather don't re-execute the read
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")),
         batch_format="pyarrow", zero_copy_batch=True,
-    )
+    ).materialize()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
                                       "o_orderpriority"]).map_batches(
         lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    orders = key_membership_join(orders, cust, "o_custkey", "c_custkey")
+    # the filtered-orders side is consumed by two size-switched attaches
+    # (each starts with a count) — materialize the SMALL side once so the
+    # filter+semi-join pipeline doesn't re-execute per consumer
+    orders = key_membership_join(orders, cust, "o_custkey",
+                                 "c_custkey").materialize()
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
                                     "l_discount", "l_shipdate"]).map_batches(
         lambda b: b.filter(pc.greater(b["l_shipdate"], cutoff)),
@@ -303,16 +309,19 @@ def q_local_supplier_volume(sf_dir: str):
     asia = dim[dim["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
     nat_name = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).materialize()
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         lambda b: b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
                                    pc.less(b["o_orderdate"], hi))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    # small side of the lineitem attach, consumed twice (count + gather)
     orders = attach_column(orders, cust, "o_custkey", "c_custkey",
-                           "c_nationkey", "c_nat")
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+                           "c_nationkey", "c_nat").materialize()
+    sup = _read(sf_dir, "supplier",
+                ["s_suppkey", "s_nationkey"]).materialize()
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     li = attach_column(li, sup, "l_suppkey", "s_suppkey",

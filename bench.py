@@ -154,6 +154,15 @@ def run_bench() -> dict:
         "url_dedup",
         "distinctive_terms",
         "events_hopping",
+        # round-3 session-6 additions
+        "shipping_priority",
+        "local_supplier_volume",
+        "quality_auc",
+        "scd2",
+        "bucketed_join",
+        "zorder_layout",
+        "event_throttle",
+        "embed_quantize",
     ):
         q = entrymod.queries()[name]
         best = None
