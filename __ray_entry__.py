@@ -647,6 +647,34 @@ def q_strip_html(sf_dir: str):
     return strip_html(docs)
 
 
+def q_padding_waste(sf_dir: str):
+    """Power-of-two padding-waste report over document lengths (the
+    fixed-bucket loader diagnostic): integer-exact next-power bucket via
+    one searchsorted, bounded count/len partials
+    (packing.padding_waste); generate_series powers-table twin."""
+    from epstein_pipeline_ray.stages.packing import padding_waste
+
+    return padding_waste(_read(sf_dir, "documents", ["n_chars"]))
+
+
+def q_truncation_audit(sf_dir: str):
+    """Mid-sentence truncation share per source (document-granularity
+    C4 terminal-punctuation rule) — one count exchange, RE2 tail
+    pattern shared with the twin (textops.truncation_audit)."""
+    from epstein_pipeline_ray.stages.textops import truncation_audit
+
+    return truncation_audit(_read(sf_dir, "documents", ["source", "text"]))
+
+
+def q_embed_health(sf_dir: str):
+    """Embedding-corpus health row (count, zero vectors, L2-norm
+    mean/min/max) — scalar partials per batch (embed.embedding_health);
+    list_transform norm twin."""
+    from epstein_pipeline_ray.stages.embed import embedding_health
+
+    return embedding_health(_read(sf_dir, "embeddings", ["embedding"]))
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3922,6 +3950,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_negatives": q_contrastive_negatives,
         "mmr_select": q_mmr_select,
         "strip_html": q_strip_html,
+        "padding_waste": q_padding_waste,
+        "truncation_audit": q_truncation_audit,
+        "embed_health": q_embed_health,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4562,6 +4593,46 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "padding_waste": """
+            WITH p AS (
+                SELECT (1::BIGINT << i) AS pw
+                FROM unnest(generate_series(0, 30)) AS u(i)
+            ), b AS (
+                SELECT n_chars,
+                       (SELECT min(pw) FROM p WHERE pw >= n_chars)
+                           AS bucket
+                FROM documents
+            )
+            SELECT bucket, count(*)::BIGINT AS n,
+                   sum(n_chars)::BIGINT AS total_len,
+                   (bucket * count(*))::BIGINT AS padded_len,
+                   round((bucket * count(*) - sum(n_chars))
+                         / (bucket * count(*))::DOUBLE, 6) AS waste_pct
+            FROM b GROUP BY bucket
+        """,
+        "truncation_audit": """
+            SELECT source, count(*)::BIGINT AS n,
+                   sum(CASE WHEN regexp_matches(text, '[.!?"]\\s*$')
+                            THEN 0 ELSE 1 END)::BIGINT AS n_truncated,
+                   round(sum(CASE WHEN regexp_matches(text, '[.!?"]\\s*$')
+                                  THEN 0 ELSE 1 END)
+                         / count(*)::DOUBLE, 6) AS truncated_pct
+            FROM documents GROUP BY source
+        """,
+        "embed_health": """
+            WITH nm AS (
+                SELECT sqrt(list_sum(list_transform(
+                           embedding, x -> x::DOUBLE * x))) AS nrm
+                FROM embeddings
+            )
+            SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_zero,
+                   round(sum(nrm) / count(*), 6) AS mean_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM nm
         """,
         "strip_html": """
             WITH aug AS (

@@ -1130,3 +1130,66 @@ def mmr_topk(
                                 (1.0 - lam) * pair[c, chosen[:i]].max())
                 for i, c in enumerate(chosen)]), 6), pa.float64()),
     })
+
+
+def embedding_health(
+    embs: Dataset, vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> Dataset:
+    """Corpus-level embedding health row: vector count, zero-vector
+    count and the L2-norm mean/min/max — the one-glance check before
+    any cosine stage (a zero vector poisons normalization; a norm
+    spread says whether vectors were pre-normalized). Per-batch scalar
+    partials, one-row output."""
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+    from ray.data.aggregate import Sum as AggSum
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        n = len(col)
+        vecs = flat.reshape(n, flat.size // n if n else 0)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        return pa.table({
+            "__k": pa.array([0], pa.int64()),
+            "__n": pa.array([n], pa.int64()),
+            "__z": pa.array([int((norms == 0.0).sum())], pa.int64()),
+            "__s": pa.array([float(norms.sum())], pa.float64()),
+            "__mn": pa.array([float(norms.min()) if n else np.inf],
+                             pa.float64()),
+            "__mx": pa.array([float(norms.max()) if n else -np.inf],
+                             pa.float64()),
+        })
+
+    agg = embs.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__k").aggregate(
+        AggSum("__n", alias_name="n"), AggSum("__z", alias_name="n_zero"),
+        AggSum("__s", alias_name="__ts"),
+        AggMin("__mn", alias_name="__tmn"),
+        AggMax("__mx", alias_name="__tmx"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False), np.float64)
+        s = np.asarray(batch["__ts"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({
+            "n": batch["n"], "n_zero": batch["n_zero"],
+            "mean_norm": pa.array(sql_round(s / n, round_digits),
+                                  pa.float64()),
+            "min_norm": pa.array(sql_round(np.asarray(
+                batch["__tmn"].to_numpy(zero_copy_only=False), np.float64),
+                round_digits), pa.float64()),
+            "max_norm": pa.array(sql_round(np.asarray(
+                batch["__tmx"].to_numpy(zero_copy_only=False), np.float64),
+                round_digits), pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -115,3 +115,64 @@ def pack_sequences(
 
     return map_key_blocks(bucketed, ["__bucket"], per_block, num_partitions,
                           sort_blocks=False)
+
+
+def padding_waste(
+    ds,
+    len_col: str = "n_chars",
+    max_pow: int = 31,
+):
+    """Power-of-two padding-waste report — the batch-shape diagnostic
+    for fixed-bucket training loaders: each row pads up to the next
+    power of two; per bucket, the row count, the padded total and the
+    wasted share. Integer-exact bucket assignment on both engines (the
+    twin picks min power >= len from a generate_series powers table;
+    here it's one searchsorted against the same array). One bounded
+    exchange (≤ max_pow rows per batch partial). Output:
+    (bucket, n, total_len, padded_len, waste_pct)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    powers = np.left_shift(np.int64(1), np.arange(max_pow, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = np.asarray(batch[len_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        idx = np.searchsorted(powers, n, side="left")
+        bucket = powers[np.minimum(idx, max_pow - 1)]
+        df = pd.DataFrame({"bucket": bucket, "__len": n})
+        g = df.groupby("bucket", sort=False).agg(
+            __n=("__len", "size"), __tl=("__len", "sum")).reset_index()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "__n": pa.array(g["__n"].to_numpy(np.int64), pa.int64()),
+            "__tl": pa.array(g["__tl"].to_numpy(np.int64), pa.int64()),
+        })
+
+    agg = ds.select_columns([len_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(
+        Sum("__n", alias_name="n"), Sum("__tl", alias_name="total_len"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bucket"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False), np.int64)
+        tl = np.asarray(batch["total_len"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        padded = b * n
+        waste = (padded - tl).astype(np.float64) / padded.astype(np.float64)
+        return pa.table({
+            "bucket": batch["bucket"], "n": batch["n"],
+            "total_len": batch["total_len"],
+            "padded_len": pa.array(padded, pa.int64()),
+            "waste_pct": pa.array(sql_round(waste, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1038,3 +1038,48 @@ def kwic_snippets(docs: Dataset, term: str, width: int = 40,
 
     return docs.map_batches(extract, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def truncation_audit(docs: Dataset, group_col: str = "source",
+                     text_col: str = "text",
+                     round_digits: int = 6) -> Dataset:
+    """Mid-sentence truncation screen per source: share of documents
+    whose text does NOT end in terminal punctuation (the C4 line rule
+    applied at document granularity) — a high share marks a source
+    whose extractor clips documents. One count exchange; the RE2 tail
+    pattern is shared verbatim with the twin. Output:
+    (source, n, n_truncated, truncated_pct)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.match_substring_regex(batch[text_col],
+                                      pattern=r'[.!?"]\s*$')
+        trunc = pc.invert(pc.fill_null(ok, False))
+        t = pa.table({group_col: batch[group_col],
+                      "__t": trunc.cast(pa.int64())})
+        g = pa.TableGroupBy(t, [group_col]).aggregate(
+            [("__t", "sum"), ([], "count_all")])
+        return pa.table({group_col: g[group_col],
+                         "__t": g["__t_sum"], "__n": g["count_all"]})
+
+    agg = docs.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(group_col).aggregate(
+        Sum("__t", alias_name="n_truncated"), Sum("__n", alias_name="n"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tr = np.asarray(batch["n_truncated"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table({
+            group_col: batch[group_col], "n": batch["n"],
+            "n_truncated": batch["n_truncated"],
+            "truncated_pct": pa.array(sql_round(tr / n, round_digits),
+                                      pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -116,3 +116,28 @@ def test_quantization_error_hand(ray_session):
     out = {r["dim"]: r for r in quantization_error(ds).take_all()}
     assert out[1]["mean_abs_err"] == 0.0 and out[1]["max_abs_err"] == 0.0
     assert out[2]["mean_abs_err"] == 0.0 and out[2]["n"] == 3
+
+
+def test_truncation_audit_hand(ray_session):
+    from epstein_pipeline_ray.stages.textops import truncation_audit
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a", "a", "a", "b"], pa.string()),
+        "text": pa.array(["Fine sentence.", "clipped mid", 'quoted."',
+                          "Trailing ws!  "], pa.string()),
+    }))
+    out = {r["source"]: r for r in truncation_audit(ds).take_all()}
+    assert out["a"]["n_truncated"] == 1 and out["a"]["n"] == 3
+    assert out["b"]["n_truncated"] == 0  # '!  ' matches the \s* tail
+
+
+def test_embedding_health_hand(ray_session):
+    from epstein_pipeline_ray.stages.embed import embedding_health
+
+    vecs = pa.array([[3.0, 4.0], [0.0, 0.0], [0.0, 1.0]],
+                    pa.list_(pa.float64()))
+    ds = rd.from_arrow(pa.table({"embedding": vecs}))
+    t = embedding_health(ds).to_pandas()
+    assert int(t["n"][0]) == 3 and int(t["n_zero"][0]) == 1
+    assert t["min_norm"][0] == 0.0 and t["max_norm"][0] == 5.0
+    assert t["mean_norm"][0] == 2.0  # (5 + 0 + 1) / 3

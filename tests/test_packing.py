@@ -219,3 +219,22 @@ def test_semdedup_subset_of_exact_and_finds_blob_dups(ray_session):
     # so SemDeDup recovers the full set here
     assert sem_pairs == full_pairs
     assert len(sem_pairs) > 50
+
+
+def test_padding_waste_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.packing import padding_waste
+
+    ds = rd.from_arrow(pa.table({
+        "n_chars": pa.array([1, 2, 3, 5, 8, 9], pa.int64()),
+    }))
+    out = {r["bucket"]: r for r in padding_waste(ds).take_all()}
+    # exact powers stay in their own bucket (1→1, 2→2, 8→8)
+    assert out[1]["n"] == 1 and out[1]["waste_pct"] == 0.0
+    assert out[2]["n"] == 1 and out[2]["waste_pct"] == 0.0
+    assert out[4]["n"] == 1 and out[4]["total_len"] == 3
+    assert out[8]["n"] == 2 and out[8]["total_len"] == 13   # 5 + 8
+    assert out[8]["padded_len"] == 16
+    assert out[16]["n"] == 1 and out[16]["waste_pct"] == round(7 / 16, 6)
