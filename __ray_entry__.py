@@ -675,6 +675,26 @@ def q_embed_health(sf_dir: str):
     return embedding_health(_read(sf_dir, "embeddings", ["embedding"]))
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of a length ranking and a deterministic
+    hash ranking per language, top-3 (the hybrid lexical×vector search
+    merge, ranking.rrf_fusion) — one keyed exchange, bit-equal small-int
+    divisions; double row_number twin."""
+    from epstein_pipeline_ray.stages.ranking import rrf_fusion
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return batch.append_column(
+            "sb", pa.array((did * 40503) % 1009, pa.int64()))
+
+    docs = docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return rrf_fusion(docs, "lang", "n_chars", "sb", "doc_id")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3953,6 +3973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste": q_padding_waste,
         "truncation_audit": q_truncation_audit,
         "embed_health": q_embed_health,
+        "rrf_fusion": q_rrf_fusion,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4593,6 +4614,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "rrf_fusion": """
+            WITH s AS (
+                SELECT lang, doc_id, n_chars AS sa,
+                       (doc_id * 40503) % 1009 AS sb
+                FROM documents
+            ), r AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY sa DESC, doc_id)
+                           AS rank_a,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY sb DESC, doc_id)
+                           AS rank_b
+                FROM s
+            ), f AS (
+                SELECT *,
+                       1.0 / (60 + rank_a) + 1.0 / (60 + rank_b) AS fr,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY 1.0 / (60 + rank_a)
+                                    + 1.0 / (60 + rank_b) DESC, doc_id)
+                           AS rn
+                FROM r
+            )
+            SELECT lang, doc_id, rank_a, rank_b, round(fr, 6) AS rrf
+            FROM f WHERE rn <= 3
         """,
         "padding_waste": """
             WITH p AS (

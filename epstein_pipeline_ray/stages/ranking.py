@@ -623,3 +623,65 @@ def bigram_pmi(
 
     return tagged.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def rrf_fusion(
+    ds: Dataset,
+    key: str,
+    score_a: str,
+    score_b: str,
+    tie_col: str,
+    k: int = 60,
+    top: int = 3,
+    round_digits: int = 6,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two score
+    columns per group — the hybrid-search merge (lexical rank × vector
+    rank) reduced to its dataflow shape: within each key group compute
+    both ROW_NUMBER rankings (score DESC, tie ASC — total orders, no
+    tie ambiguity), fuse with ``1/(k+rank_a) + 1/(k+rank_b)`` and keep
+    the top ``top`` rows by (fused DESC, tie ASC). One keyed exchange;
+    ranks are small ints so the two divisions + one add are bit-equal
+    to the twin. Output: (key, tie_col, rank_a, rank_b, rrf)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    sch = dict(zip(ds.schema().names, ds.schema().types))
+    OUT = pa.schema([(key, sch[key]), (tie_col, sch[tie_col]),
+                     ("rank_a", pa.int64()), ("rank_b", pa.int64()),
+                     ("rrf", pa.float64())])
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return OUT.empty_table()
+        df = block_.to_pandas()
+
+        def ranks(col: str) -> np.ndarray:
+            # ROW_NUMBER over (col DESC, tie ASC) within each key group
+            order = df.sort_values([key, col, tie_col],
+                                   ascending=[True, False, True]).index
+            r = np.empty(len(df), np.int64)
+            pos = df.loc[order].groupby(key, sort=False).cumcount() + 1
+            r[order.to_numpy()] = pos.to_numpy()
+            return r
+
+        ra = ranks(score_a)
+        rb = ranks(score_b)
+        rrf = 1.0 / (k + ra) + 1.0 / (k + rb)
+        df["__ra"], df["__rb"], df["__rrf"] = ra, rb, rrf
+        df = (df.sort_values([key, "__rrf", tie_col],
+                             ascending=[True, False, True])
+              .groupby(key, sort=False).head(top))
+        return pa.table({
+            key: pa.array(df[key], sch[key], from_pandas=True),
+            tie_col: pa.array(df[tie_col], sch[tie_col], from_pandas=True),
+            "rank_a": pa.array(df["__ra"].to_numpy(np.int64), pa.int64()),
+            "rank_b": pa.array(df["__rb"].to_numpy(np.int64), pa.int64()),
+            "rrf": pa.array(sql_round(df["__rrf"].to_numpy(np.float64),
+                                      round_digits), pa.float64()),
+        }, schema=OUT)
+
+    return map_key_blocks(
+        ds.select_columns([key, score_a, score_b, tie_col]),
+        [key], block, num_partitions, sort_blocks=False)

@@ -253,3 +253,30 @@ def test_tfidf_cosine_pairs_brute(ray_session):
     # the two planted near-identical pairs are found
     pairs = set(zip(got.id_a, got.id_b))
     assert (0, 1) in pairs and (2, 3) in pairs
+
+
+def test_rrf_fusion_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.ranking import rrf_fusion
+
+    # group g: doc 1 wins list A, doc 2 wins list B, doc 3 strong in
+    # both → RRF puts the consistently-good doc 3 first
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["g"] * 4, pa.string()),
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "sa": pa.array([100, 10, 90, 1], pa.int64()),   # A: 1,3,2,4
+        "sb": pa.array([10, 100, 90, 1], pa.int64()),   # B: 2,3,1,4
+    }))
+    out = rrf_fusion(ds, "g", "sa", "sb", "id", k=60, top=4).to_pandas()
+    out = out.sort_values(["rrf", "id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    # 1/(k+r) is convex, so the symmetric (1,3)/(3,1) pair beats (2,2):
+    # docs 1 and 2 tie exactly at 1/61 + 1/63 (id breaks the tie),
+    # doc 3 third with 2/62, doc 4 last
+    assert list(out["id"]) == [1, 2, 3, 4]
+    assert out.loc[0, "rrf"] == out.loc[1, "rrf"] == round(
+        1 / 61 + 1 / 63, 6)
+    assert out.loc[2, "rrf"] == round(2 / 62, 6)
+    assert out.loc[2, "rank_a"] == 2 and out.loc[2, "rank_b"] == 2
