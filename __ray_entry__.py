@@ -695,6 +695,27 @@ def q_rrf_fusion(sf_dir: str):
     return rrf_fusion(docs, "lang", "n_chars", "sb", "doc_id")
 
 
+def q_user_first_events(sf_dir: str):
+    """Ordered string aggregation per user: the first five event ids by
+    (ts, id) joined with ',' — SQL string_agg semantics through one
+    keyed exchange (relational.grouped_string_agg); row_number<=k +
+    string_agg twin."""
+    from epstein_pipeline_ray.stages.relational import grouped_string_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return grouped_string_agg(ev, "user_id", "event_id", "ts", k=5)
+
+
+def q_bool_search(sf_dir: str):
+    """Boolean retrieval: docs containing 'spark' AND 'window' but NOT
+    'stream' — vectorized substring containment, no exchange
+    (textops.bool_search); LIKE-combination twin."""
+    from epstein_pipeline_ray.stages.textops import bool_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bool_search(docs, ["spark", "window"], ["stream"])
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3974,6 +3995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncation_audit": q_truncation_audit,
         "embed_health": q_embed_health,
         "rrf_fusion": q_rrf_fusion,
+        "user_first_events": q_user_first_events,
+        "bool_search": q_bool_search,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4614,6 +4637,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "user_first_events": """
+            WITH r AS (
+                SELECT user_id, event_id::VARCHAR AS v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id::VARCHAR)
+                           AS rn
+                FROM events
+            )
+            SELECT user_id, count(*)::BIGINT AS n,
+                   string_agg(CASE WHEN rn <= 5 THEN v END, ','
+                              ORDER BY rn) AS agg
+            FROM r GROUP BY user_id
+        """,
+        "bool_search": """
+            SELECT doc_id FROM documents
+            WHERE text LIKE '%spark%' AND text LIKE '%window%'
+              AND text NOT LIKE '%stream%'
         """,
         "rrf_fusion": """
             WITH s AS (

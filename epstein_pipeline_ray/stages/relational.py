@@ -3694,3 +3694,43 @@ def event_throttle(
 
     return map_key_blocks(ds, keys, block, num_partitions,
                           sort_blocks=False)
+
+
+def grouped_string_agg(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    order_col: str,
+    k: int = 5,
+    sep: str = ",",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Ordered string aggregation per group: the first ``k`` values
+    under (order_col ASC, value ASC) joined with ``sep`` — SQL
+    string_agg(... ORDER BY ...) over a row_number()<=k subset. One
+    keyed exchange; the concat is a vectorized pandas head(k) + join
+    per key-sorted block. Output: (key, n, agg)."""
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    ktype = dict(zip(ds.schema().names, ds.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("n", pa.int64()),
+                     ("agg", pa.string())])
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return OUT.empty_table()
+        df = block_.to_pandas()
+        df["__v"] = df[value_col].astype(str)
+        df = df.sort_values([key, order_col, "__v"])
+        sizes = df.groupby(key, sort=True)["__v"].size()
+        heads = (df.groupby(key, sort=True).head(k)
+                 .groupby(key, sort=True)["__v"]
+                 .agg(lambda s: sep.join(s)))
+        return pa.table({
+            key: pa.array(sizes.index.to_numpy(), ktype, from_pandas=True),
+            "n": pa.array(sizes.to_numpy(np.int64), pa.int64()),
+            "agg": pa.array(heads.to_numpy(), pa.string()),
+        }, schema=OUT)
+
+    return map_key_blocks(ds.select_columns([key, value_col, order_col]),
+                          [key], block, num_partitions, sort_blocks=False)

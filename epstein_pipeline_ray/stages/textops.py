@@ -1083,3 +1083,25 @@ def truncation_audit(docs: Dataset, group_col: str = "source",
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def bool_search(docs: Dataset, must: list[str], must_not: list[str],
+                id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Boolean retrieval (AND of ``must`` terms, NOT of ``must_not``)
+    by raw substring containment — the filter form of the inverted
+    index (phrase_positions is the ranked form). One vectorized
+    match_substring pass per term, no exchange."""
+    import pyarrow.compute as pc
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(batch.num_rows, dtype=bool))
+        for t in must:
+            mask = pc.and_(mask, pc.fill_null(
+                pc.match_substring(batch[text_col], pattern=t), False))
+        for t in must_not:
+            mask = pc.and_(mask, pc.invert(pc.fill_null(
+                pc.match_substring(batch[text_col], pattern=t), False)))
+        return batch.filter(mask).select([id_col])
+
+    return docs.map_batches(filt, batch_format="pyarrow",
+                            zero_copy_batch=True)

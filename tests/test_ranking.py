@@ -280,3 +280,40 @@ def test_rrf_fusion_hand(ray_session):
         1 / 61 + 1 / 63, 6)
     assert out.loc[2, "rrf"] == round(2 / 62, 6)
     assert out.loc[2, "rank_a"] == 2 and out.loc[2, "rank_b"] == 2
+
+
+def test_grouped_string_agg_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_string_agg
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a"] * 4 + ["b"], pa.string()),
+        "v": pa.array([9, 10, 2, 1, 7], pa.int64()),
+        "o": pa.array([1, 1, 2, 3, 1], pa.int64()),
+    }))
+    out = {r["k"]: r for r in
+           grouped_string_agg(ds, "k", "v", "o", k=3).take_all()}
+    # order ties at o=1 break on STRING value: "10" < "9"
+    assert out["a"]["agg"] == "10,9,2" and out["a"]["n"] == 4
+    assert out["b"]["agg"] == "7" and out["b"]["n"] == 1
+
+
+def test_bool_search_hand(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.textops import bool_search
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "spark and window",           # both musts → hit
+            "spark window stream",        # has must_not → out
+            "only spark",                 # missing window → out
+            None,                         # null → out
+        ], pa.string()),
+    }))
+    assert [r["doc_id"] for r in
+            bool_search(ds, ["spark", "window"], ["stream"]).take_all()] == [1]
