@@ -716,6 +716,39 @@ def q_bool_search(sf_dir: str):
     return bool_search(docs, ["spark", "window"], ["stream"])
 
 
+def q_field_diff(sf_dir: str):
+    """Field-level snapshot diff (the CDC 'explain' report) between
+    orders and a deterministic mutation (every 7th price bumped, every
+    11th status flipped, shared verbatim with the twin): one keyed
+    exchange, per-column vectorized NULL-aware compare
+    (cdc.field_diff); join + per-column UNION ALL twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.cdc import field_diff
+
+    old = _read(sf_dir, "orders",
+                ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        st = batch["o_orderstatus"].to_pandas().to_numpy()
+        st = np.where(k % 11 == 0, "X", st)
+        tp = np.asarray(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False), np.float64)
+        tp = np.where(k % 7 == 0, tp + 1.0, tp)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderstatus": pa.array(st.tolist(), pa.string()),
+            "o_totalprice": pa.array(tp, pa.float64()),
+        })
+
+    new = old.map_batches(mutate, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return field_diff(old, new, "o_orderkey",
+                      ["o_orderstatus", "o_totalprice"])
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -3997,6 +4030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": q_rrf_fusion,
         "user_first_events": q_user_first_events,
         "bool_search": q_bool_search,
+        "field_diff": q_field_diff,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4637,6 +4671,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "field_diff": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            ), n AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM orders
+            ), j AS (
+                SELECT o.o_orderkey AS k,
+                       o.o_orderstatus AS os, n.o_orderstatus AS ns,
+                       o.o_totalprice AS op, n.o_totalprice AS np_
+                FROM o JOIN n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT k AS o_orderkey, 'o_orderstatus' AS col,
+                   os AS old_value, ns AS new_value
+            FROM j WHERE os <> ns
+            UNION ALL
+            SELECT k, 'o_totalprice', op::VARCHAR, np_::VARCHAR
+            FROM j WHERE op <> np_
         """,
         "user_first_events": """
             WITH r AS (

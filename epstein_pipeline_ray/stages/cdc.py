@@ -150,3 +150,71 @@ def scd2_intervals(
     return map_key_blocks(
         changes.select_columns([key, version_col, value_col]),
         [key], block, num_partitions, sort_blocks=False)
+
+
+def field_diff(
+    old: Dataset,
+    new: Dataset,
+    key: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Field-level snapshot diff — the CDC 'explain' report: for every
+    key present in BOTH snapshots, one row per value column whose value
+    changed (NULL-aware: NULL→value and value→NULL count as changes,
+    NULL→NULL does not). Keys on one side only are out of scope here
+    (dataset_diff reports those). One keyed exchange; per key-sorted
+    block both sides align by position and every column compares
+    vectorized. Duplicate keys per side collapse to the first row in
+    (side, key) order — the deterministic snapshot convention. Output:
+    (key, col, old_value:string, new_value:string)."""
+    ktype = dict(zip(old.schema().names, old.schema().types))[key]
+    OUT = pa.schema([(key, ktype), ("col", pa.string()),
+                     ("old_value", pa.string()),
+                     ("new_value", pa.string())])
+    cols = [key] + value_cols
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    unioned = (old.map_batches(tag(0), batch_format="pyarrow",
+                               zero_copy_batch=True)
+               .union(new.map_batches(tag(1), batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+
+    def block(block_: pa.Table) -> pa.Table:
+        if block_.num_rows == 0:
+            return OUT.empty_table()
+        df = block_.to_pandas()
+        df = df.drop_duplicates(subset=[key, "__side"], keep="first")
+        o = df[df["__side"] == 0].set_index(key)
+        n = df[df["__side"] == 1].set_index(key)
+        both = o.index.intersection(n.index)
+        o, n = o.loc[both], n.loc[both]
+        rows = {"k": [], "c": [], "ov": [], "nv": []}
+        for c in value_cols:
+            ov, nv = o[c], n[c]
+            changed = ~((ov.isna() & nv.isna())
+                        | (ov.notna() & nv.notna() & (ov == nv)))
+            idx = both[changed.to_numpy()]
+            rows["k"].extend(idx.tolist())
+            rows["c"].extend([c] * len(idx))
+            rows["ov"].extend(["" if pd.isna(v) else str(v)
+                               for v in ov[changed]])
+            rows["nv"].extend(["" if pd.isna(v) else str(v)
+                               for v in nv[changed]])
+        return pa.table({
+            key: pa.array(rows["k"], ktype),
+            "col": pa.array(rows["c"], pa.string()),
+            "old_value": pa.array(rows["ov"], pa.string()),
+            "new_value": pa.array(rows["nv"], pa.string()),
+        }, schema=OUT)
+
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    return map_key_blocks(unioned, [key], block, num_partitions,
+                          sort_blocks=False)

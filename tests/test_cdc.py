@@ -47,3 +47,29 @@ def test_change_beats_snapshot_at_equal_version(ray_session):
     got = (apply_changelog(_snap(), changes, "k", ["v"]).to_pandas()
            .set_index("k"))
     assert got.loc[1, "v"] == 99.0
+
+
+def test_field_diff_hand(ray_session):
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.cdc import field_diff
+
+    old = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "a": pa.array(["x", "y", None, "z"], pa.string()),
+        "b": pa.array([1.0, 2.0, 3.0, None], pa.float64()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 5], pa.int64()),
+        "a": pa.array(["x", "Y", "w", "q"], pa.string()),
+        "b": pa.array([1.0, 2.0, None, 9.0], pa.float64()),
+    }))
+    out = field_diff(old, new, "k", ["a", "b"]).to_pandas()
+    rows = {(r.k, r.col): (r.old_value, r.new_value)
+            for r in out.itertuples()}
+    # k=1 unchanged; k=4/5 one-sided (out of scope); k=2 a changed;
+    # k=3 NULL→value and value→NULL both report
+    assert set(rows) == {(2, "a"), (3, "a"), (3, "b")}
+    assert rows[(2, "a")] == ("y", "Y")
+    assert rows[(3, "a")] == ("", "w")
+    assert rows[(3, "b")] == ("3.0", "")
