@@ -749,6 +749,26 @@ def q_field_diff(sf_dir: str):
                       ["o_orderstatus", "o_totalprice"])
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent events (each open one hour, half-open
+    intervals) + first microsecond achieving it — the distributed
+    prefix scan: range-sorted boundaries, parallel per-block sums,
+    driver folds only block-count scalars into offsets, parallel
+    offset re-scan (relational.peak_concurrency); window-cumsum twin."""
+    from epstein_pipeline_ray.stages.relational import peak_concurrency
+
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def to_iv(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False), np.int64)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "e": pa.array(s + 3_600_000_000, pa.int64())})
+
+    iv = ev.map_batches(to_iv, batch_format="pyarrow", zero_copy_batch=True)
+    return peak_concurrency(iv, "s", "e")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4031,6 +4051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_events": q_user_first_events,
         "bool_search": q_bool_search,
         "field_diff": q_field_diff,
+        "peak_concurrency": q_peak_concurrency,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4671,6 +4692,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "peak_concurrency": """
+            WITH iv AS (
+                SELECT epoch_us(ts) AS s,
+                       epoch_us(ts) + 3600000000::BIGINT AS e
+                FROM events
+            ), b AS (
+                SELECT s AS t, 1 AS d FROM iv
+                UNION ALL SELECT e, -1 FROM iv
+            ), c AS (
+                SELECT t, sum(d) OVER (ORDER BY t, d
+                                       ROWS UNBOUNDED PRECEDING) AS run
+                FROM b
+            )
+            SELECT (SELECT max(run) FROM c)::BIGINT AS peak,
+                   (SELECT min(t) FROM c
+                    WHERE run = (SELECT max(run) FROM c))::BIGINT AS at_us
         """,
         "field_diff": """
             WITH o AS (

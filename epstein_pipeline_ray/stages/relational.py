@@ -3734,3 +3734,70 @@ def grouped_string_agg(
 
     return map_key_blocks(ds.select_columns([key, value_col, order_col]),
                           [key], block, num_partitions, sort_blocks=False)
+
+
+def peak_concurrency(
+    intervals: Dataset,
+    start_us_col: str,
+    end_us_col: str,
+) -> pa.Table:
+    """Maximum number of simultaneously-open intervals (peak
+    concurrency) and the first microsecond timestamp achieving it —
+    the capacity-planning sweep. Half-open [s, e) semantics: an end at
+    t closes before a start at t opens (delta −1 sorts before +1).
+
+    Physical plan — a DISTRIBUTED PREFIX SCAN, the one pattern the
+    Dataset API can't express as a single pass: boundaries (+1/−1)
+    range-sort on (t, delta); the sorted run is pinned once
+    (materialize) so both passes see identical blocks; pass 1 computes
+    per-block delta sums in parallel tasks; the driver folds the
+    block-count-sized sum list into prefix offsets; pass 2 re-scans
+    each block in parallel with its offset and reports the block-local
+    (max, first-t). Only per-block scalars ever reach the driver.
+    Output: one row (peak, at_us)."""
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[start_us_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        e = np.asarray(batch[end_us_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return pa.table({
+            "t": pa.array(np.concatenate([s, e]), pa.int64()),
+            "d": pa.array(np.concatenate([
+                np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]),
+                pa.int64()),
+        })
+
+    b = intervals.select_columns([start_us_col, end_us_col]).map_batches(
+        boundaries, batch_format="pyarrow", zero_copy_batch=True)
+    sorted_b = b.sort(["t", "d"]).materialize()
+    refs = sorted_b.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(tbl: pa.Table) -> int:
+        return int(np.asarray(tbl["d"].to_numpy(zero_copy_only=False),
+                              np.int64).sum()) if tbl.num_rows else 0
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def block_peak(tbl: pa.Table, offset: int):
+        if tbl.num_rows == 0:
+            return None
+        d = np.asarray(tbl["d"].to_numpy(zero_copy_only=False), np.int64)
+        t = np.asarray(tbl["t"].to_numpy(zero_copy_only=False), np.int64)
+        run = offset + np.cumsum(d)
+        i = int(np.argmax(run))  # first occurrence of the block max
+        return int(run[i]), int(t[i])
+
+    results = [r for r in ray.get(
+        [block_peak.remote(ref, int(off))
+         for ref, off in zip(refs, offsets)]) if r is not None]
+    if not results:
+        return pa.table({"peak": pa.array([0], pa.int64()),
+                         "at_us": pa.array([None], pa.int64())})
+    peak = max(r[0] for r in results)
+    at_us = min(t for p, t in results if p == peak)
+    return pa.table({"peak": pa.array([peak], pa.int64()),
+                     "at_us": pa.array([at_us], pa.int64())})

@@ -176,3 +176,34 @@ def test_event_throttle_hand(ray_session):
                                  min_gap_s=60).take_all())
     # lag semantics: row 3 is 60s after row 2 (dropped or not) → kept
     assert kept == [1, 3, 4]
+
+
+def test_peak_concurrency_hand(ray_session):
+    from epstein_pipeline_ray.stages.relational import peak_concurrency
+
+    # [0,10) [5,15) [9,12) → peak 3 at t=9; [14,20) alone after
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([0, 5, 9, 14], pa.int64()),
+        "e": pa.array([10, 15, 12, 20], pa.int64()),
+    }))
+    t = peak_concurrency(ds, "s", "e").to_pandas()
+    assert int(t["peak"][0]) == 3 and int(t["at_us"][0]) == 9
+
+
+def test_peak_concurrency_halfopen_and_multiblock(ray_session):
+    from epstein_pipeline_ray.stages.relational import peak_concurrency
+
+    # back-to-back [0,5) [5,10): end closes BEFORE start opens → peak 1
+    ds = rd.from_arrow(pa.table({
+        "s": pa.array([0, 5], pa.int64()),
+        "e": pa.array([5, 10], pa.int64()),
+    }))
+    t = peak_concurrency(ds, "s", "e").to_pandas()
+    assert int(t["peak"][0]) == 1 and int(t["at_us"][0]) == 0
+    # many blocks: all 500 overlap at t=499
+    big = rd.from_arrow(pa.table({
+        "s": pa.array(np.arange(500), pa.int64()),
+        "e": pa.array(np.arange(500) + 1000, pa.int64()),
+    })).repartition(11)
+    t = peak_concurrency(big, "s", "e").to_pandas()
+    assert int(t["peak"][0]) == 500 and int(t["at_us"][0]) == 499
