@@ -769,6 +769,17 @@ def q_peak_concurrency(sf_dir: str):
     return peak_concurrency(iv, "s", "e")
 
 
+def q_prefix_compression(sf_dir: str):
+    """Sorted-adjacent LCP totals (prefix-encoded string-page savings
+    estimate, 64-cp cap): range sort + per-block internal sums + driver
+    stitching of block-count boundary pairs
+    (relational.prefix_compression); lag + generate_series probe
+    twin."""
+    from epstein_pipeline_ray.stages.relational import prefix_compression
+
+    return prefix_compression(_read(sf_dir, "documents", ["text"]), "text")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4052,6 +4063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": q_bool_search,
         "field_diff": q_field_diff,
         "peak_concurrency": q_peak_concurrency,
+        "prefix_compression": q_prefix_compression,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4692,6 +4704,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "prefix_compression": """
+            WITH s AS (
+                SELECT text, lag(text) OVER (ORDER BY text) AS prev
+                FROM documents
+            ), p AS (
+                SELECT prev, text FROM s WHERE prev IS NOT NULL
+            ), l AS (
+                SELECT (SELECT coalesce(max(i), 0)
+                        FROM unnest(generate_series(1, 64)) AS u(i)
+                        WHERE length(p.prev) >= i AND length(p.text) >= i
+                          AND substr(p.prev, 1, i) = substr(p.text, 1, i))
+                           AS lcp
+                FROM p
+            )
+            SELECT count(*)::BIGINT AS n_pairs,
+                   sum(lcp)::BIGINT AS total_lcp,
+                   round(sum(lcp) / count(*)::DOUBLE, 6) AS avg_lcp
+            FROM l
         """,
         "peak_concurrency": """
             WITH iv AS (

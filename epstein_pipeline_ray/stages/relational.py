@@ -3801,3 +3801,58 @@ def peak_concurrency(
     at_us = min(t for p, t in results if p == peak)
     return pa.table({"peak": pa.array([peak], pa.int64()),
                      "at_us": pa.array([at_us], pa.int64())})
+
+
+def prefix_compression(
+    ds: Dataset,
+    text_col: str,
+    cap: int = 64,
+) -> pa.Table:
+    """Prefix-compression estimate for a sorted string column: total
+    and mean longest-common-prefix (capped at ``cap`` code points)
+    between ADJACENT rows under binary sort order — what a
+    prefix-encoded string page would save. Second cross-block pattern
+    after peak_concurrency: range-sort, pin once, per-block tasks
+    compute internal adjacent LCP sums and hand back only (count, sum,
+    first-cap, last-cap) scalars; the driver stitches the block-count
+    boundary pairs. Output: one row (n_pairs, total_lcp, avg_lcp)."""
+
+    def _lcp(a: str, b: str) -> int:
+        a, b = a[:cap], b[:cap]
+        n = min(len(a), len(b))
+        i = 0
+        while i < n and a[i] == b[i]:
+            i += 1
+        return i
+
+    sorted_ds = (ds.select_columns([text_col])
+                 .sort(text_col).materialize())
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        vals = tbl[text_col].to_pylist()
+        total = 0
+        for a, b in zip(vals, vals[1:]):
+            total += _lcp(a or "", b or "")
+        return len(vals) - 1, total, (vals[0] or "")[:cap], \
+            (vals[-1] or "")[:cap]
+
+    stats = [s for s in ray.get([block_stats.remote(r) for r in refs])
+             if s is not None]
+    n_pairs = sum(s[0] for s in stats)
+    total = sum(s[1] for s in stats)
+    for prev, nxt in zip(stats, stats[1:]):
+        n_pairs += 1
+        total += _lcp(prev[3], nxt[2])
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    avg = (sql_round(np.array([total / n_pairs]), 6)[0]
+           if n_pairs else None)
+    return pa.table({
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "total_lcp": pa.array([total], pa.int64()),
+        "avg_lcp": pa.array([avg], pa.float64()),
+    })

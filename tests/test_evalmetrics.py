@@ -207,3 +207,31 @@ def test_peak_concurrency_halfopen_and_multiblock(ray_session):
     })).repartition(11)
     t = peak_concurrency(big, "s", "e").to_pandas()
     assert int(t["peak"][0]) == 500 and int(t["at_us"][0]) == 499
+
+
+def test_prefix_compression_hand(ray_session):
+    from epstein_pipeline_ray.stages.relational import prefix_compression
+
+    # sorted: "apple","applesauce","banana","bandana"
+    # lcps: 5 ("apple"), 0, 3 ("ban") → total 8 over 3 pairs
+    ds = rd.from_arrow(pa.table({
+        "t": pa.array(["banana", "apple", "bandana", "applesauce"],
+                      pa.string()),
+    }))
+    t = prefix_compression(ds, "t").to_pandas()
+    assert int(t["n_pairs"][0]) == 3
+    assert int(t["total_lcp"][0]) == 8
+    assert t["avg_lcp"][0] == round(8 / 3, 6)
+
+
+def test_prefix_compression_multiblock_invariance(ray_session):
+    from epstein_pipeline_ray.stages.relational import prefix_compression
+
+    texts = [f"prefix_{i % 7}_{i}" for i in range(300)]
+    one = prefix_compression(rd.from_arrow(
+        pa.table({"t": pa.array(texts, pa.string())})), "t").to_pandas()
+    many = prefix_compression(rd.from_arrow(
+        pa.table({"t": pa.array(texts, pa.string())})).repartition(13),
+        "t").to_pandas()
+    assert one.equals(many)
+    assert int(one["n_pairs"][0]) == 299
