@@ -780,6 +780,18 @@ def q_prefix_compression(sf_dir: str):
     return prefix_compression(_read(sf_dir, "documents", ["text"]), "text")
 
 
+def q_median_select(sf_dir: str):
+    """Exact global median of l_extendedprice via distributed
+    k-selection (histogram-narrowing rounds, no sort, values gathered
+    only once the candidate range is bounded)
+    (relational.exact_median_select); median() twin."""
+    from epstein_pipeline_ray.stages.relational import exact_median_select
+
+    return exact_median_select(_read(sf_dir, "lineitem",
+                                     ["l_extendedprice"]),
+                               "l_extendedprice")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4064,6 +4076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "field_diff": q_field_diff,
         "peak_concurrency": q_peak_concurrency,
         "prefix_compression": q_prefix_compression,
+        "median_select": q_median_select,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4704,6 +4717,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "median_select": """
+            SELECT count(*)::BIGINT AS n,
+                   round(median(l_extendedprice), 6) AS median
+            FROM lineitem
         """,
         "prefix_compression": """
             WITH s AS (

@@ -3856,3 +3856,99 @@ def prefix_compression(
         "total_lcp": pa.array([total], pa.int64()),
         "avg_lcp": pa.array([avg], pa.float64()),
     })
+
+
+def exact_median_select(
+    ds: Dataset,
+    col: str,
+    buckets: int = 512,
+    gather_limit: int = 65_536,
+    round_digits: int = 6,
+) -> pa.Table:
+    """EXACT global median via distributed k-selection — the 100-TB
+    path for a single order statistic: no sort, no value ever reaches
+    the driver until the candidate range holds <= ``gather_limit``
+    values. Each round is one histogram scan (bucket-count partials
+    summed through Ray's aggregate); the driver narrows [lo, hi] to
+    the bucket span containing both middle ranks and tracks the
+    below-range count. The final bounded candidate set is gathered,
+    sorted locally and indexed by exact rank, so float bucket-edge
+    ties can't corrupt the result — buckets only ever NARROW.
+    Median convention = quantile_cont(0.5): mean of the two middle
+    order stats for even n. Output: one row (n, median)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+
+    # stays LAZY on purpose: each round re-executes the single-column
+    # pruned read rather than pinning an 8-bytes-a-row column of the
+    # whole corpus in the object store — selection trades a few extra
+    # column scans for zero resident state
+    pruned = ds.select_columns([col])
+    stats = pruned.aggregate(Count(col, alias_name="n"),
+                             Min(col, alias_name="mn"),
+                             Max(col, alias_name="mx"))
+    n, lo, hi = int(stats["n"]), float(stats["mn"]), float(stats["mx"])
+    if n == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "median": pa.array([None], pa.float64())})
+    k1, k2 = (n - 1) // 2, n // 2
+    below = 0
+
+    def hist_round(lo_, hi_):
+        edges = np.linspace(lo_, hi_, buckets + 1)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch[col].to_numpy(zero_copy_only=False),
+                           np.float64)
+            v = v[(v >= lo_) & (v <= hi_)]
+            idx = np.minimum(np.searchsorted(edges, v, side="right") - 1,
+                             buckets - 1)
+            cnt = np.bincount(idx, minlength=buckets)
+            return pa.table({
+                "b": pa.array(np.arange(buckets, dtype=np.int64),
+                              pa.int64()),
+                "__c": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum as AggSum
+
+        agg = pruned.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("b").aggregate(AggSum("__c", alias_name="c")).to_pandas()
+        counts = np.zeros(buckets, np.int64)
+        counts[agg["b"].to_numpy()] = agg["c"].to_numpy()
+        return edges, counts
+
+    in_range = n
+    for _ in range(64):
+        if in_range <= gather_limit or lo == hi:
+            break
+        edges, counts = hist_round(lo, hi)
+        cum = np.cumsum(counts)
+        b1 = int(np.searchsorted(cum, k1 - below + 1))
+        b2 = int(np.searchsorted(cum, k2 - below + 1))
+        below += int(cum[b1 - 1]) if b1 > 0 else 0
+        new_lo, new_hi = float(edges[b1]), float(edges[b2 + 1])
+        new_in_range = int(cum[b2] - (cum[b1 - 1] if b1 > 0 else 0))
+        if new_in_range == in_range and new_lo == lo and new_hi == hi:
+            break  # mass concentrated on one float value span
+        lo, hi, in_range = new_lo, new_hi, new_in_range
+
+    def gather(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        keep = (v >= lo) & (v <= hi)
+        return pa.table({col: pa.array(v[keep], pa.float64())})
+
+    cand = np.sort(np.concatenate([
+        np.asarray(t[col].to_numpy(zero_copy_only=False), np.float64)
+        for t in ray.get(pruned.map_batches(
+            gather, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()) if t.num_rows] or [np.zeros(0)]))
+    # exact-rank bookkeeping: candidates hold ranks [below, below+len)
+    m1 = float(cand[k1 - below])
+    m2 = float(cand[k2 - below])
+    med = sql_round(np.array([(m1 + m2) / 2.0]), round_digits)[0]
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "median": pa.array([med], pa.float64())})

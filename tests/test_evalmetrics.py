@@ -235,3 +235,26 @@ def test_prefix_compression_multiblock_invariance(ray_session):
         "t").to_pandas()
     assert one.equals(many)
     assert int(one["n_pairs"][0]) == 299
+
+
+def test_median_select_forced_narrowing(ray_session):
+    from epstein_pipeline_ray.stages.relational import exact_median_select
+
+    # gather_limit far below n forces several histogram-narrowing
+    # rounds; odd n → exact middle
+    vals = np.random.default_rng(5).permutation(1001).astype(np.float64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(7)
+    t = exact_median_select(ds, "v", buckets=4, gather_limit=10).to_pandas()
+    assert int(t["n"][0]) == 1001 and t["median"][0] == 500.0
+    # even n → mean of the two middles
+    ds2 = rd.from_arrow(pa.table({
+        "v": pa.array([1.0, 2.0, 10.0, 20.0], pa.float64())}))
+    t2 = exact_median_select(ds2, "v", buckets=4,
+                             gather_limit=2).to_pandas()
+    assert t2["median"][0] == 6.0
+    # all-equal mass: the convergence guard must terminate
+    ds3 = rd.from_arrow(pa.table({
+        "v": pa.array(np.full(100, 7.5), pa.float64())}))
+    t3 = exact_median_select(ds3, "v", buckets=4,
+                             gather_limit=10).to_pandas()
+    assert t3["median"][0] == 7.5
