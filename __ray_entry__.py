@@ -792,6 +792,50 @@ def q_median_select(sf_dir: str):
                                "l_extendedprice")
 
 
+def q_dow_profile(sf_dir: str):
+    """Weekly seasonality grid: event count + mean value per
+    (day-of-week, hour) — vectorized epoch arithmetic ((days+4)%7,
+    Sunday=0, the DuckDB dayofweek convention) + one partial-agg
+    exchange. Mean rides the pinned half-up integer cent scaling so
+    the exact int sums make the single division bit-equal (float sums
+    land on round-4 boundaries here)."""
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.relational import grouped_stats
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        us = np.asarray(batch["ts"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False), np.int64)
+        days = us // 86_400_000_000
+        v = np.asarray(batch["value"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({
+            "dow": pa.array((days + 4) % 7, pa.int64()),
+            "hour": pa.array(us // 3_600_000_000 % 24, pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64),
+                              pa.int64()),
+        })
+
+    ev = ev.map_batches(derive, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = grouped_stats(ev, ["dow", "hour"], sum_cols=["cents"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["sum_cents"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        n = np.asarray(batch["n"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({
+            "dow": batch["dow"], "hour": batch["hour"], "n": batch["n"],
+            "avg_value": pa.array(sql_round(s / n / 100.0, 4),
+                                  pa.float64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4077,6 +4121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "prefix_compression": q_prefix_compression,
         "median_select": q_median_select,
+        "dow_profile": q_dow_profile,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4717,6 +4762,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "dow_profile": """
+            SELECT dayofweek(ts)::BIGINT AS dow,
+                   hour(ts)::BIGINT AS hour,
+                   count(*) AS n,
+                   round(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                         / count(*)::DOUBLE / 100.0, 4) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         "median_select": """
             SELECT count(*)::BIGINT AS n,
