@@ -836,6 +836,17 @@ def q_dow_profile(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov D between click and purchase
+    value distributions (the drift gate): value-keyed count exchange →
+    distinct-value ECDF pass, tie-correct per-distinct-point jumps
+    (evalmetrics.ks_two_sample); window-cumsum twin."""
+    from epstein_pipeline_ray.stages.evalmetrics import ks_two_sample
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return ks_two_sample(ev, "event_type", "value", "click", "purchase")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4122,6 +4133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_compression": q_prefix_compression,
         "median_select": q_median_select,
         "dow_profile": q_dow_profile,
+        "ks_test": q_ks_test,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4762,6 +4774,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "ks_test": """
+            WITH f AS (
+                SELECT value,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS a,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS b
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), s AS (
+                SELECT value, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb
+                FROM f GROUP BY value
+            ), c AS (
+                SELECT sum(ca) OVER (ORDER BY value) AS sa,
+                       sum(cb) OVER (ORDER BY value) AS sb
+                FROM s
+            ), t AS (
+                SELECT (SELECT sum(ca) FROM s)::BIGINT AS n_a,
+                       (SELECT sum(cb) FROM s)::BIGINT AS n_b
+            )
+            SELECT n_a, n_b,
+                   round(max(abs(sa / n_a::DOUBLE - sb / n_b::DOUBLE)), 6)
+                       AS ks_d
+            FROM c, t GROUP BY n_a, n_b
         """,
         "dow_profile": """
             SELECT dayofweek(ts)::BIGINT AS dow,

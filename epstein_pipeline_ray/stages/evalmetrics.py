@@ -315,3 +315,67 @@ def per_class_prf(
         "f1": pa.array(rd_(np.array(rows["f1"]), round_digits),
                        pa.float64(), from_pandas=True),
     })
+
+
+def ks_two_sample(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov statistic D = max |F_a − F_b|
+    between the value distributions of two groups — the
+    distribution-shift test behind data-drift gates. Plan: one
+    value-keyed count exchange collapses the corpus to the DISTINCT
+    value table (bounded by the value domain — the documented
+    assumption; 2-decimal metrics have ≤ ~10^6 distinct points), then
+    one pass over the sorted distinct table computes both ECDFs and
+    the max gap. Tie-correct: the ECDF evaluates after all rows of an
+    equal value (the jump lands once per distinct point). Integer
+    cumulative counts → per-point divisions are bit-equal to the
+    twin. Output: one row (n_a, n_b, ks_d)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = batch[group_col]
+        mask = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = batch.filter(pc.fill_null(mask, False))
+        v = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+                       np.float64)
+        is_a = np.asarray(
+            pc.equal(t[group_col], group_a).to_numpy(zero_copy_only=False),
+            bool)
+        import pandas as pd
+
+        df = pd.DataFrame({"v": v,
+                           "__a": is_a.astype(np.int64),
+                           "__b": (~is_a).astype(np.int64)})
+        gb = df.groupby("v", sort=False).agg(
+            __a=("__a", "sum"), __b=("__b", "sum")).reset_index()
+        return pa.table({
+            "v": pa.array(gb["v"].to_numpy(np.float64), pa.float64()),
+            "__a": pa.array(gb["__a"].to_numpy(np.int64), pa.int64()),
+            "__b": pa.array(gb["__b"].to_numpy(np.int64), pa.int64()),
+        })
+
+    distinct = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(
+        Sum("__a", alias_name="ca"), Sum("__b", alias_name="cb"))
+    tbl = distinct.to_pandas().sort_values("v")
+    ca = tbl["ca"].to_numpy(np.int64)
+    cb = tbl["cb"].to_numpy(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        d = None
+    else:
+        gap = np.abs(np.cumsum(ca) / na - np.cumsum(cb) / nb)
+        d = float(sql_round(np.array([gap.max()]), round_digits)[0])
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "ks_d": pa.array([d], pa.float64()),
+    })

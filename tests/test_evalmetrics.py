@@ -258,3 +258,24 @@ def test_median_select_forced_narrowing(ray_session):
     t3 = exact_median_select(ds3, "v", buckets=4,
                              gather_limit=10).to_pandas()
     assert t3["median"][0] == 7.5
+
+
+def test_ks_two_sample_hand(ray_session):
+    from epstein_pipeline_ray.stages.evalmetrics import ks_two_sample
+
+    # a = {1,2,3,4}, b = {3,4,5,6} → max gap at v=2: 2/4 - 0 = 0.5
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 4 + ["other"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0, 99.0],
+                      pa.float64()),
+    }))
+    t = ks_two_sample(ds, "g", "v", "a", "b").to_pandas()
+    assert int(t["n_a"][0]) == 4 and int(t["n_b"][0]) == 4
+    assert t["ks_d"][0] == 0.5
+    # identical distributions → D = 0
+    ds2 = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "b", "a", "b"], pa.string()),
+        "v": pa.array([1.0, 1.0, 2.0, 2.0], pa.float64()),
+    }))
+    assert ks_two_sample(ds2, "g", "v", "a", "b").to_pandas()[
+        "ks_d"][0] == 0.0
