@@ -847,6 +847,34 @@ def q_ks_test(sf_dir: str):
     return ks_two_sample(ev, "event_type", "value", "click", "purchase")
 
 
+def q_dup_rate_estimate(sf_dir: str):
+    """Duplication-rate estimate from a deterministic pair sample
+    (every 17th doc × pinned-hash partner, wordset-Jaccard convention)
+    — the is-a-dedup-pass-worth-it planner
+    (corpus_dedup.dup_rate_estimate); list_intersect twin."""
+    from epstein_pipeline_ray.stages.corpus_dedup import dup_rate_estimate
+
+    return dup_rate_estimate(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source roundtrip (quoted text column included):
+    ds.write_csv shards → ray.data.read_csv back — output equals the
+    documents table exactly."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    out = f"/tmp/epr_csv_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    docs.write_csv(out)
+    return rd.read_csv(out)
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4134,6 +4162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_select": q_median_select,
         "dow_profile": q_dow_profile,
         "ks_test": q_ks_test,
+        "dup_rate_estimate": q_dup_rate_estimate,
+        "csv_roundtrip": q_csv_roundtrip,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4774,6 +4804,42 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_o_totalprice
             FROM orders WHERE o_totalprice > 400000.0
             GROUP BY o_orderstatus
+        """,
+        "dup_rate_estimate": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            s AS (
+                SELECT doc_id, (doc_id * 2654435761) % nn.n AS partner,
+                       text
+                FROM documents, nn
+                WHERE doc_id % 17 = 0
+                  AND (doc_id * 2654435761) % nn.n <> doc_id
+            ), j AS (
+                SELECT s.text AS ta, d.text AS tb
+                FROM s JOIN documents d ON d.doc_id = s.partner
+            ), tok AS (
+                SELECT CASE WHEN length(trim(ta)) = 0 THEN []::VARCHAR[]
+                            ELSE list_distinct(regexp_split_to_array(
+                                trim(lower(ta)), '\\s+')) END AS a,
+                       CASE WHEN length(trim(tb)) = 0 THEN []::VARCHAR[]
+                            ELSE list_distinct(regexp_split_to_array(
+                                trim(lower(tb)), '\\s+')) END AS b
+                FROM j
+            ), sc AS (
+                SELECT CASE WHEN len(list_distinct(list_concat(a, b))) = 0
+                            THEN 0.0
+                            ELSE len(list_intersect(a, b))::DOUBLE
+                                 / len(list_distinct(list_concat(a, b)))
+                       END AS jac
+                FROM tok
+            )
+            SELECT count(*)::BIGINT AS n_pairs,
+                   round(sum(jac) / count(*), 6) AS mean_jaccard,
+                   round(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END)
+                         / count(*)::DOUBLE, 6) AS dup_share
+            FROM sc
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
         "ks_test": """
             WITH f AS (

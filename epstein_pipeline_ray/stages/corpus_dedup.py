@@ -665,3 +665,76 @@ def ngram_novelty(
 
     return map_key_blocks(flags, [id_col], agg_block, num_partitions,
                           sort_blocks=False)
+
+
+def dup_rate_estimate(
+    docs,
+    n_mod: int = 17,
+    mult: int = 2654435761,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus duplication-rate ESTIMATE from a deterministic pair
+    sample — the answer to "is a full dedup pass worth scheduling"
+    without paying for one. Every ``n_mod``-th doc pairs with a
+    pinned-hash partner ((id*mult) mod n, self-pairs dropped); the
+    partner text attaches through the size-switched join and each
+    sampled pair scores the wordset-Jaccard convention
+    (dedup_extra.wordset semantics: lowered whitespace word sets,
+    blank docs score 0). Output: one row
+    (n_pairs, mean_jaccard, dup_share) with dup_share = fraction of
+    sampled pairs at or above ``threshold``."""
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.functions.rounding import sql_round
+    from epstein_pipeline_ray.stages.joins import attach_column
+
+    n = docs.count()
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        keep = ids % n_mod == 0
+        ids = ids[keep]
+        partner = (ids * mult) % n
+        ok = partner != ids
+        t = batch.filter(pa.array(keep))
+        return pa.table({
+            id_col: pa.array(ids[ok], pa.int64()),
+            "partner": pa.array(partner[ok], pa.int64()),
+            text_col: t.filter(pa.array(ok))[text_col],
+        })
+
+    pairs = docs.select_columns([id_col, text_col]).map_batches(
+        sample, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = attach_column(pairs, docs.select_columns([id_col, text_col]),
+                          "partner", id_col, text_col, "partner_text")
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = []
+        for a, b in zip(batch[text_col].to_pylist(),
+                        batch["partner_text"].to_pylist()):
+            sa = set((a or "").lower().split())
+            sb = set((b or "").lower().split())
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 0.0)
+        j = np.asarray(out, np.float64)
+        return pa.table({
+            "__n": pa.array([len(j)], pa.int64()),
+            "__s": pa.array([float(j.sum())], pa.float64()),
+            "__d": pa.array([int((j >= threshold).sum())], pa.int64()),
+        })
+
+    rows = pairs.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    np_ = sum(r["__n"] for r in rows)
+    s = sum(r["__s"] for r in rows)
+    d = sum(r["__d"] for r in rows)
+    mean_j = (float(sql_round(np.array([s / np_]), 6)[0]) if np_ else None)
+    share = (float(sql_round(np.array([d / np_]), 6)[0]) if np_ else None)
+    return pa.table({
+        "n_pairs": pa.array([np_], pa.int64()),
+        "mean_jaccard": pa.array([mean_j], pa.float64()),
+        "dup_share": pa.array([share], pa.float64()),
+    })
