@@ -875,6 +875,25 @@ def q_csv_roundtrip(sf_dir: str):
     return rd.read_csv(out)
 
 
+def q_hive_partition_read(sf_dir: str):
+    """Hive-partitioned parquet layout + partition-pruned read-back:
+    documents written once partitioned by lang (the resumable-output
+    layout — a failed run skips finished partitions), then ONLY the
+    lang=en directory is read — bytes of other partitions never leave
+    storage. Filtered-table twin."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    out = f"/tmp/epr_hive_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    docs.write_parquet(out, partition_cols=["lang"])
+    return rd.read_parquet(f"{out}/lang=en")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4164,6 +4183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test": q_ks_test,
         "dup_rate_estimate": q_dup_rate_estimate,
         "csv_roundtrip": q_csv_roundtrip,
+        "hive_partition_read": q_hive_partition_read,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4840,6 +4860,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
+        """,
+        "hive_partition_read": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents WHERE lang = 'en'
         """,
         "ks_test": """
             WITH f AS (
