@@ -142,3 +142,63 @@ def test_session4_ops_backend_equivalence(ray_session, monkeypatch,
     for b, g in zip(base, got):
         pd.testing.assert_frame_equal(b, g)
     assert len(base[0]) > 0 and len(base[3]) > 0
+
+
+@pytest.mark.parametrize("backend", ["hash", "sort"])
+def test_session6_keyed_ops_backend_equivalence(ray_session, monkeypatch,
+                                                backend):
+    """grouped_auc / scd2_intervals / event_throttle / grouped_string_agg
+    / rrf_fusion block fns sort internally — identical output on every
+    exchange backend."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.cdc import scd2_intervals
+    from epstein_pipeline_ray.stages.evalmetrics import grouped_auc
+    from epstein_pipeline_ray.stages.ranking import rrf_fusion
+    from epstein_pipeline_ray.stages.relational import (
+        event_throttle,
+        grouped_string_agg,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t0 = dt.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "k": pa.array((rng.integers(0, 9, n)).astype("U"), pa.string()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "score": pa.array(rng.integers(0, 40, n).astype(np.float64)),
+        "sb": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "y": pa.array(rng.integers(0, 2, n), pa.int64()),
+        "ver": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "ts": pa.array([t0 + dt.timedelta(seconds=int(s))
+                        for s in rng.integers(0, 5000, n)],
+                       pa.timestamp("us")),
+    })
+
+    def run(be):
+        monkeypatch.setenv("EPR_SHUFFLE", be)
+        ds = rd.from_arrow(tbl).repartition(7)
+        outs = []
+        outs.append(grouped_auc(ds, "k", "score", "y").to_pandas()
+                    .sort_values("k").reset_index(drop=True))
+        outs.append(scd2_intervals(ds, "k", "ver", "score").to_pandas()
+                    .sort_values(["k", "valid_from"])
+                    .reset_index(drop=True))
+        outs.append(event_throttle(
+            ds.select_columns(["k", "ts", "id"]), ["k"], "ts", "id",
+            min_gap_s=30).to_pandas().sort_values("id")
+            .reset_index(drop=True))
+        outs.append(grouped_string_agg(ds, "k", "id", "ts").to_pandas()
+                    .sort_values("k").reset_index(drop=True))
+        outs.append(rrf_fusion(ds, "k", "score", "sb", "id").to_pandas()
+                    .sort_values(["k", "id"]).reset_index(drop=True))
+        return outs
+
+    base = run("disk")
+    other = run(backend)
+    for a, b in zip(base, other):
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
