@@ -241,3 +241,71 @@ def test_funnel_monotone_property(ray_session):
         assert set(got.u) <= s1_users
 
     check()
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=120))
+@settings(max_examples=25, deadline=None)
+def test_local_skyline_matches_brute(points):
+    """_local_skyline (the mergeable kernel under pareto_front) equals
+    the O(n²) dominance definition on any point set, ties included."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.skyline import _local_skyline
+
+    x = np.array([p[0] for p in points], np.float64)
+    y = np.array([p[1] for p in points], np.float64)
+    tbl = pa.table({"i": pa.array(range(len(points)), pa.int64()),
+                    "x": pa.array(x), "y": pa.array(y)})
+    got = set(_local_skyline(tbl, "x", "y")["i"].to_pylist())
+    want = set()
+    for i in range(len(points)):
+        dom = ((x >= x[i]) & (y <= y[i])
+               & ((x > x[i]) | (y < y[i])))
+        if not dom.any():
+            want.add(i)
+    assert got == want
+
+
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=60),
+       st.lists(st.integers(0, 15), min_size=1, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_ks_statistic_bounds_and_zero(a_vals, b_vals):
+    """KS D ∈ [0, 1]; D(a, a) = 0 exactly (tie-correct ECDF)."""
+    import numpy as np
+
+    ca: dict = {}
+    cb: dict = {}
+    for v in a_vals:
+        ca[v] = ca.get(v, 0) + 1
+    for v in b_vals:
+        cb[v] = cb.get(v, 0) + 1
+    keys = sorted(set(ca) | set(cb))
+    xa = np.cumsum([ca.get(k, 0) for k in keys]) / len(a_vals)
+    xb = np.cumsum([cb.get(k, 0) for k in keys]) / len(b_vals)
+    d = np.abs(xa - xb).max()
+    assert 0.0 <= d <= 1.0
+    xs = np.cumsum([ca.get(k, 0) for k in sorted(ca)]) / len(a_vals)
+    assert np.abs(xs - xs).max() == 0.0
+
+
+@given(st.lists(st.integers(0, 2**20), min_size=1, max_size=200))
+@settings(max_examples=25, deadline=None)
+def test_interleave8_is_bijective_and_monotone_on_boxes(vals):
+    """Morton interleave: injective on (a, b) pairs and recoverable by
+    bit de-interleave — layout assignment never merges distinct cells."""
+    import numpy as np
+
+    from epstein_pipeline_ray.stages.zorder import interleave8
+
+    a = np.array([v % 256 for v in vals], np.int64)
+    b = np.array([(v // 256) % 256 for v in vals], np.int64)
+    z = interleave8(a, b)
+    # de-interleave
+    da = np.zeros_like(z)
+    db = np.zeros_like(z)
+    for i in range(8):
+        da |= ((z >> (2 * i + 1)) & 1) << i
+        db |= ((z >> (2 * i)) & 1) << i
+    assert (da == a).all() and (db == b).all()
