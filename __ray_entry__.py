@@ -894,6 +894,32 @@ def q_hive_partition_read(sf_dir: str):
     return rd.read_parquet(f"{out}/lang=en")
 
 
+def q_ab_test(sf_dir: str):
+    """Two-proportion z-test between user_id-parity arms on purchase
+    conversion (the experiment readout): per-user max-flag exchange +
+    scalar partials, pooled-SE closed form bit-equal to the twin
+    (evalmetrics.ab_proportion_test)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.evalmetrics import ab_proportion_test
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch["user_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        conv = pc.equal(batch["event_type"], "purchase")
+        return pa.table({
+            "user_id": batch["user_id"],
+            "arm": pa.array(uid % 2, pa.int64()),
+            "flag": conv.cast(pa.int64()),
+        })
+
+    ev = ev.map_batches(derive, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ab_proportion_test(ev, "user_id", "flag", "arm")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4184,6 +4210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_estimate": q_dup_rate_estimate,
         "csv_roundtrip": q_csv_roundtrip,
         "hive_partition_read": q_hive_partition_read,
+        "ab_test": q_ab_test,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4864,6 +4891,33 @@ def oracle_sql() -> dict[str, str]:
         "hive_partition_read": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents WHERE lang = 'en'
+        """,
+        "ab_test": """
+            WITH u AS (
+                SELECT user_id, user_id % 2 AS arm,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY user_id
+            ), c AS (
+                SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_0,
+                       sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT
+                           AS n_1,
+                       sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT
+                           AS c0,
+                       sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT
+                           AS c1
+                FROM u
+            )
+            SELECT n_0, n_1,
+                   round(c0 / n_0::DOUBLE, 6) AS p_0,
+                   round(c1 / n_1::DOUBLE, 6) AS p_1,
+                   round((c1 / n_1::DOUBLE - c0 / n_0::DOUBLE)
+                         / sqrt((c0 + c1) / (n_0 + n_1)::DOUBLE
+                                * (1.0 - (c0 + c1)
+                                         / (n_0 + n_1)::DOUBLE)
+                                * (1.0 / n_0 + 1.0 / n_1)), 6) AS z
+            FROM c
         """,
         "ks_test": """
             WITH f AS (

@@ -379,3 +379,74 @@ def ks_two_sample(
         "n_b": pa.array([nb], pa.int64()),
         "ks_d": pa.array([d], pa.float64()),
     })
+
+
+def ab_proportion_test(
+    ds: Dataset,
+    unit_col: str,
+    flag_col: str,
+    arm_col: str,
+    round_digits: int = 6,
+) -> pa.Table:
+    """Two-proportion z-test between arms 0/1 (the experiment
+    readout): per-unit conversion (max of flag per unit), pooled
+    standard error, z = (p1 − p0) / sqrt(p(1−p)(1/n0 + 1/n1)). One
+    unit-keyed max exchange + scalar partials — integers in, one
+    closed form out, bit-equal to the twin. Output: one row
+    (n_0, n_1, p_0, p_1, z)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select([unit_col, flag_col, arm_col]).to_pandas()
+        g = df.groupby([unit_col, arm_col], sort=False)[flag_col] \
+            .max().reset_index()
+        return pa.table({
+            unit_col: pa.array(g[unit_col].to_numpy(np.int64), pa.int64()),
+            "__arm": pa.array(g[arm_col].to_numpy(np.int64), pa.int64()),
+            "__f": pa.array(g[flag_col].to_numpy(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Max as AggMax
+
+    units = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby(
+        [unit_col, "__arm"]).aggregate(AggMax("__f", alias_name="conv"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        arm = np.asarray(batch["__arm"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        c = np.asarray(batch["conv"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return pa.table({
+            "__k": pa.array([0], pa.int64()),
+            "__n0": pa.array([int((arm == 0).sum())], pa.int64()),
+            "__n1": pa.array([int((arm == 1).sum())], pa.int64()),
+            "__c0": pa.array([int(c[arm == 0].sum())], pa.int64()),
+            "__c1": pa.array([int(c[arm == 1].sum())], pa.int64()),
+        })
+
+    agg = units.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).groupby("__k").aggregate(
+        Sum("__n0", alias_name="n_0"), Sum("__n1", alias_name="n_1"),
+        Sum("__c0", alias_name="c0"), Sum("__c1", alias_name="c1"),
+    ).to_pandas()
+    n0, n1 = int(agg["n_0"][0]), int(agg["n_1"][0])
+    c0, c1 = int(agg["c0"][0]), int(agg["c1"][0])
+    p0 = c0 / n0 if n0 else float("nan")
+    p1 = c1 / n1 if n1 else float("nan")
+    if n0 and n1:
+        pp = (c0 + c1) / (n0 + n1)
+        se2 = pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)
+        z = (p1 - p0) / np.sqrt(se2) if se2 > 0 else float("nan")
+    else:
+        z = float("nan")
+    arr = sql_round(np.array([p0, p1, z]), round_digits)
+    return pa.table({
+        "n_0": pa.array([n0], pa.int64()),
+        "n_1": pa.array([n1], pa.int64()),
+        "p_0": pa.array([arr[0]], pa.float64(), from_pandas=True),
+        "p_1": pa.array([arr[1]], pa.float64(), from_pandas=True),
+        "z": pa.array([arr[2]] if not np.isnan(arr[2]) else [None],
+                      pa.float64()),
+    })

@@ -279,3 +279,31 @@ def test_ks_two_sample_hand(ray_session):
     }))
     assert ks_two_sample(ds2, "g", "v", "a", "b").to_pandas()[
         "ks_d"][0] == 0.0
+
+
+def test_ab_proportion_test_hand(ray_session):
+    from epstein_pipeline_ray.stages.evalmetrics import ab_proportion_test
+
+    # arm 0: units 0,2 (conv 1,0 → p0=.5); arm 1: units 1,3 (conv 1,1
+    # → p1=1.0); pooled p=.75, se²=.75*.25*1 → z = .5/sqrt(.1875)
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([0, 0, 2, 1, 3, 3], pa.int64()),
+        "flag": pa.array([1, 0, 0, 1, 1, 0], pa.int64()),
+        "arm": pa.array([0, 0, 0, 1, 1, 1], pa.int64()),
+    }))
+    t = ab_proportion_test(ds, "u", "flag", "arm").to_pandas()
+    assert int(t["n_0"][0]) == 2 and int(t["n_1"][0]) == 2
+    assert t["p_0"][0] == 0.5 and t["p_1"][0] == 1.0
+    assert t["z"][0] == round(0.5 / np.sqrt(0.1875), 6)
+
+
+def test_ab_proportion_no_effect(ray_session):
+    from epstein_pipeline_ray.stages.evalmetrics import ab_proportion_test
+
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([0, 1, 2, 3], pa.int64()),
+        "flag": pa.array([1, 1, 0, 0], pa.int64()),
+        "arm": pa.array([0, 1, 0, 1], pa.int64()),
+    }))
+    t = ab_proportion_test(ds, "u", "flag", "arm").to_pandas()
+    assert t["z"][0] == 0.0
