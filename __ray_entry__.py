@@ -920,6 +920,33 @@ def q_ab_test(sf_dir: str):
     return ab_proportion_test(ev, "user_id", "flag", "arm")
 
 
+def q_band_join(sf_dir: str):
+    """Banded interval join (COUNT form): per event, orders by the same
+    user within ±7 days — bucket-replicated right side, one
+    (key, bucket) exchange, two searchsorted probes per run
+    (joins.banded_count_join); |Δt|<=band LEFT-join twin."""
+    from epstein_pipeline_ray.stages.joins import banded_count_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def us(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index(col), col,
+                batch[col].cast(pa.int64()))
+        return fn
+
+    ev = ev.map_batches(us("ts"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = orders.map_batches(us("o_orderdate"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return banded_count_join(ev, orders, "user_id", "o_custkey",
+                             "ts", "o_orderdate",
+                             band_us=7 * 86_400_000_000,
+                             id_col="event_id", out_col="n_orders_near")
+
+
 def q_event_ntile(sf_dir: str):
     """NTILE(4) per event type over (value, event_id) — SQL tile-size
     semantics exactly, one keyed exchange of vectorized position
@@ -4211,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q_csv_roundtrip,
         "hive_partition_read": q_hive_partition_read,
         "ab_test": q_ab_test,
+        "band_join": q_band_join,
         "exact_dedup_docs": q_exact_dedup_docs,
         "fingerprints": q_fingerprints,
         "wordset_jaccard": q_wordset_jaccard,
@@ -4891,6 +4919,15 @@ def oracle_sql() -> dict[str, str]:
         "hive_partition_read": """
             SELECT doc_id, text, lang, source, n_chars
             FROM documents WHERE lang = 'en'
+        """,
+        "band_join": """
+            SELECT e.event_id,
+                   count(o.o_orderkey)::BIGINT AS n_orders_near
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts))
+                 <= 604800000000::BIGINT
+            GROUP BY e.event_id
         """,
         "ab_test": """
             WITH u AS (

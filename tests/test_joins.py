@@ -1291,3 +1291,60 @@ def test_ewma_trailing_hand_truth(ray_session):
     assert got.loc[1] == 4.0
     assert abs(got.loc[2] - (0.5 * 8 + 0.25 * 4) / 0.75) < 1e-9
     assert abs(got.loc[3] - (0.5 * 2 + 0.25 * 8 + 0.125 * 4) / 0.875) < 1e-9
+
+
+def test_banded_count_join_hand(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import banded_count_join
+
+    # band 10: event t=100 matches rights at 90,100,110 (inclusive
+    # edges) but not 89/111; bucket-boundary partner (t=109, bucket 10)
+    # must be seen by an event at t=100 (bucket 10) AND t=99 (bucket 9)
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([7, 7, 8], pa.int64()),
+        "t": pa.array([100, 99, 100], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array([7, 7, 7, 7, 7, 8], pa.int64()),
+        "t2": pa.array([90, 100, 110, 89, 111, 109], pa.int64()),
+    }))
+    out = {r["id"]: r["n"] for r in banded_count_join(
+        left, right, "k", "k2", "t", "t2", band_us=10,
+        id_col="id", out_col="n").take_all()}
+    assert out[1] == 3          # 90, 100, 110
+    assert out[2] == 3          # 89, 90, 100 — both band edges inclusive
+    assert out[3] == 1          # k=8: 109 within [90, 110]
+
+
+def test_banded_count_join_zero_and_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import banded_count_join
+
+    rng = np.random.default_rng(13)
+    lt = rng.integers(0, 1000, 80)
+    lk = rng.integers(0, 5, 80)
+    rt = rng.integers(0, 1000, 120)
+    rk = rng.integers(0, 5, 120)
+    left = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(80), pa.int64()),
+        "k": pa.array(lk, pa.int64()),
+        "t": pa.array(lt, pa.int64()),
+    })).repartition(5)
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array(rk, pa.int64()),
+        "t2": pa.array(rt, pa.int64()),
+    })).repartition(4)
+    out = {r["id"]: r["n"] for r in banded_count_join(
+        left, right, "k", "k2", "t", "t2", band_us=37,
+        id_col="id", out_col="n").take_all()}
+    assert len(out) == 80
+    for i in range(80):
+        want = int(((rk == lk[i]) & (np.abs(rt - lt[i]) <= 37)).sum())
+        assert out[i] == want
