@@ -5,7 +5,7 @@ Round 2's CORRECTNESS file came back empty `{}` from the harness even
 though every oracle passed locally — this script is the fast canary: it
 exercises exactly what the driver does (init Ray FIRST, import
 __ray_entry__, run entry(), run the historically slowest queries at
-sf0.001) and must finish well under 60 s. If this passes but the
+sf0.001) and must finish well under its budget. If this passes but the
 driver's file is empty, the failure is harness-side (budget/crash), not
 the repo.
 
@@ -18,7 +18,10 @@ import json
 import sys
 import time
 
-BUDGET_SEC = 60
+# 100 s, not 60: the 2026-08-19 steal-probe session measured this VM
+# delivering ~60% of nominal cycles for hours at a time (BASELINE.md
+# session-6 record) — the canary must not false-alarm on host weather
+BUDGET_SEC = 100
 SF_DIR = "/root/testdata/sf0.001"
 # the slowest queries by recorded per-query correctness-run wall time
 SLOW_QUERIES = ["minhash_true_jaccard", "wordset_jaccard",
