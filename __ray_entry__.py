@@ -621,6 +621,20 @@ def q_mmr_select(sf_dir: str):
     return mmr_topk(embs, np.asarray(q, np.float64), k=8, fetch_m=32)
 
 
+def q_mmr_lambda1(sf_dir: str):
+    """MMR at λ=1 — the diversity term vanishes and the greedy argmax
+    reduces to plain top-k by (cosine DESC, id ASC), which IS
+    SQL-expressible: a partial oracle rung for the otherwise rows-only
+    iterative MMR (VERDICT r3 item 8). Same code path as q_mmr_select
+    (fetch → greedy loop), only the λ differs."""
+    from epstein_pipeline_ray.stages.embed import mmr_topk
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = embs.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    return mmr_topk(embs, np.asarray(q, np.float64), k=8, fetch_m=32,
+                    lam=1.0)
+
+
 def q_strip_html(sf_dir: str):
     """C4 front-door HTML cleanup over a deterministic HTML
     augmentation (every 4th doc wrapped in tags + entities, shared
@@ -1480,6 +1494,83 @@ def q_minhash_true_jaccard(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_true_jaccard_pairs(docs, threshold=0.8)
+
+
+def q_transcript_clusters_true(sf_dir: str):
+    """DuckDB-green flagship-cluster composition (VERDICT r3 item 2):
+    the oracle-exact true-Jaccard pair plan (minhash_true_jaccard) fed
+    into the flagship's OWN distributed min-label CC
+    (stages/cluster.min_label_propagation — the same pointer-jumping
+    exchanges behind transcript_clusters) plus its representative
+    convention (longest text, ties → larger id). Gives the
+    pairs→CC→clusters family a hash-exact CORRECTNESS row;
+    transcript_pairs/clusters themselves stay rows-only by design
+    (their planted-dup turn derivation is RNG-based).
+    Output: (doc_id, cluster_id, cluster_size, representative)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.cluster import min_label_propagation
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.minhash_stage import (
+        minhash_true_jaccard_pairs,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    pairs = minhash_true_jaccard_pairs(
+        docs.select_columns(["doc_id", "text"]), threshold=0.8)
+    # (node, label): label = lexicographic-min member id (decimal
+    # strings — the twin casts to VARCHAR and mins the same way)
+    labels = min_label_propagation(pairs)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pc.cast(batch["doc_id"], pa.string()),
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+        })
+
+    members = attach_column(
+        docs.select_columns(["doc_id", "n_chars"]).map_batches(
+            keyed, batch_format="pyarrow", zero_copy_batch=True),
+        labels, left_key="k", right_key="node", value_col="label",
+        out_col="cluster_id", broadcast_rows_limit=0,
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b["cluster_id"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    OUT = pa.schema([
+        ("doc_id", pa.int64()), ("cluster_id", pa.string()),
+        ("cluster_size", pa.int64()), ("representative", pa.bool_()),
+    ])
+
+    def stats_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        block = block.sort_by([
+            ("cluster_id", "ascending"), ("n_chars", "ascending"),
+            ("doc_id", "ascending"),
+        ])
+        cids = block["cluster_id"]
+        if isinstance(cids, pa.ChunkedArray):
+            cids = cids.combine_chunks()
+        codes = np.asarray(cids.dictionary_encode().indices)
+        n = len(codes)
+        starts = np.concatenate(
+            [[0], np.nonzero(codes[1:] != codes[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        rep = np.zeros(n, dtype=bool)
+        rep[ends] = True
+        sizes = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+        run_id = np.cumsum(np.concatenate(
+            [[0], (codes[1:] != codes[:-1]).astype(np.int64)]))
+        return pa.table({
+            "doc_id": block["doc_id"], "cluster_id": cids,
+            "cluster_size": pa.array(sizes[run_id], pa.int64()),
+            "representative": pa.array(rep),
+        }, schema=OUT)
+
+    return map_key_blocks(members, ["cluster_id"], stats_block)
 
 
 def q_title_fuzzy(sf_dir: str):
@@ -4221,6 +4312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_read": q_pruned_read,
         "contrastive_negatives": q_contrastive_negatives,
         "mmr_select": q_mmr_select,
+        "mmr_lambda1": q_mmr_lambda1,
         "strip_html": q_strip_html,
         "padding_waste": q_padding_waste,
         "truncation_audit": q_truncation_audit,
@@ -4356,6 +4448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": q_user_running_value,
         "minhash_docs": q_minhash_docs,
         "minhash_true_jaccard": q_minhash_true_jaccard,
+        "transcript_clusters_true": q_transcript_clusters_true,
         "json_roundtrip": q_json_roundtrip,
         "json_gz_roundtrip": q_json_gz_roundtrip,
         "title_fuzzy": q_title_fuzzy,
@@ -5100,7 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "padding_waste": """
             WITH p AS (
                 SELECT (1::BIGINT << i) AS pw
-                FROM unnest(generate_series(0, 30)) AS u(i)
+                FROM unnest(generate_series(0, 62)) AS u(i)
             ), b AS (
                 SELECT n_chars,
                        (SELECT min(pw) FROM p WHERE pw >= n_chars)
@@ -5272,6 +5365,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = id_a
             JOIN cnt cb ON cb.doc_id = id_b
             WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8
+        """,
+        "transcript_clusters_true": """
+            -- flagship-cluster twin: brute true-Jaccard pairs (the
+            -- minhash_true_jaccard oracle) → recursive min-label CC →
+            -- representative = longest text, ties → larger id
+            WITH RECURSIVE n AS (
+                SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN length(t) < 5 THEN [t]
+                                   ELSE list_distinct([substr(t, i, 5)
+                                        for i in generate_series(1, length(t) - 4)]) END) AS s
+                FROM n
+            ),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b FROM inter
+                JOIN cnt ca ON ca.doc_id = id_a
+                JOIN cnt cb ON cb.doc_id = id_b
+                WHERE i::DOUBLE / (ca.c + cb.c - i) >= 0.8
+            ),
+            nodes AS (SELECT id_a::VARCHAR AS node FROM p
+                      UNION SELECT id_b::VARCHAR FROM p),
+            ud AS (SELECT id_a::VARCHAR AS s, id_b::VARCHAR AS d FROM p
+                   UNION SELECT id_b::VARCHAR, id_a::VARCHAR FROM p),
+            walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT ud.d, walk.lbl FROM walk JOIN ud ON ud.s = walk.node),
+            comp AS (SELECT node, min(lbl) AS cluster_id
+                     FROM walk GROUP BY node),
+            m AS (
+                SELECT d.doc_id, comp.cluster_id, d.n_chars
+                FROM documents d
+                JOIN comp ON comp.node = d.doc_id::VARCHAR
+            )
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id)::BIGINT
+                       AS cluster_size,
+                   (row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC, doc_id DESC)
+                    = 1) AS representative
+            FROM m
+        """,
+        "mmr_lambda1": """
+            -- MMR at λ=1: the greedy argmax reduces to top-k by
+            -- (cosine DESC, id ASC); mmr_score = relevance
+            WITH q AS (SELECT embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id = 0),
+            s AS (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(q.qe,
+                             e.embedding::DOUBLE[]), 6) AS relevance,
+                       row_number() OVER (
+                           ORDER BY list_cosine_similarity(q.qe,
+                                    e.embedding::DOUBLE[]) DESC,
+                                    e.vec_id ASC) AS rn
+                FROM embeddings e, q
+            )
+            SELECT rn::BIGINT AS rank, vec_id, relevance,
+                   relevance AS mmr_score
+            FROM s WHERE rn <= 8
         """,
         "wordset_jaccard": """
             -- blank/whitespace-only docs tokenize to the empty set in the

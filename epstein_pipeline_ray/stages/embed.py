@@ -884,7 +884,15 @@ def knn_label_vote(
         top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]
         rows_q, rows_id, rows_lab, rows_sim = [], [], [], []
         for qi in range(sims.shape[1]):
-            sel = top[:, qi]
+            # argpartition alone keeps an ARBITRARY subset of rows tied
+            # at the boundary cosine (routine with exact-duplicate
+            # embeddings) — widen to every boundary tie, then rank by
+            # (cos DESC, id ASC) so the batch-local truncation matches
+            # the twin's row_number convention.
+            col = sims[:, qi]
+            thresh = col[top[:, qi]].min()
+            sel = np.nonzero(col >= thresh)[0]
+            sel = sel[np.lexsort((ids[sel], -col[sel]))][:kk]
             rows_q.extend([qi] * len(sel))
             rows_id.extend(ids[sel].tolist())
             rows_lab.extend(labels[sel].tolist())
@@ -1088,7 +1096,18 @@ def mmr_topk(
         emb = _normalize_rows(_stack_embeddings(batch, emb_col))
         sims = emb @ q
         m = min(fetch_m, len(sims))
-        sel = np.argpartition(-sims, kth=m - 1)[:m] if m else np.array([], int)
+        if m:
+            # widen argpartition's arbitrary boundary-tie subset to every
+            # tie, then rank by (cos DESC, id ASC) — same convention as
+            # the driver merge, so batch partitioning can't change which
+            # tied candidate survives
+            part = np.argpartition(-sims, kth=m - 1)[:m]
+            ids_np = np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+            sel = np.nonzero(sims >= sims[part].min())[0]
+            sel = sel[np.lexsort((ids_np[sel], -sims[sel]))][:m]
+        else:
+            sel = np.array([], int)
         out = pa.table({
             id_col: batch[id_col].take(pa.array(sel, pa.int64())),
             "cos": pa.array(sims[sel], pa.float64()),

@@ -15,9 +15,21 @@ Dimension Shuffle, VLDB 2019 — map-side partitioned spill files):
 
 Everything runs as plain Ray tasks on both sides — throughput scales with
 the cluster, there are no shuffle actors to spawn per stage, and the
-shard directories are on-disk artifacts: a resumable run can re-read a
-completed exchange instead of recomputing it (the same property the
-lineage manifests give checkpointed stages).
+shard directories are on-disk artifacts: a caller that passes an explicit
+``exchange_dir`` gets a ``_SUCCESS``-marked, manifest-backed directory
+that a later invocation RE-READS instead of recomputing the map side
+(``tests/test_shuffle_backends.py::test_exchange_resume_rereads_shards``).
+
+SHARED-FILESYSTEM REQUIREMENT: the reduce task opens shard files by path,
+so on a multi-node cluster ``EPR_EXCHANGE_DIR`` must point at storage
+every node can read (NFS / FSx / a fuse-mounted bucket) and the operator
+must assert that with ``EPR_EXCHANGE_SHARED=1``. When the cluster has
+more than one alive node and the directory is not asserted (or probed)
+shared, ``disk_exchange_is_safe`` returns False and
+``groupblock.map_key_blocks`` FAILS OVER to the multi-node-correct
+``sort`` backend with a logged warning — node-local tmpfs shards written
+on node A are unreadable from node B, which would otherwise silently
+drop every row of those partitions.
 
 Empty partitions are handled by construction: the map side records the
 schema once, and partitions with no shards produce a correctly-typed
@@ -42,6 +54,83 @@ from ray.data import Dataset
 # for node-local NVMe shuffle disks; /tmp here is a ~300 MB/s virtual disk)
 _DEFAULT_ROOT = "/dev/shm/epr_exchange" if os.path.isdir("/dev/shm") else "/tmp/epr_exchange"
 _EXCHANGE_ROOT = os.environ.get("EPR_EXCHANGE_DIR", _DEFAULT_ROOT)
+
+# memoized verdicts of disk_exchange_is_safe, keyed by root dir
+_SAFETY_CHECKED: dict[str, bool] = {}
+
+
+def _alive_node_count() -> int:
+    """Alive Ray nodes; ``EPR_FAKE_MULTINODE=<n>`` overrides for tests
+    (this sandbox cannot start a real second node)."""
+    fake = os.environ.get("EPR_FAKE_MULTINODE")
+    if fake:
+        return max(2, int(fake)) if fake not in ("0", "false") else 1
+    if not ray.is_initialized():
+        return 1
+    try:
+        return sum(1 for n in ray.nodes() if n.get("Alive"))
+    except Exception:
+        return 1
+
+
+def _probe_shared_dir(root: str) -> bool:
+    """Write a probe file from the driver and try to stat it from a task
+    pinned to each OTHER alive node. True only if every node sees it —
+    the operational definition of 'shared storage'."""
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    os.makedirs(root, exist_ok=True)
+    probe = os.path.join(root, f"_probe_{uuid.uuid4().hex[:8]}")
+    with open(probe, "w") as f:
+        f.write("x")
+    try:
+        me = ray.get_runtime_context().get_node_id()
+
+        @ray.remote(num_cpus=0)
+        def _sees(path: str) -> bool:
+            return os.path.exists(path)
+
+        futs = [
+            _sees.options(
+                scheduling_strategy=NodeAffinitySchedulingStrategy(
+                    node_id=n["NodeID"], soft=False)
+            ).remote(probe)
+            for n in ray.nodes()
+            if n.get("Alive") and n["NodeID"] != me
+        ]
+        return all(ray.get(futs)) if futs else True
+    except Exception:
+        return False
+    finally:
+        try:
+            os.remove(probe)
+        except OSError:
+            pass
+
+
+def disk_exchange_is_safe(root: str | None = None) -> bool:
+    """True when reduce tasks on every alive node can read shard files
+    written under ``root``. Single-node: always true. Multi-node:
+    true iff the operator asserts shared storage (``EPR_EXCHANGE_SHARED=1``)
+    or a cross-node stat probe confirms it. Memoized per root —
+    ``groupblock.map_key_blocks`` calls this on every disk-backend
+    dispatch."""
+    root = root or _EXCHANGE_ROOT
+    cached = _SAFETY_CHECKED.get(root)
+    if cached is not None:
+        return cached
+    if _alive_node_count() <= 1:
+        safe = True
+    elif os.environ.get("EPR_EXCHANGE_SHARED", "").lower() in ("1", "true"):
+        safe = True
+    elif os.environ.get("EPR_FAKE_MULTINODE"):
+        # faked multi-node has no second node to probe from — the fake
+        # asserts the unsafe combination so tests can drive the failover
+        safe = False
+    else:
+        safe = _probe_shared_dir(root)
+    _SAFETY_CHECKED[root] = safe
+    return safe
 
 
 def _part_codes(batch: pa.Table, keys: list[str], p: int) -> np.ndarray:
@@ -84,8 +173,19 @@ def exchange_key_blocks(
     Returns a Dataset of ``fn``'s outputs (one block per non-trivial
     partition). The shard directory is left on disk for resume/debug;
     callers own cleanup of ``exchange_dir``.
+
+    Resume: a completed exchange writes ``_MANIFEST.parquet`` +
+    ``_SUCCESS`` into its directory. Calling again with the same
+    explicit ``exchange_dir`` re-reads the shards from the manifest and
+    SKIPS the entire map side — the input dataset is never executed.
     """
     exch = exchange_dir or os.path.join(_EXCHANGE_ROOT, uuid.uuid4().hex[:12])
+    manifest_path = os.path.join(exch, "_MANIFEST.parquet")
+    success_path = os.path.join(exch, "_SUCCESS")
+    if exchange_dir and os.path.exists(success_path):
+        mdf = pq.read_table(manifest_path).to_pandas()
+        return _consume_exchange(mdf, fn, num_partitions, schema,
+                                 keys, sort_blocks)
     os.makedirs(exch, exist_ok=True)
     _CREATED_DIRS.append(exch)
     p = num_partitions
@@ -139,6 +239,26 @@ def exchange_key_blocks(
     mdf = manifest.to_pandas()
     if "part" not in mdf.columns:  # all input blocks empty → UDF skipped
         mdf = pd.DataFrame({"part": [], "path": []})
+    # persist the manifest so a rerun with the same explicit dir can
+    # re-read this exchange without executing the input again
+    pq.write_table(
+        pa.table({"part": pa.array(mdf["part"], pa.int64()),
+                  "path": pa.array(mdf["path"], pa.string())}),
+        manifest_path)
+    with open(success_path, "w"):
+        pass
+    return _consume_exchange(mdf, fn, p, schema, keys, sort_blocks, ds)
+
+
+def _consume_exchange(
+    mdf: pd.DataFrame,
+    fn: Callable[[pa.Table], pa.Table],
+    p: int,
+    schema: pa.Schema | None,
+    keys: list[str],
+    sort_blocks: bool,
+    ds: Dataset | None = None,
+) -> Dataset:
     part_paths: dict[int, list[str]] = {}
     for part, path in zip(mdf["part"], mdf["path"]):
         part_paths.setdefault(int(part), []).append(path)
@@ -148,7 +268,8 @@ def exchange_key_blocks(
             schema = pq.read_schema(mdf["path"].iloc[0])
         else:
             # input had no rows at all: infer from the (cheap) empty input
-            schema = _dataset_schema(ds)
+            # (resumed exchanges have no input dataset → schema-less empty)
+            schema = _dataset_schema(ds) if ds is not None else None
     paths_ref = ray.put(part_paths)
     schema_ref = ray.put(schema.serialize().to_pybytes() if schema is not None else None)
     sort_keys = [(k, "ascending") for k in keys]

@@ -66,6 +66,23 @@ def ensure_hash_shuffle(ds: Dataset | None = None) -> None:
         _tune(ds.context)
 
 
+_DISK_UNSAFE_WARNED = False
+
+
+def _warn_disk_unsafe_once() -> None:
+    global _DISK_UNSAFE_WARNED
+    if _DISK_UNSAFE_WARNED:
+        return
+    _DISK_UNSAFE_WARNED = True
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "EPR_SHUFFLE=disk on a multi-node cluster with a non-shared "
+        "exchange dir — failing over to the sort backend. Point "
+        "EPR_EXCHANGE_DIR at shared storage and set EPR_EXCHANGE_SHARED=1 "
+        "to use the disk exchange across nodes.")
+
+
 def default_partitions() -> int:
     """Default keyed-shuffle width hint. A fixed constant, NOT a function
     of the cluster: partitioning is a data-layout decision, and tying it to
@@ -108,11 +125,20 @@ def map_key_blocks(
         # No input materialization and no empty-block laundering needed:
         # the exchange derives schemas from its own shard files, so Ray's
         # schema-less empty blocks can't poison anything.
-        from epstein_pipeline_ray.stages.exchange import exchange_key_blocks
+        from epstein_pipeline_ray.stages.exchange import (
+            disk_exchange_is_safe, exchange_key_blocks)
 
-        return exchange_key_blocks(ds, keys, fn, p,
-                                   materialize_input=materialize_input,
-                                   sort_blocks=sort_blocks)
+        if disk_exchange_is_safe():
+            return exchange_key_blocks(ds, keys, fn, p,
+                                       materialize_input=materialize_input,
+                                       sort_blocks=sort_blocks)
+        # >1 alive node and the shard dir is not shared storage: reduce
+        # tasks on other nodes could not open the map side's shards, so
+        # the disk exchange would silently drop rows. Fail over to the
+        # multi-node-correct sort backend (result-equivalent — see
+        # tests/test_shuffle_backends.py).
+        _warn_disk_unsafe_once()
+        backend = "sort"
     # Ray-native backends need the input materialized + cleaned: schema-less
     # empty blocks crash their shuffles, and an all-empty dataset can't be
     # sorted usefully.

@@ -437,8 +437,15 @@ def banded_count_join(
     def block(block_: pa.Table) -> pa.Table:
         if block_.num_rows == 0:
             return OUT.empty_table()
-        df = block_.to_pandas()
-        out_ids, out_cnt = [], []
+        # rid stays in Arrow: the null right-replica rids would coerce
+        # the pandas column to float64 and silently corrupt ids above
+        # 2^53. The frame carries row positions instead; left-row rids
+        # are taken from the Arrow column at the end.
+        rid = block_["rid"]
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        df = block_.select(["k", "bucket", "t", "side"]).to_pandas()
+        out_pos, out_cnt = [], []
         for (_, _), sub in df.groupby(["k", "bucket"], sort=False):
             ev = sub[sub["side"] == 0]
             if not len(ev):
@@ -447,10 +454,10 @@ def banded_count_join(
             et = ev["t"].to_numpy(np.int64)
             cnt = (np.searchsorted(rts, et + band_us, side="right")
                    - np.searchsorted(rts, et - band_us, side="left"))
-            out_ids.extend(ev["rid"].tolist())
+            out_pos.extend(ev.index.to_numpy().tolist())
             out_cnt.extend(cnt.tolist())
         return pa.table({
-            id_col: pa.array(out_ids, lsch[id_col]),
+            id_col: rid.take(pa.array(out_pos, pa.int64())),
             out_col: pa.array(out_cnt, pa.int64()),
         }, schema=OUT)
 

@@ -120,7 +120,7 @@ def pack_sequences(
 def padding_waste(
     ds,
     len_col: str = "n_chars",
-    max_pow: int = 31,
+    max_pow: int = 63,
 ):
     """Power-of-two padding-waste report — the batch-shape diagnostic
     for fixed-bucket training loaders: each row pads up to the next
@@ -136,7 +136,10 @@ def padding_waste(
 
     from epstein_pipeline_ray.functions.rounding import sql_round
 
-    powers = np.left_shift(np.int64(1), np.arange(max_pow, dtype=np.int64))
+    # powers up to 2**(max_pow-1); 63 keeps bucket >= len for any
+    # realistic int64 length (2**63 itself would overflow int64)
+    powers = np.left_shift(np.int64(1),
+                           np.arange(min(max_pow, 63), dtype=np.int64))
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -144,7 +147,14 @@ def padding_waste(
         n = np.asarray(batch[len_col].to_numpy(zero_copy_only=False),
                        np.int64)
         idx = np.searchsorted(powers, n, side="left")
-        bucket = powers[np.minimum(idx, max_pow - 1)]
+        if idx.size and idx.max() >= len(powers):
+            # clamping would assign a bucket SMALLER than the row
+            # (negative waste) while the SQL twin's min(pw >= len)
+            # yields NULL — fail loudly instead of diverging silently
+            raise ValueError(
+                f"{len_col} exceeds the largest padding bucket "
+                f"2**{len(powers) - 1}; raise max_pow")
+        bucket = powers[idx]
         df = pd.DataFrame({"bucket": bucket, "__len": n})
         g = df.groupby("bucket", sort=False).agg(
             __n=("__len", "size"), __tl=("__len", "sum")).reset_index()

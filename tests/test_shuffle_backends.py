@@ -202,3 +202,95 @@ def test_session6_keyed_ops_backend_equivalence(ray_session, monkeypatch,
     for a, b in zip(base, other):
         pd.testing.assert_frame_equal(a, b)
         assert len(a) > 0
+
+
+def test_multinode_unsafe_disk_fails_over_to_sort(ray_session, monkeypatch,
+                                                  caplog):
+    """Faked multi-node + non-shared exchange dir: the disk backend must
+    NOT be used (its shards would be unreadable across nodes) — the
+    dispatcher fails over to the sort backend with a logged warning and
+    produces the same result."""
+    import logging
+
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages import exchange, groupblock
+    from epstein_pipeline_ray.stages.relational import grouped_string_agg
+
+    tbl = pa.table({
+        "k": pa.array(["a", "b", "a", "c", "b", "a"], pa.string()),
+        "id": pa.array([5, 1, 3, 9, 2, 4], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+
+    monkeypatch.setenv("EPR_SHUFFLE", "sort")
+    want = (grouped_string_agg(rd.from_arrow(tbl), "k", "id", "ts")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+
+    # fresh memo + warning flag; monkeypatch restores both afterwards so
+    # the (single-node-safe) verdict is re-probed by later tests
+    monkeypatch.setattr(exchange, "_SAFETY_CHECKED", {})
+    monkeypatch.setattr(groupblock, "_DISK_UNSAFE_WARNED", False)
+    monkeypatch.setenv("EPR_FAKE_MULTINODE", "2")
+    monkeypatch.setenv("EPR_SHUFFLE", "disk")
+    monkeypatch.delenv("EPR_EXCHANGE_SHARED", raising=False)
+
+    def boom(*a, **kw):
+        raise AssertionError("disk exchange must not run on an unsafe "
+                             "multi-node layout")
+
+    monkeypatch.setattr(exchange, "exchange_key_blocks", boom)
+    with caplog.at_level(logging.WARNING,
+                         logger="epstein_pipeline_ray.stages.groupblock"):
+        got = (grouped_string_agg(rd.from_arrow(tbl), "k", "id", "ts")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(want, got)
+    assert any("failing over to the sort backend" in r.message
+               for r in caplog.records)
+
+    # asserting shared storage re-enables the disk exchange
+    monkeypatch.setattr(exchange, "_SAFETY_CHECKED", {})
+    monkeypatch.setenv("EPR_EXCHANGE_SHARED", "1")
+    assert exchange.disk_exchange_is_safe("/tmp/epr_does_not_matter")
+
+
+def test_exchange_resume_rereads_shards(ray_session, tmp_path):
+    """A completed exchange (explicit dir, _SUCCESS + manifest) is
+    re-read on the next invocation WITHOUT executing the input: the
+    second call's input dataset raises if any of its rows are pulled."""
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.exchange import exchange_key_blocks
+
+    tbl = pa.table({
+        "k": pa.array([1, 2, 1, 3, 2, 1], pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+
+    def per_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+        k = np.asarray(t["k"].to_numpy(zero_copy_only=False), np.int64)
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.int64)
+        if not len(k):
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        starts = np.concatenate([[0], np.nonzero(k[1:] != k[:-1])[0] + 1])
+        sums = np.add.reduceat(v, starts) if len(v) else v
+        return pa.table({"k": pa.array(k[starts], pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+    exch = str(tmp_path / "exch")
+    first = (exchange_key_blocks(rd.from_arrow(tbl), ["k"], per_block, 4,
+                                 exchange_dir=exch)
+             .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def poison(batch: pa.Table) -> pa.Table:
+        raise RuntimeError("input must not be recomputed on resume")
+
+    poisoned = rd.from_arrow(tbl).map_batches(poison,
+                                              batch_format="pyarrow")
+    second = (exchange_key_blocks(poisoned, ["k"], per_block, 4,
+                                  exchange_dir=exch)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(first, second)
+    assert first["s"].tolist() == [100, 70, 40]
