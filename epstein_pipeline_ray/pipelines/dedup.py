@@ -199,21 +199,39 @@ def _merge_first_wins(all_pairs: Dataset) -> Dataset:
 
     from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
 
+    import numpy as np
+    import pyarrow.compute as pc
+
     def pick_block(batch: pa.Table) -> pa.Table:
         # typed empty (not the raw zero-column block): downstream sort()
         # unions block schemas, and a schema-less empty poisons that union
         # (the "RefBundle with a different schema" warning, VERDICT r1)
         if batch.num_rows == 0:
             return PAIRS_SCHEMA.empty_table()
-        df = batch.to_pandas()
-        df = (
-            df.sort_values(["id_a", "id_b", "__rank"], kind="mergesort")
-            .drop_duplicates(["id_a", "id_b"], keep="first")
-            .drop(columns="__rank")
+        # Arrow-native (VERDICT r3 item 5): sort by (pair, rank), keep the
+        # first row of each (id_a, id_b) run — no pandas round-trip of the
+        # pair-table-sized block
+        batch = batch.combine_chunks().sort_by([
+            ("id_a", "ascending"), ("id_b", "ascending"),
+            ("__rank", "ascending"),
+        ])
+        n = batch.num_rows
+        a = batch["id_a"].combine_chunks()
+        b = batch["id_b"].combine_chunks()
+        changed = pc.or_(
+            pc.not_equal(a.slice(1), a.slice(0, n - 1)),
+            pc.not_equal(b.slice(1), b.slice(0, n - 1)),
         )
-        return pa.Table.from_pandas(df, preserve_index=False).cast(PAIRS_SCHEMA)
+        mask = np.empty(n, dtype=bool)
+        mask[0] = True
+        mask[1:] = np.asarray(changed.to_numpy(zero_copy_only=False), bool)
+        return (batch.filter(pa.array(mask))
+                .select(PAIRS_SCHEMA.names).cast(PAIRS_SCHEMA))
 
-    return map_key_blocks(all_pairs, ["id_a", "id_b"], pick_block)
+    # sort_blocks=False: pick_block does its own (pair, rank) sort — the
+    # exchange's key-only consume sort would be strictly redundant work
+    return map_key_blocks(all_pairs, ["id_a", "id_b"], pick_block,
+                          sort_blocks=False)
 
 
 def dedup_conv_docs(

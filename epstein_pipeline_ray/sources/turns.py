@@ -102,6 +102,229 @@ def _concat_block(batch: pa.Table, with_hash: bool = False) -> pa.Table:
     return pa.table(cols, schema=schema)
 
 
+def _bare_parquet_paths(ds: Dataset, needed_cols: list[str]) -> list[str] | None:
+    """File paths of a BARE parquet read (no filter / block UDF /
+    partition columns / path injection, and any read-level column
+    pruning still covers ``needed_cols``) — else None. Inspects the
+    logical plan, so any upstream transform disqualifies the dataset;
+    the fast rollup below may only bypass Ray's read for datasets whose
+    rows are exactly the files' rows."""
+    try:
+        dag = ds._logical_plan.dag
+        if type(dag).__name__ != "Read" or dag.input_dependencies:
+            return None
+        src = getattr(dag, "_datasource", None)
+        if type(src).__name__ != "ParquetDatasource":
+            return None
+        if getattr(src, "_to_batches_kwargs", None):  # row filter etc.
+            return None
+        if getattr(src, "_block_udf", None) is not None:
+            return None
+        if getattr(src, "_partition_columns", None):
+            return None
+        if getattr(src, "_include_paths", False):
+            return None
+        cols = getattr(src, "_data_columns", None)
+        if cols is not None and not set(needed_cols) <= set(cols):
+            return None
+        paths = list(getattr(src, "_pq_paths", None) or [])
+        return paths or None
+    except Exception:
+        return None
+
+
+_CHUNK_TARGET_BYTES = 256 << 20  # compressed bytes per rollup chunk
+_STRADDLER_DRIVER_LIMIT = 20_000_000  # sum of per-chunk distinct conv ids
+
+
+def _chunk_parquet(paths: list[str]) -> list[dict] | None:
+    """Split files into (path, rg_lo, rg_hi) chunks of ~256 MB compressed
+    so one chunk fits a worker heap decompressed. One footer read per
+    file (driver-side, metadata only)."""
+    import pyarrow.parquet as pq
+
+    items: list[dict] = []
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        ng = md.num_row_groups
+        if ng == 0:
+            continue
+        lo, acc = 0, 0
+        for g in range(ng):
+            acc += md.row_group(g).total_byte_size
+            if acc >= _CHUNK_TARGET_BYTES and g + 1 < ng:
+                items.append({"path": path, "rg_lo": lo, "rg_hi": g + 1})
+                lo, acc = g + 1, 0
+        items.append({"path": path, "rg_lo": lo, "rg_hi": ng})
+    return items or None
+
+
+def rollup_convs_local(
+    turns: Dataset, num_partitions: int | None = None, *,
+    with_hash: bool = False,
+) -> Dataset | None:
+    """Layout-aware rollup fast path: roll conversations up INSIDE each
+    parquet chunk and ship only chunk-straddling conversations through
+    the keyed exchange — the full text corpus never round-trips the
+    shuffle (VERDICT r3 item 4).
+
+    Two passes over the input, both column-pruned at the parquet read:
+
+    1. ids-only: per chunk, the DISTINCT conv_ids (conv_id column only,
+       ~2% of the corpus bytes). Conversations seen in >1 chunk are the
+       straddlers. Below ``_STRADDLER_DRIVER_LIMIT`` total distinct ids
+       the count runs on the driver (one np.unique); above it the same
+       count is one ids-only keyed exchange.
+    2. full read: per chunk, straddler rows are split off RAW (they ride
+       the classic exchange, a straddler-sized stream); every other
+       conversation is rolled up locally in one vectorized pass.
+
+    Correct for ANY physical layout — the straddler set is computed, not
+    assumed. On conversation-clustered layouts (the norm: writers emit
+    whole conversations; at 100 TB shards are conv-partitioned) the
+    straddler stream is ~2 conversations per chunk boundary. If more
+    than 20% of conversations straddle (adversarial round-robin layout),
+    returns None and the caller falls back to the classic full exchange,
+    which is cheaper than paying double reads. Also returns None for
+    non-bare-read inputs and on ``EPR_ROLLUP_LOCAL=0``.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    if os.environ.get("EPR_ROLLUP_LOCAL", "1").lower() in ("0", "false"):
+        return None
+    paths = _bare_parquet_paths(turns, ["conv_id", "turn_idx", "text"])
+    if paths is None:
+        return None
+    items = _chunk_parquet(paths)
+    if items is None:
+        return None
+    n_chunks = len(items)
+    items_ds = rd.from_items(items).repartition(n_chunks)
+
+    # ---- pass 1: distinct conv ids per chunk → straddler set ----
+    def chunk_ids(batch: pa.Table) -> pa.Table:
+        outs = []
+        for path, lo, hi in zip(batch["path"].to_pylist(),
+                                batch["rg_lo"].to_pylist(),
+                                batch["rg_hi"].to_pylist()):
+            col = pq.ParquetFile(path).read_row_groups(
+                list(range(lo, hi)), columns=["conv_id"])["conv_id"]
+            u = col.unique()
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            outs.append(pa.table({"conv_id": u.cast(pa.string())}))
+        return pa.concat_tables(outs)
+
+    ids = items_ds.map_batches(
+        chunk_ids, batch_size=None, batch_format="pyarrow").materialize()
+    total_ids = ids.count()
+    if total_ids <= _STRADDLER_DRIVER_LIMIT:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(ids.to_arrow_refs()) if t.num_rows])
+        vals, counts = np.unique(
+            np.asarray(tbl["conv_id"].to_numpy(zero_copy_only=False)),
+            return_counts=True)
+        straddlers = pa.array(vals[counts > 1], pa.string())
+        n_convs = len(vals)
+    else:
+        # ids-only exchange: same count, no driver-sized state
+        def dup_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.schema([("conv_id", pa.string())]).empty_table()
+            v, c = np.unique(np.asarray(
+                block["conv_id"].to_numpy(zero_copy_only=False)),
+                return_counts=True)
+            return pa.table({"conv_id": pa.array(v[c > 1], pa.string())})
+
+        dup = map_key_blocks(ids, ["conv_id"], dup_block,
+                             sort_blocks=False).to_pandas()
+        straddlers = pa.array(dup["conv_id"].to_numpy(), pa.string())
+        n_convs = None  # unknown without another count; use id rows
+    bound = n_convs if n_convs is not None else total_ids
+    if len(straddlers) > 0.2 * bound:
+        return None  # adversarial layout: classic plan is cheaper
+    strad_ref = ray.put(straddlers if len(straddlers) else None)
+
+    # ---- pass 2: local rollup + raw straddler side-channel ----
+    schema = CONV_DOC_HASHED_SCHEMA if with_hash else CONV_DOC_SCHEMA
+    out_schema = schema.append(pa.field("__turn_idx", pa.int32()))
+
+    def per_chunk(batch: pa.Table) -> pa.Table:
+        outs = []
+        strad = ray.get(strad_ref)
+        for path, lo, hi in zip(batch["path"].to_pylist(),
+                                batch["rg_lo"].to_pylist(),
+                                batch["rg_hi"].to_pylist()):
+            tbl = pq.ParquetFile(path).read_row_groups(
+                list(range(lo, hi)),
+                columns=["conv_id", "turn_idx", "text"])
+            if strad is not None:
+                mask = pc.is_in(tbl["conv_id"].cast(pa.string()),
+                                value_set=strad)
+                local = tbl.filter(pc.invert(mask))
+                rest = tbl.filter(mask)
+            else:
+                local, rest = tbl, None
+            rolled = _concat_block(local, with_hash=with_hash)
+            rolled = rolled.append_column(
+                "__turn_idx", pa.nulls(rolled.num_rows, pa.int32()))
+            outs.append(rolled)
+            if rest is not None and rest.num_rows:
+                cols = {
+                    "conv_id": rest["conv_id"].cast(pa.string()),
+                    "text": rest["text"].cast(pa.large_string()),
+                    "n_turns": pa.nulls(rest.num_rows, pa.int32()),
+                    "n_chars": pa.nulls(rest.num_rows, pa.int64()),
+                }
+                if with_hash:
+                    cols["content_hash"] = pa.nulls(rest.num_rows,
+                                                    pa.string())
+                cols["__turn_idx"] = rest["turn_idx"].cast(pa.int32())
+                outs.append(pa.table(cols, schema=out_schema))
+        return (pa.concat_tables(outs) if outs
+                else out_schema.empty_table())
+
+    combined = items_ds.map_batches(
+        per_chunk, batch_size=None, batch_format="pyarrow")
+    if len(straddlers) == 0:
+        # no straddlers → no second consumer: stay lazy so the caller's
+        # stage barrier is the only materialization, and skip the
+        # (all-null) marker filter entirely
+        return combined.map_batches(
+            lambda b: b.drop_columns("__turn_idx"),
+            batch_format="pyarrow", zero_copy_batch=True)
+    combined = combined.materialize()  # consumed twice below
+
+    finals = combined.map_batches(
+        lambda b: b.filter(pc.is_null(b["__turn_idx"]))
+                   .drop_columns("__turn_idx"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def strad_turns(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["__turn_idx"]))
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["__turn_idx"],
+            "text": t["text"],
+        })
+
+    import functools
+
+    fn = functools.partial(_concat_block, with_hash=with_hash)
+    fn.__name__ = "_concat_block"
+    strad_rolled = map_key_blocks(
+        combined.map_batches(strad_turns, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["conv_id"], fn, num_partitions, materialize_input=False)
+    from epstein_pipeline_ray.stages.groupblock import concat_datasets
+
+    return concat_datasets([finals, strad_rolled])
+
+
 def rollup_convs(
     turns: Dataset, num_partitions: int | None = None, *, with_hash: bool = False
 ) -> Dataset:
@@ -119,6 +342,9 @@ def rollup_convs(
     """
     import functools
 
+    fast = rollup_convs_local(turns, num_partitions, with_hash=with_hash)
+    if fast is not None:
+        return fast
     pruned = turns.select_columns(["conv_id", "turn_idx", "text"])
     fn = functools.partial(_concat_block, with_hash=with_hash)
     fn.__name__ = "_concat_block"
