@@ -40,6 +40,55 @@ def _corpus_path() -> str:
     return f"/tmp/epr_bench/turns_{N_CONVS}_{SEED}"
 
 
+def _probe_worker(q, secs: float) -> None:
+    """One pure-compute probe process: tight vectorized LCG over an
+    L2-resident 1 MB buffer (so the probe measures CPU cycles, not shared
+    memory bandwidth — an 8 MB buffer x32 procs saturates DRAM and reads
+    as false steal) — no I/O, no Ray, no allocation in the loop."""
+    import time as _t
+
+    import numpy as np
+
+    a = np.arange(1 << 17, dtype=np.uint64)
+    m = np.uint64(6364136223846793005)
+    c = np.uint64(1442695040888963407)
+    n = 0
+    t0 = _t.time()
+    while _t.time() - t0 < secs:
+        a = ((a * m + c) * m + c) * m + c
+        n += 1
+    q.put(n)
+
+
+def compute_probe(lo: int, hi: int, secs: float = 3.0) -> dict:
+    """Pure-compute scaling ceiling of THIS HOST right now: aggregate
+    probe throughput at ``lo`` vs ``hi`` concurrent processes. On a
+    healthy machine the ratio ≈ hi/lo (efficiency ≈ 1); CPU steal or
+    saturation shows up here before it shows up in any pipeline — run
+    next to every scaling measurement so a degraded-host number is
+    self-interpreting (VERDICT r3 item 7)."""
+    import multiprocessing as mp
+
+    def run(nproc: int) -> float:
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        ps = [ctx.Process(target=_probe_worker, args=(q, secs))
+              for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot / secs
+
+    thr_lo, thr_hi = run(lo), run(hi)
+    return {
+        "probe_iters_per_sec_lo": round(thr_lo, 1),
+        "probe_iters_per_sec_hi": round(thr_hi, 1),
+        "probe_efficiency": round((thr_hi / thr_lo) / (hi / lo), 3),
+    }
+
+
 def _clean_exchange() -> None:
     try:
         from epstein_pipeline_ray.stages.exchange import cleanup_exchange_root
@@ -196,6 +245,12 @@ def run_bench() -> dict:
         "n_convs": N_CONVS,
     }
     ray.shutdown()
+    # host-health context: 1 → NUM_CPUS pure-compute ceiling measured the
+    # same minute — a low probe_efficiency means the HOST (steal /
+    # saturation) capped the headline, not the code. Brief settle so Ray
+    # worker teardown doesn't read as steal.
+    time.sleep(2.0)
+    result.update(compute_probe(1, NUM_CPUS, secs=2.0))
     return result
 
 
@@ -241,6 +296,9 @@ def run_scaling() -> dict:
     r_lo = min((run(lo) for _ in range(reps)), key=lambda r: r["value"])
     r_hi = min((run(hi) for _ in range(reps)), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # same-minute pure-compute ceiling at the same lo/hi: eff can never
+    # beat what the host delivers, so report eff relative to the ceiling
+    probe = compute_probe(lo, hi, secs=3.0)
     return {
         "metric": f"scaling efficiency (N={lo} vs {hi // lo}N={hi} CPUs, fresh ray.init each)",
         "value": round(eff, 3),
@@ -253,6 +311,9 @@ def run_scaling() -> dict:
         "turns_per_sec_32": r_hi["turns_per_sec"],
         "turns": r_hi["turns"],
         "sf": r_hi["sf"],
+        **probe,
+        "efficiency_vs_probe": round(eff / probe["probe_efficiency"], 3)
+        if probe["probe_efficiency"] else None,
     }
 
 
