@@ -2049,6 +2049,71 @@ def q_email_participants(sf_dir: str):
     return explode_participants(emails)
 
 
+def q_email_confidence(sf_dir: str):
+    """Tiered confidence ladder over exploded email participants — the
+    J2-for-emails the reference implies at exporters/sqlite_export.py:58-63
+    composed with processors/confidence.py:30-119 (VERDICT r3 item 10).
+    Participants from the same nested-email construction as
+    ``email_participants`` get a role-derived mention: ``from`` keeps the
+    contact name (exact tier, 1.0), ``to[0]`` prepends 'alt ' (alias tier,
+    0.95), ``to[1]`` appends ' x' (substring tier, 0.60 — early-breaks on
+    the first registry entry in pid order, names before aliases per row),
+    ``cc`` becomes a sub-3-char mention the ladder skips (all-null match
+    columns). The registry derives from customer as a DATASET (name
+    'user N', one alias 'alt user N'); its lookup state is built inside a
+    Ray task by match_mentions_ds — no driver pull."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.confidence import match_mentions_ds
+
+    participants = q_email_participants(sf_dir)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        role = batch["role"]
+        pos = batch["pos"]
+        name = batch["name"]
+        alias_m = pc.binary_join_element_wise(pa.scalar("alt "), name, "")
+        sub_m = pc.binary_join_element_wise(name, pa.scalar(" x"), "")
+        is_from = pc.equal(role, pa.scalar("from"))
+        is_to = pc.equal(role, pa.scalar("to"))
+        is_to0 = pc.and_(is_to, pc.equal(pos, pa.scalar(0, pa.int32())))
+        is_to1 = pc.and_(is_to, pc.equal(pos, pa.scalar(1, pa.int32())))
+        mention = pc.if_else(
+            is_from, name,
+            pc.if_else(is_to0, alias_m,
+                       pc.if_else(is_to1, sub_m, pa.scalar("q"))))
+        return pa.table({
+            "email_id": batch["email_id"],
+            "role": role,
+            "pos": pos,
+            "mention": mention,
+        })
+
+    mentions = participants.map_batches(derive, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    customers = _read(sf_dir, "customer", ["c_custkey"])
+
+    def to_registry(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"]
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        ks = ck.cast(pa.string())
+        name = pc.binary_join_element_wise(pa.scalar("user "), ks, "")
+        alias = pc.binary_join_element_wise(pa.scalar("alt user "), ks, "")
+        n = batch.num_rows
+        offsets = pa.array(range(n + 1), pa.int32())
+        return pa.table({
+            "person_id": ck,
+            "name": name,
+            "aliases": pa.ListArray.from_arrays(offsets, alias),
+        })
+
+    registry = customers.map_batches(to_registry, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return match_mentions_ds(mentions, registry, enable_fuzzy=False,
+                             enable_substring=True)
+
+
 def q_person_audit(sf_dir: str):
     """Auditor duplicate-person scan (reference person_auditor.py:257-303,
     VERDICT r2 item 6): fuzzy name >= threshold OR alias cross-match, with
@@ -4466,6 +4531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "confidence_match": q_confidence_match,
         "person_audit": q_person_audit,
         "email_participants": q_email_participants,
+        "email_confidence": q_email_confidence,
         "lsh_neardup": q_lsh_neardup,
         "resolve_parts": q_resolve_parts,
         "fs_score": q_fs_score,
@@ -7806,6 +7872,81 @@ def oracle_sql() -> dict[str, str]:
                 FROM c0
             )
             SELECT * FROM f UNION ALL SELECT * FROM t UNION ALL SELECT * FROM c
+        """,
+        "email_confidence": """
+            -- confidence ladder over exploded email participants: exact
+            -- (1.0) > alias (0.95) > substring (0.60, first registry entry
+            -- in pid order with name-before-alias per row = arg_min on
+            -- ord); mentions under 3 chars are skipped (all-null match)
+            WITH e AS (
+                SELECT 'e-' || o_orderkey AS email_id, o_orderkey AS k,
+                       o_custkey AS ck
+                FROM orders
+            ),
+            parts AS (
+                SELECT email_id, 'from' AS role, 0::INT AS pos,
+                       'user ' || ck AS name
+                FROM e WHERE k % 7 <> 0
+                UNION ALL
+                SELECT email_id, 'to', 0::INT, 'user ' || (k % 1000 + 1) FROM e
+                UNION ALL
+                SELECT email_id, 'to', 1::INT, 'user ' || (k % 997 + 1)
+                FROM e WHERE k % 2 = 1
+                UNION ALL
+                SELECT email_id, 'cc', 0::INT, 'user ' || (k % 13)
+                FROM e WHERE k % 3 = 0
+            ),
+            m AS (
+                SELECT email_id, role, pos,
+                       CASE WHEN role = 'from' THEN name
+                            WHEN role = 'to' AND pos = 0 THEN 'alt ' || name
+                            WHEN role = 'to' AND pos = 1 THEN name || ' x'
+                            ELSE 'q' END AS mention
+                FROM parts
+            ),
+            reg AS (
+                SELECT c_custkey AS pid, 'user ' || c_custkey AS name,
+                       'alt user ' || c_custkey AS alias
+                FROM customer
+            ),
+            ex AS (SELECT name, max(pid) AS pid FROM reg GROUP BY name),
+            al AS (SELECT alias, max(pid) AS pid FROM reg GROUP BY alias),
+            subc AS (
+                SELECT m.email_id, m.role, m.pos, r.pid, r.name AS nm,
+                       r.pid * 2 AS ord
+                FROM m JOIN reg r ON contains(m.mention, r.name)
+                WHERE length(m.mention) >= 3
+                UNION ALL
+                SELECT m.email_id, m.role, m.pos, r.pid, r.alias AS nm,
+                       r.pid * 2 + 1 AS ord
+                FROM m JOIN reg r ON contains(m.mention, r.alias)
+                WHERE length(m.mention) >= 3
+            ),
+            sb AS (
+                SELECT email_id, role, pos, arg_min(pid, ord) AS pid,
+                       arg_min(nm, ord) AS nm
+                FROM subc GROUP BY email_id, role, pos
+            )
+            SELECT m.email_id, m.role, m.pos, m.mention,
+                   CASE WHEN length(m.mention) >= 3
+                        THEN COALESCE(ex.pid, al.pid, sb.pid) END AS person_id,
+                   CASE WHEN length(m.mention) < 3 THEN NULL
+                        WHEN ex.pid IS NOT NULL THEN 1.0
+                        WHEN al.pid IS NOT NULL THEN 0.95
+                        WHEN sb.pid IS NOT NULL THEN 0.60 END AS confidence,
+                   CASE WHEN length(m.mention) < 3 THEN NULL
+                        WHEN ex.pid IS NOT NULL THEN 'exact'
+                        WHEN al.pid IS NOT NULL THEN 'alias'
+                        WHEN sb.pid IS NOT NULL THEN 'substring' END AS match_type,
+                   CASE WHEN length(m.mention) < 3 THEN NULL
+                        WHEN ex.pid IS NOT NULL THEN m.mention
+                        WHEN al.pid IS NOT NULL THEN m.mention
+                        ELSE sb.nm END AS matched_name
+            FROM m
+            LEFT JOIN ex ON m.mention = ex.name
+            LEFT JOIN al ON m.mention = al.alias
+            LEFT JOIN sb ON m.email_id = sb.email_id AND m.role = sb.role
+                        AND m.pos = sb.pos
         """,
         "person_audit": """
             -- auditor duplicate-person scan: name lev-ratio >= 0.8 OR an
