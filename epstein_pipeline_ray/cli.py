@@ -26,10 +26,17 @@ import sys
 
 
 def _ray_up() -> None:
+    """Guarded init. Honors ``RAY_ADDRESS`` so the same commands run
+    unchanged as cluster jobs (``ray job submit -- python -m
+    epstein_pipeline_ray.cli dedup ...`` sets RAY_ADDRESS to the cluster;
+    ``smoke_cluster.py`` drives the identical path against a real
+    two-node localhost cluster — this sandbox's minimal Ray build lacks
+    the jobs HTTP server, so the smoke submits the driver directly)."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
 
 
 def cmd_dedup(args) -> int:
