@@ -248,8 +248,9 @@ def run_bench() -> dict:
     # host-health context: 1 → NUM_CPUS pure-compute ceiling measured the
     # same minute — a low probe_efficiency means the HOST (steal /
     # saturation) capped the headline, not the code. Brief settle so Ray
-    # worker teardown doesn't read as steal.
-    time.sleep(2.0)
+    # worker teardown doesn't read as steal (measured: probing 2 s after
+    # shutdown still reads ~0.62 vs ~0.82 standalone).
+    time.sleep(6.0)
     result.update(compute_probe(1, NUM_CPUS, secs=2.0))
     return result
 

@@ -153,11 +153,44 @@ def _part_codes(batch: pa.Table, keys: list[str], p: int) -> np.ndarray:
     return (acc % np.uint64(p)).astype(np.int64)
 
 
+def _size_is_metadata(ds: Dataset) -> bool:
+    """True when ``ds.size_bytes()`` is answerable from metadata alone:
+    already-materialized datasets and bare ``Read`` plans (parquet footer
+    estimates). Anything with upstream compute would have to EXECUTE to
+    answer — callers must not pay that just to pick a shuffle width."""
+    try:
+        if ds._plan.has_computed_output():
+            return True
+        dag = ds._logical_plan.dag
+        return type(dag).__name__ == "Read" and not dag.input_dependencies
+    except Exception:
+        return False
+
+
+def auto_partitions_from(ds: Dataset, default: int) -> int:
+    """Width from input size: one reduce partition per ~8 MB, capped at
+    ``default``, floored at 4. A 2 MB correctness-gate input gets 4
+    partitions instead of 32 (32 reduce tasks on 500 rows is ~0.5 s of
+    pure scheduling; the floor keeps compute-heavy whole-partition fns —
+    true-Jaccard confirm, DP panels — from serializing on one task); the
+    sf0.1 corpus still gets the full width. Callers at real scale pass
+    explicit widths — this only ever SHRINKS the default, never grows it.
+    ``size_bytes`` is metadata-only on materialized datasets and bare
+    parquet reads (the two shapes that reach here)."""
+    try:
+        nbytes = ds.size_bytes()
+    except Exception:
+        return default
+    if not nbytes or nbytes < 0:
+        return default
+    return max(min(4, default), min(default, -(-nbytes // (8 << 20))))
+
+
 def exchange_key_blocks(
     ds: Dataset,
     keys: list[str],
     fn: Callable[[pa.Table], pa.Table],
-    num_partitions: int,
+    num_partitions: int | None,
     exchange_dir: str | None = None,
     schema: pa.Schema | None = None,
     materialize_input: bool = True,
@@ -168,7 +201,8 @@ def exchange_key_blocks(
     ``fn`` receives one key-sorted table per partition, containing every
     row of every key hashed to that partition (the whole-group guarantee).
     ``num_partitions`` is the explicit width: one partition must fit a
-    worker's heap — size it to the data, not the cluster.
+    worker's heap — size it to the data, not the cluster. ``None``
+    auto-sizes from the input's byte size (:func:`auto_partitions_from`).
 
     Returns a Dataset of ``fn``'s outputs (one block per non-trivial
     partition). The shard directory is left on disk for resume/debug;
@@ -184,11 +218,13 @@ def exchange_key_blocks(
     success_path = os.path.join(exch, "_SUCCESS")
     if exchange_dir and os.path.exists(success_path):
         mdf = pq.read_table(manifest_path).to_pandas()
+        if num_partitions is None:
+            # cover every partition id the original run hashed to
+            num_partitions = int(mdf["part"].max()) + 1 if len(mdf) else 1
         return _consume_exchange(mdf, fn, num_partitions, schema,
                                  keys, sort_blocks)
     os.makedirs(exch, exist_ok=True)
     _CREATED_DIRS.append(exch)
-    p = num_partitions
     # Materialize the input: without this barrier Ray fuses the (possibly
     # compute-heavy) upstream maps into the shard-writer's coarse write
     # batches, collapsing upstream parallelism to a handful of fat tasks
@@ -198,6 +234,17 @@ def exchange_key_blocks(
     # traffic through the object store.
     if materialize_input:
         ds = ds.materialize()
+    if num_partitions is None:
+        from epstein_pipeline_ray.stages.groupblock import default_partitions
+
+        if materialize_input or _size_is_metadata(ds):
+            num_partitions = auto_partitions_from(ds, default_partitions())
+        else:
+            # lazy derived input (materialize_input=False): size_bytes()
+            # would EXECUTE the upstream compute once just to pick a
+            # width, then write_shards would execute it again
+            num_partitions = default_partitions()
+    p = num_partitions
 
     def write_shards(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -116,7 +116,10 @@ def map_key_blocks(
     import os
 
     backend = os.environ.get("EPR_SHUFFLE", "disk")
-    p = num_partitions or default_partitions()
+    # None flows through to the disk exchange, which auto-sizes the width
+    # from the input's byte size (exchange.auto_partitions_from); the hash
+    # backend below still needs a concrete count.
+    p = num_partitions
     if backend == "disk":
         # partitioned-file exchange (stages.exchange): task-parallel on both
         # sides, no shuffle actors, shard dirs double as resume artifacts —
@@ -158,6 +161,8 @@ def map_key_blocks(
             fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
         )
     else:  # "hash"
+        if p is None:
+            p = default_partitions()
         ensure_hash_shuffle(ds)
         sort_keys = [(k, "ascending") for k in keys]
         inner = fn
