@@ -31,6 +31,29 @@ __all__ = [
 ]
 
 
+def _sorted(block: pa.Table, cols: list[str]) -> pa.Table:
+    """Arrow-native multi-key sort of a whole block (replaces the pandas
+    round-trip the r3 review flagged on corpus-proportional blocks)."""
+    return block.combine_chunks().sort_by([(c, "ascending") for c in cols])
+
+
+def _codes(block: pa.Table, col: str) -> np.ndarray:
+    """Integer equality codes for one column (dictionary indices) —
+    adjacent-row comparisons on strings without leaving Arrow."""
+    arr = block[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.dictionary_encode().indices)
+
+
+def _same_prev(codes: np.ndarray) -> np.ndarray:
+    """mask[i] = row i has the same code as row i-1 (mask[0] = False)."""
+    m = np.zeros(codes.size, dtype=bool)
+    if codes.size > 1:
+        m[1:] = codes[1:] == codes[:-1]
+    return m
+
+
 def conv_health(ds: Dataset, key: str = "conv_id",
                 order_col: str = "turn_idx",
                 num_partitions: int | None = None) -> Dataset:
@@ -51,37 +74,39 @@ def conv_health(ds: Dataset, key: str = "conv_id",
                 "n_idx_gaps", "n_tool_turns"]
 
     def per_block(block: pa.Table) -> pa.Table:
-        df = block.to_pandas()
-        if not len(df):
+        if block.num_rows == 0:
             return pa.table({key: block[key],
                              **{c: pa.array([], pa.int64())
                                 for c in out_cols[1:]}})
-        df = df.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
-        conv = df[key].to_numpy()
-        same = np.zeros(len(df), dtype=bool)
-        same[1:] = conv[1:] == conv[:-1]
-        role = df["role"].to_numpy()
-        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
-        idx = df[order_col].to_numpy(np.int64)
-        rep = np.zeros(len(df), dtype=bool)
-        rep[1:] = same[1:] & (role[1:] == role[:-1])
-        reg = np.zeros(len(df), dtype=bool)
+        block = _sorted(block, [key, order_col])
+        n = block.num_rows
+        same = _same_prev(_codes(block, key))
+        role_same = _same_prev(_codes(block, "role"))
+        ts = np.asarray(block["ts"].combine_chunks()
+                        .cast(pa.timestamp("us")).to_numpy(
+                            zero_copy_only=False)).astype(np.int64)
+        idx = np.asarray(block[order_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        rep = same & role_same
+        reg = np.zeros(n, dtype=bool)
         reg[1:] = same[1:] & (ts[1:] < ts[:-1])
-        gap = np.zeros(len(df), dtype=bool)
+        gap = np.zeros(n, dtype=bool)
         gap[1:] = same[1:] & (idx[1:] - idx[:-1] > 1)
-        agg = pd.DataFrame({
-            key: df[key],
-            "n_role_repeats": rep.astype(np.int64),
-            "n_ts_regressions": reg.astype(np.int64),
-            "n_idx_gaps": gap.astype(np.int64),
-            "n_tool_turns": (df["tool"].to_numpy() != "").astype(np.int64),
+        tool = np.asarray(pc.not_equal(block["tool"], "").combine_chunks()
+                          .to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(~same)
+        return pa.table({
+            key: block[key].take(pa.array(starts, pa.int64())),
+            "n_turns": pa.array(np.diff(np.r_[starts, n]), pa.int64()),
+            "n_role_repeats": pa.array(
+                np.add.reduceat(rep.astype(np.int64), starts), pa.int64()),
+            "n_ts_regressions": pa.array(
+                np.add.reduceat(reg.astype(np.int64), starts), pa.int64()),
+            "n_idx_gaps": pa.array(
+                np.add.reduceat(gap.astype(np.int64), starts), pa.int64()),
+            "n_tool_turns": pa.array(
+                np.add.reduceat(tool.astype(np.int64), starts), pa.int64()),
         })
-        out = agg.groupby(key, sort=True).sum().reset_index()
-        sizes = df.groupby(key, sort=True).size().reset_index(name="n_turns")
-        out.insert(1, "n_turns", sizes["n_turns"].astype("int64"))
-        for c in out_cols[1:]:
-            out[c] = out[c].astype("int64")
-        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
 
     return map_key_blocks(pruned, [key], per_block, num_partitions)
 
@@ -103,17 +128,13 @@ def collapse_repeat_turns(ds: Dataset, key: str = "conv_id",
     cols = ds.schema().names
 
     def per_block(block: pa.Table) -> pa.Table:
-        df = block.to_pandas()
-        if not len(df):
-            return pa.Table.from_pandas(df, preserve_index=False)
-        df = df.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
-        conv = df[key].to_numpy()
-        role = df["role"].to_numpy()
-        text = df["text"].to_numpy()
-        drop = np.zeros(len(df), dtype=bool)
-        drop[1:] = ((conv[1:] == conv[:-1]) & (role[1:] == role[:-1])
-                    & (text[1:] == text[:-1]))
-        return pa.Table.from_pandas(df.loc[~drop, cols], preserve_index=False)
+        if block.num_rows == 0:
+            return block.select(cols)
+        block = _sorted(block, [key, order_col])
+        drop = (_same_prev(_codes(block, key))
+                & _same_prev(_codes(block, "role"))
+                & _same_prev(_codes(block, "text")))
+        return block.filter(pa.array(~drop)).select(cols)
 
     return map_key_blocks(ds, [key], per_block, num_partitions)
 
@@ -239,18 +260,18 @@ def tool_transitions(ds: Dataset, key: str = "conv_id",
                                 zero_copy_batch=True)
 
     def per_block(block: pa.Table) -> pa.Table:
-        df = block.to_pandas()
-        if not len(df):
+        if block.num_rows == 0:
             return pa.table({"tool_from": pa.array([], pa.string()),
                              "tool_to": pa.array([], pa.string())})
-        df = df.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
-        conv = df[key].to_numpy()
-        tool = df["tool"].to_numpy()
-        inner = np.zeros(len(df), dtype=bool)
-        inner[1:] = conv[1:] == conv[:-1]
+        block = _sorted(block, [key, order_col])
+        n = block.num_rows
+        inner = pa.array(_same_prev(_codes(block, key))[1:])
+        tool = block["tool"]
+        if isinstance(tool, pa.ChunkedArray):
+            tool = tool.combine_chunks()
         return pa.table({
-            "tool_from": pa.array(tool[:-1][inner[1:]], pa.string()),
-            "tool_to": pa.array(tool[1:][inner[1:]], pa.string()),
+            "tool_from": tool.slice(0, n - 1).filter(inner),
+            "tool_to": tool.slice(1).filter(inner),
         })
 
     trans = map_key_blocks(tooled, [key], per_block, num_partitions)
@@ -279,22 +300,16 @@ def global_turn_dedup(ds: Dataset, key: str = "conv_id",
     cols = ds.schema().names
 
     def per_block(block: pa.Table) -> pa.Table:
-        df = block.to_pandas()
-        if not len(df):
-            return pa.Table.from_pandas(
-                df.assign(n_dups=pd.Series([], dtype="int64")),
-                preserve_index=False)
-        df = df.sort_values([text_col, key, order_col],
-                            kind="mergesort").reset_index(drop=True)
-        text = df[text_col].to_numpy()
-        first = np.zeros(len(df), dtype=bool)
-        first[0] = True
-        first[1:] = text[1:] != text[:-1]
+        if block.num_rows == 0:
+            return block.select(cols).append_column(
+                "n_dups", pa.array([], pa.int64()))
+        block = _sorted(block, [text_col, key, order_col])
+        first = ~_same_prev(_codes(block, text_col))
         starts = np.flatnonzero(first)
-        lens = np.diff(np.concatenate([starts, [len(df)]]))
-        out = df.loc[first, cols].reset_index(drop=True)
-        out["n_dups"] = (lens - 1).astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        lens = np.diff(np.concatenate([starts, [block.num_rows]]))
+        return block.select(cols).take(
+            pa.array(starts, pa.int64())).append_column(
+            "n_dups", pa.array((lens - 1).astype(np.int64), pa.int64()))
 
     return map_key_blocks(ds, [text_col], per_block, num_partitions,
                           sort_blocks=False)
@@ -508,32 +523,38 @@ def frequent_item_pairs(ds: Dataset, min_support: int = 2,
     def basket_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return PAIR.empty_table()
-        df = (block.to_pandas().drop_duplicates([key, item_col])
-              .sort_values([key, item_col], kind="mergesort")
-              .reset_index(drop=True))
-        kv = df[key].to_numpy()
-        run_id = np.cumsum(np.r_[True, kv[1:] != kv[:-1]]) - 1
+        block = _sorted(block, [key, item_col])
+        kc = _codes(block, key)
+        ic = _codes(block, item_col)
+        sel = np.flatnonzero(~(_same_prev(kc) & _same_prev(ic)))
+        kc, ic = kc[sel], ic[sel]
+        run_id = np.cumsum(np.r_[True, kc[1:] != kc[:-1]]) - 1
         run_len = np.bincount(run_id)
         over = run_len > max_basket
-        items = df[item_col].to_numpy()
         if over.any():
             from epstein_pipeline_ray.state import metrics
-            starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
-            pos = np.arange(len(df)) - np.repeat(starts, run_len)
+            starts0 = np.flatnonzero(np.r_[True, kc[1:] != kc[:-1]])
+            pos = np.arange(kc.size) - np.repeat(starts0, run_len)
             keep = pos < max_basket
             metrics.inc("freqpairs.baskets_capped", int(over.sum()))
-            items, run_id = items[keep], run_id[keep]
+            sel, ic, run_id = sel[keep], ic[keep], run_id[keep]
         from epstein_pipeline_ray.stages.corpus_dedup import _run_pairs
         I, J = _run_pairs(run_id)
         if I.size == 0:
             return PAIR.empty_table()
-        g = (pd.DataFrame({"item_a": items[I], "item_b": items[J]})
-             .groupby(["item_a", "item_b"], sort=False).size()
-             .reset_index(name="support"))
+        # group the pairs by their item CODES (1:1 with strings within a
+        # block), then take representative strings once per unique pair
+        ca, cb = ic[I], ic[J]
+        order = np.lexsort((cb, ca))
+        ca, cb = ca[order], cb[order]
+        first = np.r_[True, (ca[1:] != ca[:-1]) | (cb[1:] != cb[:-1])]
+        starts = np.flatnonzero(first)
+        items_kept = block[item_col].combine_chunks().take(
+            pa.array(sel, pa.int64()))
         return pa.table({
-            "item_a": pa.array(g["item_a"], pa.string()),
-            "item_b": pa.array(g["item_b"], pa.string()),
-            "support": pa.array(g["support"].to_numpy(np.int64), pa.int64()),
+            "item_a": items_kept.take(pa.array(I[order][starts], pa.int64())),
+            "item_b": items_kept.take(pa.array(J[order][starts], pa.int64())),
+            "support": pa.array(np.diff(np.r_[starts, ca.size]), pa.int64()),
         }, schema=PAIR)
 
     partials = map_key_blocks(pruned, [key], basket_block, num_partitions,
@@ -542,13 +563,19 @@ def frequent_item_pairs(ds: Dataset, min_support: int = 2,
     def sum_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return PAIR.empty_table()
-        g = (block.to_pandas().groupby(["item_a", "item_b"], sort=True)
-             ["support"].sum().reset_index())
-        g = g.loc[g["support"] >= min_support]
+        block = _sorted(block, ["item_a", "item_b"])
+        first = ~(_same_prev(_codes(block, "item_a"))
+                  & _same_prev(_codes(block, "item_b")))
+        starts = np.flatnonzero(first)
+        sup = np.asarray(block["support"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        sums = np.add.reduceat(sup, starts)
+        keep = sums >= min_support
+        take_idx = pa.array(starts[keep], pa.int64())
         return pa.table({
-            "item_a": pa.array(g["item_a"], pa.string()),
-            "item_b": pa.array(g["item_b"], pa.string()),
-            "support": pa.array(g["support"].to_numpy(np.int64), pa.int64()),
+            "item_a": block["item_a"].take(take_idx),
+            "item_b": block["item_b"].take(take_idx),
+            "support": pa.array(sums[keep], pa.int64()),
         }, schema=PAIR)
 
     return map_key_blocks(partials, ["item_a", "item_b"], sum_block,
