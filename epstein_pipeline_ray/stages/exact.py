@@ -150,7 +150,7 @@ def soft_dedup_weights(docs: Dataset, id_col: str = "doc_id",
     vectorized run sizes per block. Output: (id, n_copies:int64,
     weight:float64 rounded 6).
     """
-    import pandas as pd
+    import pyarrow.compute as pc
 
     from epstein_pipeline_ray.functions.rounding import sql_round
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
@@ -160,23 +160,27 @@ def soft_dedup_weights(docs: Dataset, id_col: str = "doc_id",
     pruned = hashed.select_columns([id_col, "content_hash"])
 
     def per_block(block: pa.Table) -> pa.Table:
-        df = block.to_pandas()
-        if not len(df):
+        if block.num_rows == 0:
             return pa.table({id_col: block[id_col],
                              "n_copies": pa.array([], pa.int64()),
                              "weight": pa.array([], pa.float64())})
-        df = df.sort_values(["content_hash"], kind="mergesort").reset_index(drop=True)
-        h = df["content_hash"].to_numpy()
-        first = np.zeros(len(df), dtype=bool)
+        block = block.combine_chunks().sort_by(
+            [("content_hash", "ascending")])
+        hcol = block["content_hash"]
+        if isinstance(hcol, pa.ChunkedArray):
+            hcol = hcol.combine_chunks()
+        codes = np.asarray(hcol.dictionary_encode().indices)
+        first = np.zeros(codes.size, dtype=bool)
         first[0] = True
-        first[1:] = h[1:] != h[:-1]
+        first[1:] = codes[1:] != codes[:-1]
         run_id = np.cumsum(first) - 1
         sizes = np.bincount(run_id)
         n_copies = sizes[run_id]
-        blank = h == EMPTY_TEXT_HASH
+        blank = np.asarray(pc.equal(hcol, EMPTY_TEXT_HASH)
+                           .to_numpy(zero_copy_only=False))
         n_copies = np.where(blank, 1, n_copies).astype(np.int64)
         return pa.table({
-            id_col: pa.Array.from_pandas(df[id_col]),
+            id_col: block[id_col],
             "n_copies": pa.array(n_copies, pa.int64()),
             "weight": pa.array(sql_round(1.0 / n_copies.astype(np.float64), 6),
                                pa.float64()),

@@ -457,9 +457,15 @@ def _dedup_pairs_block(batch: pa.Table) -> pa.Table:
     any row is exact."""
     from epstein_pipeline_ray.stages.exact import PAIRS_SCHEMA
 
-    df = batch.to_pandas()
-    df = df.drop_duplicates(subset=["id_a", "id_b"], keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False).cast(PAIRS_SCHEMA)
+    if batch.num_rows == 0:
+        return batch.cast(PAIRS_SCHEMA)
+    batch = batch.combine_chunks().sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")])
+    ca = np.asarray(batch["id_a"].combine_chunks().dictionary_encode().indices)
+    cb = np.asarray(batch["id_b"].combine_chunks().dictionary_encode().indices)
+    dup = np.zeros(batch.num_rows, dtype=bool)
+    dup[1:] = (ca[1:] == ca[:-1]) & (cb[1:] == cb[:-1])
+    return batch.filter(pa.array(~dup)).cast(PAIRS_SCHEMA)
 
 
 def minhash_raw_pairs(docs: Dataset, cfg: DedupConfig,
