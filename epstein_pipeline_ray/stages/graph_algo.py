@@ -1412,6 +1412,12 @@ def kcore(
             return _empty()
         deg = degrees(de).materialize()
         keep = deg.filter(expr=f"deg >= {int(k)}")
+        # fixed point: no node falls below k → restrict is the identity and
+        # every remaining round reproduces this exact state, so the final
+        # degrees ARE `deg` (equality with the exactly-unrolled SQL twin is
+        # preserved — the twin's extra rounds are identities too)
+        if keep.count() == deg.count():
+            return deg
         tagged = attach_column(de, keep, "s", "node", "deg", "__fs",
                                num_partitions=num_partitions)
         tagged = attach_column(tagged, keep, "d", "node", "deg", "__fd",
@@ -1992,11 +1998,24 @@ def ktruss(
                               num_partitions, sort_blocks=False)
 
     for _ in range(rounds):
-        if cur.count() == 0:
+        n_before = cur.count()
+        if n_before == 0:
             return _empty()
         sup = edge_support(cur).materialize()
         cur = filter_by_support(cur, sup).materialize()
         gc_exchange_dirs()
+        if cur.count() == n_before:
+            # fixed point: every edge survived, so every remaining round
+            # (and the post-loop support pass) reproduces exactly this
+            # state — `sup` IS the final (a, b, support) table: it covers
+            # precisely the surviving edges (an edge absent from sup has
+            # support 0 and would have been dropped) with their final
+            # within-subgraph support. Twin equality is preserved — its
+            # extra unrolled rounds are identities too.
+            return sup.map_batches(
+                lambda b: pa.table({"a": b["a"], "b": b["b"],
+                                    "support": b["c"]}, schema=OUT),
+                batch_format="pyarrow", zero_copy_batch=True)
 
     if cur.count() == 0:
         return _empty()
