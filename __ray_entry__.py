@@ -3008,6 +3008,30 @@ def q_lang_pivot(sf_dir: str):
                         ["de", "en", "es", "fr", "zh"])
 
 
+def q_unpivot_metrics(sf_dir: str):
+    """UNPIVOT / melt of the lineitem measure columns into long form —
+    the inverse schema transform of lang_pivot★'s wide pivot
+    (relational.unpivot): one map_batches pass, zero exchange, every
+    measure cast to float64. Filtered to l_orderkey % 7 == 0 so the
+    gate ships a bounded long table; UNION-ALL DuckDB twin."""
+    from epstein_pipeline_ray.stages.relational import unpivot
+
+    def keep_mod7(b):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = np.asarray(b["l_orderkey"].to_numpy(zero_copy_only=False))
+        return b.filter(pa.array(keys % 7 == 0))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"]).map_batches(
+        keep_mod7, batch_format="pyarrow", zero_copy_batch=True)
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"])
+
+
 def q_value_cms(sf_dir: str):
     """Count-Min sketch point estimates over bucketed event values at a
     colliding width (w=64 < the 100-value domain, so overcounts are
@@ -4461,6 +4485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_distinct_hll": q_value_distinct_hll,
         "value_cms": q_value_cms,
         "lang_pivot": q_lang_pivot,
+        "unpivot_metrics": q_unpivot_metrics,
         "rank_stats": q_rank_stats,
         "cohort_retention": q_cohort_retention,
         "funnel": q_funnel,
@@ -7397,6 +7422,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
                    sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
             FROM documents GROUP BY source
+        """,
+        "unpivot_metrics": """
+            WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0)
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS metric, l_quantity::DOUBLE AS value
+            FROM f
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice::DOUBLE FROM f
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount::DOUBLE FROM f
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_tax', l_tax::DOUBLE FROM f
         """,
         "value_cms": cms_sql(
             "t AS (SELECT CAST(floor(value) AS BIGINT) % 100 AS v "

@@ -1843,6 +1843,53 @@ def pivot_counts(ds: Dataset, row_key: str, col_key: str,
                           sort_blocks=False)
 
 
+def unpivot(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    metric_col: str = "metric",
+    value_col: str = "value",
+) -> Dataset:
+    """UNPIVOT / melt: wide → long, the inverse schema transform of
+    :func:`pivot_counts`. Each input row becomes ``len(value_cols)``
+    output rows ``(id_cols..., metric, value)`` with every measure cast
+    to float64 (the SQL UNION ALL convention — one SELECT per measure
+    column needs a common value type). Embarrassingly parallel: one
+    ``map_batches`` pass, zero exchange — each batch emits its own long
+    form by column slicing (no row loop; the metric column is a
+    constant-per-slice Arrow array).
+
+    Twin shape: ``SELECT id..., 'c' AS metric, c::DOUBLE AS value FROM t
+    UNION ALL ...`` (one arm per value column)."""
+    names = ds.schema().names
+    types = dict(zip(names, ds.schema().types))
+    OUT = pa.schema([(c, types[c]) for c in id_cols]
+                    + [(metric_col, pa.string()),
+                       (value_col, pa.float64())])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return OUT.empty_table()
+        n = batch.num_rows
+        parts = []
+        for vc in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            # n identical strings → one repeated-scalar Arrow array
+            cols[metric_col] = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, np.int32)),
+                pa.array([vc], pa.string())).cast(pa.string())
+            v = batch[vc]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            cols[value_col] = v.cast(pa.float64())
+            parts.append(pa.table(cols, schema=OUT))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(
+        list(dict.fromkeys(id_cols + value_cols))).map_batches(
+        melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def with_group_rank_stats(
     ds: Dataset,
     key: str,

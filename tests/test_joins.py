@@ -1348,3 +1348,40 @@ def test_banded_count_join_zero_and_brute(ray_session):
     for i in range(80):
         want = int(((rk == lk[i]) & (np.abs(rt - lt[i]) <= 37)).sum())
         assert out[i] == want
+
+
+def test_unpivot_melt_roundtrip(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import unpivot
+
+    rng = np.random.RandomState(7)
+    n = 200
+    tbl = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "grp": pa.array([f"g{i % 3}" for i in range(n)], pa.string()),
+        "m1": pa.array(rng.randint(0, 50, n), pa.int32()),
+        "m2": pa.array(rng.rand(n).round(4), pa.float64()),
+    })
+    got = (unpivot(rd.from_arrow(tbl), ["id", "grp"], ["m1", "m2"])
+           .to_pandas().sort_values(["id", "metric"])
+           .reset_index(drop=True))
+    want = (pd.DataFrame({
+        "id": np.repeat(np.arange(n), 2),
+        "grp": np.repeat([f"g{i % 3}" for i in range(n)], 2),
+        "metric": ["m1", "m2"] * n,
+        "value": np.column_stack([
+            tbl["m1"].to_numpy().astype(np.float64),
+            tbl["m2"].to_numpy()]).ravel(),
+    }).sort_values(["id", "metric"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # long form is batching-invariant and 2x the input rows
+    assert len(got) == 2 * n
+    got2 = (unpivot(rd.from_arrow(tbl).repartition(9), ["id", "grp"],
+                    ["m1", "m2"])
+            .to_pandas().sort_values(["id", "metric"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
