@@ -2654,6 +2654,51 @@ def q_distinctive_terms(sf_dir: str):
     return distinctive_terms(docs, "source")
 
 
+def q_golden_records(sf_dir: str):
+    """Survivorship / golden-record merge (the MDM step after entity
+    resolution): lineitem-derived record versions per orderkey with
+    deterministic planted nulls (price null when (k+ln)%3==0, ship null
+    when (k*7+ln)%4==0); each field independently takes its first
+    non-null value in (line-number, price, ship) composite-rank order
+    — the synthetic lineitem has duplicate (orderkey, linenumber)
+    pairs, so the value columns break rank ties; rows tied on all
+    three are full duplicates and contribute identical survivors
+    (entity_resolution.golden_records — one keyed exchange, vectorized
+    per-field reduceat survivors); array_agg-FILTER DuckDB twin."""
+    from epstein_pipeline_ray.stages.entity_resolution import golden_records
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_shipdate"])
+
+    def plant_nulls(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        ln = np.asarray(batch["l_linenumber"].to_numpy(
+            zero_copy_only=False), np.int64)
+        price = batch["l_extendedprice"]
+        if isinstance(price, pa.ChunkedArray):
+            price = price.combine_chunks()
+        ship = batch["l_shipdate"]
+        if isinstance(ship, pa.ChunkedArray):
+            ship = ship.combine_chunks()
+        pm = (k + ln) % 3 == 0
+        sm = (k * 7 + ln) % 4 == 0
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "rnk": pa.array(ln, pa.int64()),
+            "price": pa.array(price.to_numpy(zero_copy_only=False),
+                              pa.float64(), mask=pm),
+            "ship": pa.Array.from_pandas(
+                ship.to_pandas().mask(sm), type=pa.timestamp("us")),
+        })
+
+    rec = li.map_batches(plant_nulls, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return golden_records(rec, "k", ["rnk", "price", "ship"],
+                          ["price", "ship"])
+
+
 def q_cdc_merge(sf_dir: str):
     """CDC changelog merge (lakehouse MERGE INTO): orders snapshot +
     lineitem-derived upsert/delete change rows (version = linenumber,
@@ -4525,6 +4570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf": q_zipf,
         "iqr_outliers": q_iqr_outliers,
         "cdc_merge": q_cdc_merge,
+        "golden_records": q_golden_records,
         "soundex_blocks": q_soundex_blocks,
         "stratified_folds": q_stratified_folds,
         "events_hopping": q_events_hopping,
@@ -6717,6 +6763,23 @@ def oracle_sql() -> dict[str, str]:
         # synthetic lineitem has duplicate (orderkey, linenumber) rows, so
         # the pick order extends through (op, price) — the engine's full
         # deterministic tie-break.
+        "golden_records": """
+            WITH rec AS (
+                SELECT l_orderkey AS k, l_linenumber::BIGINT AS rnk,
+                       CASE WHEN (l_orderkey + l_linenumber) % 3 = 0
+                            THEN NULL ELSE l_extendedprice END AS price,
+                       CASE WHEN (l_orderkey * 7 + l_linenumber) % 4 = 0
+                            THEN NULL ELSE l_shipdate END AS ship
+                FROM lineitem
+            )
+            SELECT k,
+                   (array_agg(price ORDER BY rnk, price, ship)
+                    FILTER (WHERE price IS NOT NULL))[1] AS price,
+                   (array_agg(ship ORDER BY rnk, price, ship)
+                    FILTER (WHERE ship IS NOT NULL))[1] AS ship,
+                   count(*)::BIGINT AS n_rec
+            FROM rec GROUP BY k
+        """,
         "cdc_merge": """
             WITH snap AS (
                 SELECT o_orderkey AS k, 0::BIGINT AS version,

@@ -366,3 +366,76 @@ def sorted_neighborhood_pairs(
     from epstein_pipeline_ray.stages.groupblock import concat_datasets
 
     return concat_datasets([inner, rd.from_arrow(cross)])
+
+
+def golden_records(
+    ds: Dataset,
+    key: str,
+    rank_col: str | list[str],
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Survivorship merge (the MDM step after entity resolution — the
+    reference applies its merge_map and keeps whole rows,
+    entity_resolution.py:276-285; golden records generalize that to
+    per-FIELD survivorship): one output row per ``key`` where each value
+    column takes its first NON-NULL value in ascending ``rank_col``
+    order (a list = composite rank, later columns break ties; nulls sort
+    last on both engines), plus ``n_rec`` (merged record count).
+    ``(key, *rank_cols)`` must totally order rows UP TO full-duplicate
+    rows — rows tied on every rank column contribute identical survivor
+    values, so the output stays deterministic; the same contract as
+    SQL's ``ORDER BY``.
+
+    One keyed exchange; per key-sorted block, each column's survivor is
+    found vectorized: positions of valid rows, ``np.minimum.reduceat``
+    over runs, one Arrow ``take`` with a null mask for all-null groups —
+    no per-group Python, works for any column type (timestamps included).
+
+    Twin shape: ``(array_agg(col ORDER BY rnk) FILTER (WHERE col IS NOT
+    NULL))[1]`` per column, ``GROUP BY key``.
+    """
+    from epstein_pipeline_ray.stages.groupblock import map_key_blocks
+
+    rank_cols = [rank_col] if isinstance(rank_col, str) else list(rank_col)
+    names = ds.schema().names
+    types = dict(zip(names, ds.schema().types))
+    OUT = pa.schema([(key, types[key])]
+                    + [(c, types[c]) for c in value_cols]
+                    + [("n_rec", pa.int64())])
+
+    def block_fn(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        block = block.combine_chunks().sort_by(
+            [(key, "ascending")]
+            + [(c, "ascending") for c in rank_cols])
+        kcol = block[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = np.asarray(kcol.dictionary_encode().indices)
+        n = len(codes)
+        starts = np.concatenate(
+            [[0], np.nonzero(codes[1:] != codes[:-1])[0] + 1]).astype(np.int64)
+        ends = np.concatenate([starts[1:], [n]])
+        pos = np.arange(n, dtype=np.int64)
+        cols = {key: kcol.take(pa.array(starts))}
+        for c in value_cols:
+            col = block[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = np.asarray(pc.is_valid(col))
+            cand = np.where(valid, pos, n)  # invalid rows → sentinel
+            first = np.minimum.reduceat(cand, starts)
+            missing = first >= n  # group had no non-null value
+            # a null take-index yields a null output slot
+            idx = pa.array(np.where(missing, 0, first), pa.int64(),
+                           mask=missing)
+            cols[c] = col.take(idx)
+        cols["n_rec"] = pa.array(ends - starts, pa.int64())
+        return pa.table(cols, schema=OUT)
+
+    pruned = ds.select_columns(
+        list(dict.fromkeys([key] + rank_cols + value_cols)))
+    return map_key_blocks(pruned, [key], block_fn, num_partitions,
+                          sort_blocks=False)

@@ -143,3 +143,46 @@ def test_sorted_neighborhood_pairs_brute(ray_session):
     want = pd.DataFrame(want, columns=["id_a", "id_b"])
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_golden_records_survivorship(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.entity_resolution import golden_records
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "rnk": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        # k=1: rank-1 null -> rank-2 value survives; k=2 all null -> NULL;
+        # k=3 single record
+        "a": pa.array([None, 10.0, 20.0, None, None, 7.0], pa.float64()),
+        # k=1: rank-1 value survives even though later ranks differ
+        "b": pa.array(["x", None, "z", "p", None, None], pa.string()),
+    })
+    got = (golden_records(rd.from_arrow(tbl), "k", "rnk", ["a", "b"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({
+        "k": [1, 2, 3],
+        "a": [10.0, np.nan, 7.0],
+        "b": ["x", "p", None],
+        "n_rec": [3, 2, 1],
+    })
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # batching-invariant (the exchange reassembles whole key groups)
+    got2 = (golden_records(rd.from_arrow(tbl).repartition(5), "k", "rnk",
+                           ["a", "b"])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+    # composite rank: value columns break rank ties deterministically
+    t2 = pa.table({
+        "k": pa.array([9, 9], pa.int64()),
+        "rnk": pa.array([1, 1], pa.int64()),
+        "a": pa.array([5.0, 3.0], pa.float64()),
+    })
+    g = golden_records(rd.from_arrow(t2), "k", ["rnk", "a"], ["a"]).to_pandas()
+    assert g["a"].tolist() == [3.0]
