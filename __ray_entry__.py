@@ -3635,6 +3635,26 @@ def q_event_rank(sf_dir: str):
     return with_group_rank(ev, "user_id", "value", "event_id")
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Runtime-filter semi join (Spark/Presto dynamic-filter pattern,
+    joins.bloom_semi_join): events whose user placed a >300k order —
+    the right key set is summarized as an OR-merged Bloom filter that
+    pre-filters the left side BEFORE the exact semi join, so only
+    probable matches pay the exchange; no false negatives, false
+    positives removed by the exact stage, so the result is EXACTLY the
+    plain semi join and carries a full EXISTS DuckDB twin."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import bloom_semi_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_semi_join(ev, big, "user_id", "o_custkey")
+
+
 def q_events_orders_join(sf_dir: str):
     """General m:n inner hash join (joins.hash_join): events × orders
     on user_id = o_custkey (both sides repeat the key), mod-filtered
@@ -4674,6 +4694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quartiles": q_event_quartiles,
         "event_zscore": q_event_zscore,
         "events_orders_join": q_events_orders_join,
+        "bloom_semi_join": q_bloom_semi_join,
         "events_orders_left": q_events_orders_left,
         "events_orders_outer": q_events_orders_outer,
         "head_tail": q_head_tail,
@@ -6136,6 +6157,13 @@ def oracle_sql() -> dict[str, str]:
                    o.o_orderkey, o.o_totalprice
             FROM events e JOIN orders o ON e.user_id = o.o_custkey
             WHERE e.event_id % 7 = 0 AND o.o_orderkey % 5 = 0
+        """,
+        "bloom_semi_join": """
+            SELECT e.event_id, e.user_id, e.event_type
+            FROM events e
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = e.user_id
+                            AND o.o_totalprice > 300000)
         """,
         "tool_pairs": f"""
             WITH {{NOISY}},

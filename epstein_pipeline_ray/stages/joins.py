@@ -463,3 +463,85 @@ def banded_count_join(
 
     return map_key_blocks(unioned, ["k", "bucket"], block, num_partitions,
                           sort_blocks=False)
+
+
+def _hash64_col(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit hash of a key column (same fixed-key
+    vectorized hash the exchange partitioner uses — identical across
+    processes and runs)."""
+    import pandas as pd
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    npcol = col.to_numpy(zero_copy_only=False)
+    if npcol.dtype == object:
+        return pd.util.hash_array(npcol).astype(np.uint64)
+    return pd.util.hash_array(
+        np.ascontiguousarray(npcol)).astype(np.uint64)
+
+
+def bloom_semi_join(
+    left: Dataset,
+    right_keys: Dataset,
+    left_key: str,
+    right_key: str | None = None,
+    fpr: float = 0.001,
+    broadcast_rows_limit: int = 5_000_000,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Runtime-filter semi join (the Spark/Presto dynamic-filter
+    pattern): when the right key set is too big to broadcast raw but
+    its Bloom filter fits, pre-filter ``left`` with the bloom BEFORE
+    the exact join so only probable matches pay the exchange.
+
+    1. right pass: fixed-size partial blooms over hash64(key) per
+       block, OR-merged on the driver (order-free — the
+       decontaminate_bloom contract), one ``ray.put``.
+    2. left pre-filter: probe per batch (C-vectorized). No false
+       negatives — no matching row is ever dropped here.
+    3. exact semi join (:func:`key_membership_join`) over the
+       survivors removes the bloom's false positives.
+
+    The result is EXACTLY the plain semi join — the bloom only cuts
+    exchange volume (at ``fpr=0.001``, a 10^9-key right side is a
+    ~1.7 GiB bit array vs ~8 GiB of raw hashes, and a mostly-miss left
+    side sends ~0.1% of its rows to the exchange). That exactness is
+    why this operator carries a full SQL twin, unlike the sketch
+    estimators.
+    """
+    from epstein_pipeline_ray.functions.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_params,
+        bloom_probe,
+    )
+
+    right_key = right_key or left_key
+    pruned_right = right_keys.select_columns([right_key]).materialize()
+    n_items = pruned_right.count() or 1
+    m_bits, k = bloom_params(n_items, fpr)
+    refs = pruned_right.to_arrow_refs()
+
+    @ray.remote
+    def _partial(t: pa.Table, m_bits: int, k: int) -> np.ndarray:
+        if not t.num_rows:
+            return np.zeros(m_bits // 8, dtype=np.uint8)
+        return bloom_build(np.unique(_hash64_col(t[right_key])), m_bits, k)
+
+    parts = ray.get([_partial.remote(r, m_bits, k) for r in refs])
+    bits_ref = ray.put(bloom_merge(parts) if parts
+                       else np.zeros(m_bits // 8, dtype=np.uint8))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bits = ray.get(bits_ref)
+        hit = bloom_probe(bits, _hash64_col(batch[left_key]), k)
+        return batch.filter(pa.array(hit))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return key_membership_join(
+        survivors, pruned_right, left_key, right_key, mode="semi",
+        broadcast_rows_limit=broadcast_rows_limit,
+        num_partitions=num_partitions)

@@ -1385,3 +1385,43 @@ def test_unpivot_melt_roundtrip(ray_session):
             .to_pandas().sort_values(["id", "metric"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_bloom_semi_join_exact_both_plans(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import (
+        bloom_semi_join,
+        key_membership_join,
+    )
+
+    rng = np.random.RandomState(11)
+    left = pa.table({
+        "k": pa.array(rng.randint(0, 5000, 4000), pa.int64()),
+        "v": pa.array(rng.rand(4000).round(4), pa.float64()),
+    })
+    # sparse right side → the bloom pre-filter removes most left rows
+    right = pa.table({"rk": pa.array(rng.choice(5000, 60, replace=False),
+                                     pa.int64())})
+    want = (key_membership_join(rd.from_arrow(left), rd.from_arrow(right),
+                                "k", "rk", mode="semi")
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    got = (bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                           "k", "rk")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # forced-limit-0: the exact stage runs the EXCHANGE plan — result
+    # must be identical (the bloom is a pure volume cut, never semantic)
+    got2 = (bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                            "k", "rk", broadcast_rows_limit=0)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want)
+    # empty right side → empty result, no crash
+    got3 = bloom_semi_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right).filter(lambda r: False),
+        "k", "rk").count()
+    assert got3 == 0
