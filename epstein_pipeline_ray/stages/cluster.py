@@ -257,24 +257,72 @@ def min_label_propagation(pairs: Dataset, num_partitions: int | None = None,
             schema=STEP,
         )
 
-    for _ in range(max_iters):
-        lbl_msgs = labels.map_batches(
-            label_msgs, batch_format="pyarrow", zero_copy_batch=True)
-        from epstein_pipeline_ray.stages.groupblock import concat_datasets
+    # Static-edge-shard caching (disk exchange only): the directed edge
+    # table is the SAME every round — partition it once and co-group each
+    # round's label-message exchange against the cached shards (same keys
+    # + same width → co-partitioned by construction). Per round, only the
+    # node-sized label table moves; the edge table never re-ships.
+    import os as _os
 
-        msgs = concat_datasets([directed, lbl_msgs.materialize()])
-        cands = map_key_blocks(msgs, ["k"], scatter_block, num_partitions,
-                               sort_blocks=False)
-        step = map_key_blocks(cands, ["node"], gather_block, num_partitions,
-                              sort_blocks=False).materialize()
-        gc_exchange_dirs()
-        labels = step.select_columns(["node", "label"]).materialize()
-        n_changed = step.sum("changed") or 0
-        if n_changed == 0:
-            return labels
-    raise RuntimeError(
-        f"min_label_propagation did not converge in {max_iters} iterations"
+    from epstein_pipeline_ray.stages.exchange import disk_exchange_is_safe
+
+    use_cached_edges = (
+        _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
+        and disk_exchange_is_safe()
+        and _os.environ.get("EPR_CC_CACHE_EDGES", "1").lower()
+        not in ("0", "false")
     )
+    edges_mdf = edges_dir = None
+    if use_cached_edges:
+        from epstein_pipeline_ray.stages.exchange import (
+            _CREATED_DIRS,
+            consume_exchange_manifests,
+            write_exchange_shards,
+        )
+
+        edges_mdf, num_partitions, edges_dir = write_exchange_shards(
+            directed, ["k"], num_partitions)
+        # unregister from the round-GC list: the cached shards must
+        # survive every per-round gc_exchange_dirs() below
+        if edges_dir in _CREATED_DIRS:
+            _CREATED_DIRS.remove(edges_dir)
+
+    try:
+        for _ in range(max_iters):
+            lbl_msgs = labels.map_batches(
+                label_msgs, batch_format="pyarrow", zero_copy_batch=True)
+            if use_cached_edges:
+                lbl_mdf, _, _ = write_exchange_shards(
+                    lbl_msgs, ["k"], num_partitions,
+                    materialize_input=False)
+                cands = consume_exchange_manifests(
+                    [edges_mdf, lbl_mdf], scatter_block, num_partitions,
+                    ["k"], sort_blocks=False)
+            else:
+                from epstein_pipeline_ray.stages.groupblock import (
+                    concat_datasets,
+                )
+
+                msgs = concat_datasets([directed, lbl_msgs.materialize()])
+                cands = map_key_blocks(msgs, ["k"], scatter_block,
+                                       num_partitions, sort_blocks=False)
+            step = map_key_blocks(cands, ["node"], gather_block,
+                                  num_partitions,
+                                  sort_blocks=False).materialize()
+            gc_exchange_dirs()
+            labels = step.select_columns(["node", "label"]).materialize()
+            n_changed = step.sum("changed") or 0
+            if n_changed == 0:
+                return labels
+        raise RuntimeError(
+            f"min_label_propagation did not converge in {max_iters} "
+            f"iterations"
+        )
+    finally:
+        if edges_dir is not None:
+            import shutil
+
+            shutil.rmtree(edges_dir, ignore_errors=True)
 
 
 def _cc_driver_limit(default: int = 20_000_000) -> int:

@@ -214,15 +214,42 @@ def exchange_key_blocks(
     SKIPS the entire map side — the input dataset is never executed.
     """
     exch = exchange_dir or os.path.join(_EXCHANGE_ROOT, uuid.uuid4().hex[:12])
-    manifest_path = os.path.join(exch, "_MANIFEST.parquet")
     success_path = os.path.join(exch, "_SUCCESS")
     if exchange_dir and os.path.exists(success_path):
-        mdf = pq.read_table(manifest_path).to_pandas()
+        mdf = pq.read_table(os.path.join(exch, "_MANIFEST.parquet")).to_pandas()
         if num_partitions is None:
             # cover every partition id the original run hashed to
             num_partitions = int(mdf["part"].max()) + 1 if len(mdf) else 1
         return _consume_exchange(mdf, fn, num_partitions, schema,
                                  keys, sort_blocks)
+    mdf, p, _ = write_exchange_shards(
+        ds, keys, num_partitions, exchange_dir=exch,
+        materialize_input=materialize_input)
+    return _consume_exchange(mdf, fn, p, schema, keys, sort_blocks, ds)
+
+
+def write_exchange_shards(
+    ds: Dataset,
+    keys: list[str],
+    num_partitions: int | None,
+    exchange_dir: str | None = None,
+    materialize_input: bool = True,
+) -> tuple[pd.DataFrame, int, str]:
+    """Map side of the exchange alone: hash-partition ``ds`` by ``keys``
+    into shard files and publish the manifest. Returns
+    ``(manifest_df, num_partitions, dir)``.
+
+    Exposed separately so ITERATIVE loops can partition a static side
+    ONCE and co-group per-round deltas against the cached shards
+    (:func:`consume_exchange_manifests`) — e.g. a graph loop's edge
+    table is written once and only the label table moves per round.
+    Partition assignment is a pure function of the key values
+    (:func:`_part_codes`), so two exchanges with the same keys and the
+    same width are co-partitioned by construction.
+    """
+    exch = exchange_dir or os.path.join(_EXCHANGE_ROOT, uuid.uuid4().hex[:12])
+    manifest_path = os.path.join(exch, "_MANIFEST.parquet")
+    success_path = os.path.join(exch, "_SUCCESS")
     os.makedirs(exch, exist_ok=True)
     _CREATED_DIRS.append(exch)
     # Materialize the input: without this barrier Ray fuses the (possibly
@@ -294,7 +321,26 @@ def exchange_key_blocks(
         manifest_path)
     with open(success_path, "w"):
         pass
-    return _consume_exchange(mdf, fn, p, schema, keys, sort_blocks, ds)
+    return mdf, p, exch
+
+
+def consume_exchange_manifests(
+    manifests: list[pd.DataFrame],
+    fn: Callable[[pa.Table], pa.Table],
+    num_partitions: int,
+    keys: list[str],
+    sort_blocks: bool = True,
+    schema: pa.Schema | None = None,
+) -> Dataset:
+    """Reduce side over the UNION of several same-key same-width
+    exchanges: partition i of the output reads partition-i shards from
+    EVERY manifest (co-partitioned because :func:`_part_codes` is a pure
+    function of the key values), concatenates them, and applies ``fn``.
+    The static-side-caching primitive for iterative loops."""
+    mdf = pd.concat(manifests, ignore_index=True) if manifests else \
+        pd.DataFrame({"part": [], "path": []})
+    return _consume_exchange(mdf, fn, num_partitions, schema, keys,
+                             sort_blocks)
 
 
 def _consume_exchange(

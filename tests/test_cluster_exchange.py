@@ -204,3 +204,29 @@ def test_partition_agreement_b3(ray_session):
     r2 = partition_agreement(gold, sys2).to_pandas().iloc[0]
     assert r2.b3_recall == 1.0
     assert r2.b3_precision == 0.5
+
+
+def test_cc_cached_edge_shards_parity(ray_session, monkeypatch):
+    """The static-edge-shard-caching loop (edges partitioned once,
+    label messages co-grouped against the cached shards each round)
+    must produce the same label table as the per-round re-exchange."""
+    rng = np.random.default_rng(5)
+    # chain + stars + isolated pairs → multi-round convergence
+    edges = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)]
+    edges += [(f"h{j}", f"h{j}_{k}") for j in range(5) for k in range(6)]
+    edges += [(f"p{i}a", f"p{i}b") for i in range(10)]
+    rng.shuffle(edges)
+
+    def run():
+        return (min_label_propagation(_pairs_ds(edges))
+                .to_pandas().sort_values("node").reset_index(drop=True))
+
+    monkeypatch.setenv("EPR_CC_CACHE_EDGES", "1")
+    cached = run()
+    monkeypatch.setenv("EPR_CC_CACHE_EDGES", "0")
+    classic = run()
+    pd.testing.assert_frame_equal(cached, classic)
+    # every chain node got the chain min; stars got the hub-min label
+    lab = dict(zip(cached["node"], cached["label"]))
+    assert all(lab[f"c{i:03d}"] == "c000" for i in range(41))
+    assert lab["h3_4"] == "h3"
