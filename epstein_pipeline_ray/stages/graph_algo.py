@@ -257,42 +257,115 @@ def pagerank(
         return pa.table({"dst": pa.array(g["dst"], pa.string()),
                          "inflow": pa.array(g["c"], pa.float64())}, schema=IN)
 
-    from epstein_pipeline_ray.stages.exchange import gc_exchange_dirs
+    from epstein_pipeline_ray.stages.exchange import (
+        disk_exchange_is_safe,
+        gc_exchange_dirs,
+    )
 
-    for _ in range(iters):
-        contrib = attach_column(e, pr, "src", "node", "pr", "pr",
-                                num_partitions=num_partitions)
-        inflow = map_key_blocks(contrib, ["dst"], inflow_block, num_partitions)
-        stepped = attach_column(nodes, inflow, "node", "dst",
-                                "inflow", "inflow", num_partitions=num_partitions)
+    # Static-edge-shard caching (same trade as the CC loop): the
+    # deg-attached edge table is identical every round — partition it by
+    # dst ONCE and, per round, ship only the node-sized pr table into the
+    # cached-shard consume as a broadcast lookup. Within-group summand
+    # order is unchanged (the classic plan's stable sort by dst preserves
+    # raw concat order within each dst group), so the per-iteration
+    # rounding stays bit-equal to the unrolled SQL twin.
+    import os as _os
 
-        def update(batch: pa.Table, d=damping, r=round_digits,
-                   s_=personalize, nn=n_nodes) -> pa.Table:
-            import pyarrow.compute as pc
+    use_cached_edges = (
+        _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
+        and disk_exchange_is_safe()
+        and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
+        not in ("0", "false")
+        and n_nodes <= 5_000_000  # pr must broadcast
+    )
+    edges_mdf = edges_dir = None
+    if use_cached_edges:
+        import ray as _ray
 
-            infl = np.asarray(pc.fill_null(
-                batch["inflow"].combine_chunks()
-                if isinstance(batch["inflow"], pa.ChunkedArray)
-                else batch["inflow"], 0.0).to_numpy(zero_copy_only=False))
-            if s_ is None:
-                b = (1.0 - d) / nn
+        from epstein_pipeline_ray.stages.exchange import (
+            _CREATED_DIRS,
+            consume_exchange_manifests,
+            write_exchange_shards,
+        )
+
+        edges_mdf, num_partitions, edges_dir = write_exchange_shards(
+            e, ["dst"], num_partitions)
+        if edges_dir in _CREATED_DIRS:
+            _CREATED_DIRS.remove(edges_dir)
+
+    def _inflow_cached(pr_ds):
+        # node-sized broadcast: (index of node → pr) hash lookup per block
+        pr_tbl = pa.concat_tables(
+            [t for t in _ray.get(pr_ds.to_arrow_refs()) if t.num_rows])
+        idx = pd.Index(pr_tbl["node"].to_pandas())
+        vals = np.asarray(pr_tbl["pr"].to_numpy(zero_copy_only=False))
+        look_ref = _ray.put((idx, vals))
+
+        def block_fn(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return IN.empty_table()
+            lidx, lvals = _ray.get(look_ref)
+            pos = lidx.get_indexer(block["src"].to_pandas())
+            df = pd.DataFrame({
+                "dst": block["dst"].to_pandas(),
+                "c": (lvals[pos]
+                      / np.asarray(block["deg"].to_numpy(
+                          zero_copy_only=False))),
+            })
+            g = df.groupby("dst", sort=True)["c"].sum().reset_index()
+            return pa.table(
+                {"dst": pa.array(g["dst"], pa.string()),
+                 "inflow": pa.array(g["c"], pa.float64())}, schema=IN)
+
+        return consume_exchange_manifests(
+            [edges_mdf], block_fn, num_partitions, ["dst"],
+            sort_blocks=False)
+
+    try:
+        for _ in range(iters):
+            if use_cached_edges:
+                inflow = _inflow_cached(pr)
             else:
-                nodes_arr = (batch["node"].combine_chunks()
-                             if isinstance(batch["node"], pa.ChunkedArray)
-                             else batch["node"])
-                b = np.where(
-                    np.asarray(pc.equal(nodes_arr,
-                                        pa.scalar(s_, pa.string()))
-                               .to_numpy(zero_copy_only=False)),
-                    1.0 - d, 0.0)
-            newpr = sql_round(b + d * infl, r)
-            return pa.table({"node": batch["node"],
-                             "pr": pa.array(newpr, pa.float64())})
+                contrib = attach_column(e, pr, "src", "node", "pr", "pr",
+                                        num_partitions=num_partitions)
+                inflow = map_key_blocks(contrib, ["dst"], inflow_block,
+                                        num_partitions)
+            stepped = attach_column(
+                nodes, inflow, "node", "dst",
+                "inflow", "inflow", num_partitions=num_partitions)
 
-        pr = stepped.map_batches(update, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
-        gc_exchange_dirs()
-    return pr
+            def update(batch: pa.Table, d=damping, r=round_digits,
+                       s_=personalize, nn=n_nodes) -> pa.Table:
+                import pyarrow.compute as pc
+
+                infl = np.asarray(pc.fill_null(
+                    batch["inflow"].combine_chunks()
+                    if isinstance(batch["inflow"], pa.ChunkedArray)
+                    else batch["inflow"], 0.0).to_numpy(zero_copy_only=False))
+                if s_ is None:
+                    b = (1.0 - d) / nn
+                else:
+                    nodes_arr = (batch["node"].combine_chunks()
+                                 if isinstance(batch["node"], pa.ChunkedArray)
+                                 else batch["node"])
+                    b = np.where(
+                        np.asarray(pc.equal(nodes_arr,
+                                            pa.scalar(s_, pa.string()))
+                                   .to_numpy(zero_copy_only=False)),
+                        1.0 - d, 0.0)
+                newpr = sql_round(b + d * infl, r)
+                return pa.table({"node": batch["node"],
+                                 "pr": pa.array(newpr, pa.float64())})
+
+            pr = stepped.map_batches(update, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+            gc_exchange_dirs()
+        return pr
+    finally:
+        if edges_dir is not None:
+            import shutil
+
+            shutil.rmtree(edges_dir, ignore_errors=True)
 
 
 def pagerank_sql(edges_cte: str, damping: float = 0.85, iters: int = 10,

@@ -558,3 +558,42 @@ def test_community_conductance_two_cliques(ray_session):
     assert got.internal_edges.tolist() == [6, 6]
     assert got.cut_edges.tolist() == [1, 1]
     assert (got.conductance == round(1 / 13, 9)).all()
+
+
+def test_pagerank_cached_edge_shards_parity(ray_session, monkeypatch):
+    """Static-edge-shard pagerank (edges partitioned once by dst, pr
+    broadcast into the cached consume per round) must equal the classic
+    per-round re-exchange plan exactly — same per-iteration rounding."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import pagerank
+
+    rng = np.random.RandomState(17)
+    rows = sorted({(f"n{int(rng.randint(0, 40))}",
+                    f"n{int(rng.randint(0, 40))}") for _ in range(300)})
+    rows = [(s, d) for s, d in rows if s != d]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.string()),
+        "dst": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+    def run():
+        return (pagerank(edges, iters=6)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "1")
+    cached = run()
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "0")
+    classic = run()
+    pd.testing.assert_frame_equal(cached, classic)
+    # personalized variant through the same loop
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "1")
+    p1 = pagerank(edges, iters=4, personalize="n1").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "0")
+    p0 = pagerank(edges, iters=4, personalize="n1").to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p0)
