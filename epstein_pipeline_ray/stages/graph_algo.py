@@ -1294,24 +1294,90 @@ def hits(
         return vec.map_batches(norm, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
 
+    # Static-edge-shard caching (the CC/PageRank trade, twice over): the
+    # distinct edge table is pushed through an exchange TWICE per
+    # iteration (once keyed by d, once by s) yet never changes —
+    # partition it once per direction and per half-step broadcast the
+    # node-sized vector into the cached consume.
+    import os as _os
+
+    import ray as _ray
+
+    from epstein_pipeline_ray.stages.exchange import disk_exchange_is_safe
+
+    use_cached_edges = (
+        _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
+        and disk_exchange_is_safe()
+        and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
+        not in ("0", "false")
+    )
+    cached_dirs: list[str] = []
+    cached_mdf: dict[str, object] = {}
+    if use_cached_edges:
+        from epstein_pipeline_ray.stages.exchange import (
+            _CREATED_DIRS,
+            consume_exchange_manifests,
+            write_exchange_shards,
+        )
+
+        for kcol in ("d", "s"):
+            mdf, num_partitions, dir_ = write_exchange_shards(
+                de, [kcol], num_partitions)
+            cached_mdf[kcol] = mdf
+            cached_dirs.append(dir_)
+            if dir_ in _CREATED_DIRS:
+                _CREATED_DIRS.remove(dir_)
+
     def push(vec: Dataset, from_col: str, to_col: str) -> Dataset:
         """out[to] = Σ over edges (from → to) of vec[from], 0-filled."""
-        tagged = attach_column(de, vec, from_col, "node", "x", "x",
-                               num_partitions=num_partitions)
-
         SUM = pa.schema([(to_col, pa.int64()), ("x", pa.float64())])
 
-        def sum_block(block: pa.Table) -> pa.Table:
-            if block.num_rows == 0:
-                return SUM.empty_table()
-            g = block.to_pandas().groupby(to_col, sort=True)["x"].sum()
-            return pa.table({to_col: pa.array(g.index.to_numpy(np.int64),
-                                              pa.int64()),
-                             "x": pa.array(g.to_numpy(np.float64),
-                                           pa.float64())}, schema=SUM)
+        if use_cached_edges:
+            vec_tbl = pa.concat_tables(
+                [t for t in _ray.get(vec.to_arrow_refs()) if t.num_rows])
+            look_ref = _ray.put((
+                _pd.Index(np.asarray(vec_tbl["node"].to_numpy(
+                    zero_copy_only=False), np.int64)),
+                np.asarray(vec_tbl["x"].to_numpy(zero_copy_only=False),
+                           np.float64)))
 
-        summed = map_key_blocks(tagged, [to_col], sum_block,
-                                num_partitions, sort_blocks=False)
+            def sum_block_cached(block: pa.Table) -> pa.Table:
+                if block.num_rows == 0:
+                    return SUM.empty_table()
+                lidx, lvals = _ray.get(look_ref)
+                pos = lidx.get_indexer(np.asarray(
+                    block[from_col].to_numpy(zero_copy_only=False),
+                    np.int64))
+                g = _pd.DataFrame({
+                    to_col: np.asarray(block[to_col].to_numpy(
+                        zero_copy_only=False), np.int64),
+                    "x": lvals[pos],
+                }).groupby(to_col, sort=True)["x"].sum()
+                return pa.table(
+                    {to_col: pa.array(g.index.to_numpy(np.int64),
+                                      pa.int64()),
+                     "x": pa.array(g.to_numpy(np.float64), pa.float64())},
+                    schema=SUM)
+
+            summed = consume_exchange_manifests(
+                [cached_mdf[to_col]], sum_block_cached, num_partitions,
+                [to_col], sort_blocks=False)
+        else:
+            tagged = attach_column(de, vec, from_col, "node", "x", "x",
+                                   num_partitions=num_partitions)
+
+            def sum_block(block: pa.Table) -> pa.Table:
+                if block.num_rows == 0:
+                    return SUM.empty_table()
+                g = block.to_pandas().groupby(to_col, sort=True)["x"].sum()
+                return pa.table(
+                    {to_col: pa.array(g.index.to_numpy(np.int64),
+                                      pa.int64()),
+                     "x": pa.array(g.to_numpy(np.float64), pa.float64())},
+                    schema=SUM)
+
+            summed = map_key_blocks(tagged, [to_col], sum_block,
+                                    num_partitions, sort_blocks=False)
         stepped = attach_column(nodes, summed, "node", to_col, "x", "nx",
                                 num_partitions=num_partitions)
 
@@ -1325,12 +1391,19 @@ def hits(
         return stepped.map_batches(fill, batch_format="pyarrow",
                                    zero_copy_batch=True)
 
-    hub = normalized(nodes, "init")
-    auth = hub
-    for _ in range(iters):
-        auth = normalized(push(hub, "s", "d"), "auth")
-        hub = normalized(push(auth, "d", "s"), "hub")
-        gc_exchange_dirs()
+    try:
+        hub = normalized(nodes, "init")
+        auth = hub
+        for _ in range(iters):
+            auth = normalized(push(hub, "s", "d"), "auth")
+            hub = normalized(push(auth, "d", "s"), "hub")
+            gc_exchange_dirs()
+    finally:
+        if cached_dirs:
+            import shutil
+
+            for dir_ in cached_dirs:
+                shutil.rmtree(dir_, ignore_errors=True)
 
     joined = attach_column(hub, auth, "node", "node", "x", "authority",
                            num_partitions=num_partitions)

@@ -597,3 +597,31 @@ def test_pagerank_cached_edge_shards_parity(ray_session, monkeypatch):
     p0 = pagerank(edges, iters=4, personalize="n1").to_pandas() \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(p1, p0)
+
+
+def test_hits_cached_edge_shards_parity(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import hits
+
+    rng = np.random.RandomState(23)
+    rows = sorted({(int(rng.randint(0, 30)), int(rng.randint(0, 30)))
+                   for _ in range(200)})
+    rows = [(s, d) for s, d in rows if s != d]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+    def run():
+        return (hits(edges, iters=3)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "1")
+    cached = run()
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "0")
+    classic = run()
+    pd.testing.assert_frame_equal(cached, classic)
