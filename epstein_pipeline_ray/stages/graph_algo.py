@@ -702,12 +702,75 @@ def label_propagation(
             "lab": pa.array(lw[first], pa.int64()),
         }, schema=NODE)
 
-    for _ in range(iters):
-        tagged = attach_column(de, labels, "s", "node", "lab", "lab",
-                               num_partitions=num_partitions)
-        labels = map_key_blocks(tagged, ["d"], vote_block, num_partitions,
-                                sort_blocks=False).materialize()
-        gc_exchange_dirs()
+    # Static-edge-shard caching (the CC/PageRank trade): partition the
+    # directed edge list by d ONCE; per round broadcast the node-sized
+    # label table into the cached consume. vote_block is order-blind
+    # (integer counts, pinned ties), so the plans are trivially equal.
+    import os as _os
+
+    import ray as _ray
+
+    from epstein_pipeline_ray.stages.exchange import disk_exchange_is_safe
+
+    use_cached_edges = (
+        _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
+        and disk_exchange_is_safe()
+        and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
+        not in ("0", "false")
+    )
+    edges_mdf = edges_dir = None
+    if use_cached_edges:
+        from epstein_pipeline_ray.stages.exchange import (
+            _CREATED_DIRS,
+            consume_exchange_manifests,
+            write_exchange_shards,
+        )
+
+        edges_mdf, num_partitions, edges_dir = write_exchange_shards(
+            de, ["d"], num_partitions)
+        if edges_dir in _CREATED_DIRS:
+            _CREATED_DIRS.remove(edges_dir)
+
+    def _vote_cached(lbl_ds):
+        lbl_tbl = pa.concat_tables(
+            [t for t in _ray.get(lbl_ds.to_arrow_refs()) if t.num_rows])
+        look_ref = _ray.put((
+            pd.Index(np.asarray(lbl_tbl["node"].to_numpy(
+                zero_copy_only=False), np.int64)),
+            np.asarray(lbl_tbl["lab"].to_numpy(zero_copy_only=False),
+                       np.int64)))
+
+        def block_fn(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return NODE.empty_table()
+            lidx, lvals = _ray.get(look_ref)
+            s = np.asarray(block["s"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            lab = lvals[lidx.get_indexer(s)]
+            return vote_block(pa.table({
+                "d": block["d"], "lab": pa.array(lab, pa.int64())}))
+
+        return consume_exchange_manifests(
+            [edges_mdf], block_fn, num_partitions, ["d"],
+            sort_blocks=False)
+
+    try:
+        for _ in range(iters):
+            if use_cached_edges:
+                labels = _vote_cached(labels).materialize()
+            else:
+                tagged = attach_column(de, labels, "s", "node", "lab",
+                                       "lab",
+                                       num_partitions=num_partitions)
+                labels = map_key_blocks(tagged, ["d"], vote_block,
+                                        num_partitions,
+                                        sort_blocks=False).materialize()
+            gc_exchange_dirs()
+    finally:
+        if edges_dir is not None:
+            import shutil
+
+            shutil.rmtree(edges_dir, ignore_errors=True)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "label": batch["lab"]})

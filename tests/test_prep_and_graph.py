@@ -625,3 +625,30 @@ def test_hits_cached_edge_shards_parity(ray_session, monkeypatch):
     monkeypatch.setenv("EPR_PR_CACHE_EDGES", "0")
     classic = run()
     pd.testing.assert_frame_equal(cached, classic)
+
+
+def test_label_prop_cached_edge_shards_parity(ray_session, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.graph_algo import label_propagation
+
+    rng = np.random.RandomState(29)
+    rows = sorted({(int(rng.randint(0, 30)), int(rng.randint(0, 30)))
+                   for _ in range(150)})
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64()),
+    }))
+
+    def run():
+        return (label_propagation(edges, iters=3)
+                .to_pandas().sort_values("node").reset_index(drop=True))
+
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "1")
+    cached = run()
+    monkeypatch.setenv("EPR_PR_CACHE_EDGES", "0")
+    classic = run()
+    pd.testing.assert_frame_equal(cached, classic)
