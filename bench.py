@@ -212,6 +212,12 @@ def run_bench() -> dict:
         "zorder_layout",
         "event_throttle",
         "embed_quantize",
+        # round-4 additions (static-edge-shard-cached loops + new ops)
+        "pagerank",
+        "hits",
+        "bloom_semi_join",
+        "golden_records",
+        "unpivot_metrics",
     ):
         q = entrymod.queries()[name]
         best = None
