@@ -3642,7 +3642,9 @@ def q_bloom_semi_join(sf_dir: str):
     pre-filters the left side BEFORE the exact semi join, so only
     probable matches pay the exchange; no false negatives, false
     positives removed by the exact stage, so the result is EXACTLY the
-    plain semi join and carries a full EXISTS DuckDB twin."""
+    plain semi join and carries a full EXISTS DuckDB twin. The
+    broadcast limit is forced low so the gate runs the operator in its
+    real regime (bloom + exchange-plan exact stage) at test scale."""
     import pyarrow.compute as pc
 
     from epstein_pipeline_ray.stages.joins import bloom_semi_join
@@ -3652,7 +3654,8 @@ def q_bloom_semi_join(sf_dir: str):
     big = orders.map_batches(
         lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)),
         batch_format="pyarrow", zero_copy_batch=True)
-    return bloom_semi_join(ev, big, "user_id", "o_custkey")
+    return bloom_semi_join(ev, big, "user_id", "o_custkey",
+                           broadcast_rows_limit=50)
 
 
 def q_events_orders_join(sf_dir: str):

@@ -413,10 +413,19 @@ def golden_records(
         kcol = block[key]
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
-        codes = np.asarray(kcol.dictionary_encode().indices)
+        enc = kcol.dictionary_encode()
+        idx = enc.indices
+        if idx.null_count:
+            # null keys form ONE group (SQL GROUP BY semantics) — raw
+            # null indices become NaN under np.asarray and NaN != NaN
+            # would split every null row into its own group. sort_by
+            # put them contiguous at the end; give them a fresh code.
+            idx = pc.fill_null(idx, len(enc.dictionary))
+        codes = np.asarray(idx)
         n = len(codes)
-        starts = np.concatenate(
-            [[0], np.nonzero(codes[1:] != codes[:-1])[0] + 1]).astype(np.int64)
+        from epstein_pipeline_ray.stages.groupblock import group_starts
+
+        starts = group_starts(codes)
         ends = np.concatenate([starts[1:], [n]])
         pos = np.arange(n, dtype=np.int64)
         cols = {key: kcol.take(pa.array(starts))}

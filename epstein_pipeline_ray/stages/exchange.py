@@ -133,23 +133,29 @@ def disk_exchange_is_safe(root: str | None = None) -> bool:
     return safe
 
 
-def _part_codes(batch: pa.Table, keys: list[str], p: int) -> np.ndarray:
-    """Deterministic partition id per row: stable hash of the key columns.
+def hash64_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Deterministic 64-bit hash of one column. ``pd.util.hash_array``
+    is a fixed-key vectorized hash — identical across processes and
+    runs, which the resume story (and every consumer claiming hash
+    identity with the partitioner, e.g. joins.bloom_semi_join) depends
+    on. NOTE: the hash is dtype-sensitive (int32 −5 and int64 −5 hash
+    differently) — callers comparing hashes across two columns must
+    cast them to a common type first."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    npcol = col.to_numpy(zero_copy_only=False)
+    if npcol.dtype == object:
+        return pd.util.hash_array(npcol).astype(np.uint64)
+    return pd.util.hash_array(
+        np.ascontiguousarray(npcol)).astype(np.uint64)
 
-    ``pd.util.hash_array`` is a fixed-key vectorized hash — identical
-    across processes and runs, which the resume story depends on.
-    """
+
+def _part_codes(batch: pa.Table, keys: list[str], p: int) -> np.ndarray:
+    """Deterministic partition id per row: stable hash of the key
+    columns (:func:`hash64_column` per column, FNV-mixed)."""
     acc = np.zeros(batch.num_rows, dtype=np.uint64)
     for k in keys:
-        col = batch[k]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        npcol = col.to_numpy(zero_copy_only=False)
-        if npcol.dtype == object:
-            h = pd.util.hash_array(npcol)
-        else:
-            h = pd.util.hash_array(np.ascontiguousarray(npcol))
-        acc = acc * np.uint64(0x100000001B3) + h.astype(np.uint64)
+        acc = acc * np.uint64(0x100000001B3) + hash64_column(batch[k])
     return (acc % np.uint64(p)).astype(np.int64)
 
 
@@ -222,6 +228,11 @@ def exchange_key_blocks(
             num_partitions = int(mdf["part"].max()) + 1 if len(mdf) else 1
         return _consume_exchange(mdf, fn, num_partitions, schema,
                                  keys, sort_blocks)
+    # materialize HERE (not only inside write_exchange_shards) so the
+    # empty-input schema fetch in _consume_exchange reads metadata from
+    # the materialized handle instead of re-executing a lazy upstream
+    if materialize_input:
+        ds = ds.materialize()
     mdf, p, _ = write_exchange_shards(
         ds, keys, num_partitions, exchange_dir=exch,
         materialize_input=materialize_input)

@@ -717,6 +717,7 @@ def label_propagation(
         and disk_exchange_is_safe()
         and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
         not in ("0", "false")
+        and labels.count() <= 5_000_000  # the label table must broadcast
     )
     edges_mdf = edges_dir = None
     if use_cached_edges:
@@ -1373,6 +1374,7 @@ def hits(
         and disk_exchange_is_safe()
         and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
         not in ("0", "false")
+        and nodes.count() <= 5_000_000  # the vector must broadcast
     )
     cached_dirs: list[str] = []
     cached_mdf: dict[str, object] = {}

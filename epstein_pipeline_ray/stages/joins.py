@@ -465,21 +465,6 @@ def banded_count_join(
                           sort_blocks=False)
 
 
-def _hash64_col(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Deterministic 64-bit hash of a key column (same fixed-key
-    vectorized hash the exchange partitioner uses — identical across
-    processes and runs)."""
-    import pandas as pd
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    npcol = col.to_numpy(zero_copy_only=False)
-    if npcol.dtype == object:
-        return pd.util.hash_array(npcol).astype(np.uint64)
-    return pd.util.hash_array(
-        np.ascontiguousarray(npcol)).astype(np.uint64)
-
-
 def bloom_semi_join(
     left: Dataset,
     right_keys: Dataset,
@@ -508,6 +493,11 @@ def bloom_semi_join(
     side sends ~0.1% of its rows to the exchange). That exactness is
     why this operator carries a full SQL twin, unlike the sketch
     estimators.
+
+    A right side at or under ``broadcast_rows_limit`` skips the bloom
+    entirely: the exact stage broadcasts the raw key set anyway, so the
+    bloom pass would be pure overhead — the pattern only earns its keep
+    in the exchange regime its docstring scopes it to.
     """
     from epstein_pipeline_ray.functions.bloom import (
         bloom_build,
@@ -515,18 +505,34 @@ def bloom_semi_join(
         bloom_params,
         bloom_probe,
     )
+    from epstein_pipeline_ray.stages.exchange import hash64_column
 
     right_key = right_key or left_key
     pruned_right = right_keys.select_columns([right_key]).materialize()
     n_items = pruned_right.count() or 1
+    if n_items <= broadcast_rows_limit:
+        return key_membership_join(
+            left, pruned_right, left_key, right_key, mode="semi",
+            broadcast_rows_limit=broadcast_rows_limit,
+            num_partitions=num_partitions)
     m_bits, k = bloom_params(n_items, fpr)
     refs = pruned_right.to_arrow_refs()
+    # hash64_column is dtype-sensitive — hash the right keys AS the left
+    # key's type (the same cast the exact stage applies), else an int32
+    # left against an int64 right would bloom-miss every true match
+    lsch = left.schema()
+    left_key_type = dict(zip(lsch.names, lsch.types))[left_key]
 
     @ray.remote
     def _partial(t: pa.Table, m_bits: int, k: int) -> np.ndarray:
         if not t.num_rows:
             return np.zeros(m_bits // 8, dtype=np.uint8)
-        return bloom_build(np.unique(_hash64_col(t[right_key])), m_bits, k)
+        col = t[right_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.type != left_key_type:
+            col = col.cast(left_key_type)
+        return bloom_build(np.unique(hash64_column(col)), m_bits, k)
 
     parts = ray.get([_partial.remote(r, m_bits, k) for r in refs])
     bits_ref = ray.put(bloom_merge(parts) if parts
@@ -536,7 +542,7 @@ def bloom_semi_join(
         if batch.num_rows == 0:
             return batch
         bits = ray.get(bits_ref)
-        hit = bloom_probe(bits, _hash64_col(batch[left_key]), k)
+        hit = bloom_probe(bits, hash64_column(batch[left_key]), k)
         return batch.filter(pa.array(hit))
 
     survivors = left.map_batches(prefilter, batch_format="pyarrow",

@@ -1874,10 +1874,8 @@ def unpivot(
         parts = []
         for vc in value_cols:
             cols = {c: batch[c] for c in id_cols}
-            # n identical strings → one repeated-scalar Arrow array
-            cols[metric_col] = pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(n, np.int32)),
-                pa.array([vc], pa.string())).cast(pa.string())
+            # n copies of one interned Python string → one O(n) C build
+            cols[metric_col] = pa.array([vc] * n, pa.string())
             v = batch[vc]
             if isinstance(v, pa.ChunkedArray):
                 v = v.combine_chunks()

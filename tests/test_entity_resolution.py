@@ -186,3 +186,16 @@ def test_golden_records_survivorship(ray_session):
     })
     g = golden_records(rd.from_arrow(t2), "k", ["rnk", "a"], ["a"]).to_pandas()
     assert g["a"].tolist() == [3.0]
+
+    # NULL keys form ONE group (SQL GROUP BY semantics), not one row each
+    t3 = pa.table({
+        "k": pa.array(["x", None, None, None], pa.string()),
+        "rnk": pa.array([1, 1, 2, 3], pa.int64()),
+        "a": pa.array([None, None, 9.0, 4.0], pa.float64()),
+    })
+    g3 = (golden_records(rd.from_arrow(t3), "k", "rnk", ["a"])
+          .to_pandas().sort_values("k", na_position="last")
+          .reset_index(drop=True))
+    assert len(g3) == 2
+    assert g3.loc[1, "n_rec"] == 3 and g3.loc[1, "a"] == 9.0
+    assert pd.isna(g3.loc[0, "a"]) and g3.loc[0, "k"] == "x"

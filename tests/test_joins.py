@@ -1425,3 +1425,19 @@ def test_bloom_semi_join_exact_both_plans(ray_session):
         rd.from_arrow(right).filter(lambda r: False),
         "k", "rk").count()
     assert got3 == 0
+    # dtype-mismatched keys (int32 left vs int64 right) must still match:
+    # the bloom hashes the right keys AS the left key's type, else every
+    # true match bloom-misses (hash64 is dtype-sensitive)
+    left32 = pa.table({
+        "k": pa.array(rng.randint(0, 5000, 2000), pa.int32()),
+        "v": pa.array(rng.rand(2000).round(4), pa.float64()),
+    })
+    want32 = (key_membership_join(rd.from_arrow(left32),
+                                  rd.from_arrow(right), "k", "rk",
+                                  mode="semi")
+              .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert len(want32) > 0  # the regression is only visible on matches
+    got32 = (bloom_semi_join(rd.from_arrow(left32), rd.from_arrow(right),
+                             "k", "rk", broadcast_rows_limit=0)
+             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got32, want32)
