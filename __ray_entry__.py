@@ -3131,6 +3131,18 @@ def q_type_value_p90(sf_dir: str):
     return grouped_quantile(ev, "event_type", "value", 0.9)
 
 
+def q_type_value_q25_disc(sf_dir: str):
+    """Exact per-type DISCRETE lower-quartile event value — an actual
+    element of the group, rank = max(ceil(q·n), 1) (the quantile_disc
+    convention, float-free selection so no rounding pin; q=0.25 is
+    exact in binary so ceil(q·n) carries no float artifact)."""
+    from epstein_pipeline_ray.stages.relational import grouped_quantile_disc
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile_disc(ev, "event_type", "value", 0.25,
+                                 out_col="q25_value")
+
+
 def q_user_median_value(sf_dir: str):
     """Exact per-user event-value median (non-decomposable aggregate —
     one keyed exchange of the pruned value column)."""
@@ -4545,6 +4557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_deltas": q_event_deltas,
         "user_median_value": q_user_median_value,
         "type_value_p90": q_type_value_p90,
+        "type_value_q25_disc": q_type_value_q25_disc,
         "user_event_types": q_user_event_types,
         "heavy_event_values": q_heavy_event_values,
         "type_value_p90_sampled": q_type_value_p90_sampled,
@@ -6087,6 +6100,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "type_value_p90": """
             SELECT event_type, round(quantile_cont(value, 0.9), 6) AS quantile_value
+            FROM events GROUP BY event_type
+        """,
+        "type_value_q25_disc": """
+            SELECT event_type, quantile_disc(value, 0.25) AS q25_value
             FROM events GROUP BY event_type
         """,
         "user_median_value": """

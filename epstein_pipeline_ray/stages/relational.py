@@ -801,6 +801,51 @@ def grouped_quantile(ds: Dataset, key: str, value_col: str, q: float,
     return map_key_blocks(pruned, [key], per_block, num_partitions)
 
 
+def grouped_quantile_disc(ds: Dataset, key: str, value_col: str, q: float,
+                          out_col: str = "quantile_value",
+                          num_partitions: int | None = None) -> Dataset:
+    """Exact per-group DISCRETE quantile — returns an actual element of
+    the group, never an interpolation (the SQL ``quantile_disc``
+    convention, empirically pinned: rank = max(ceil(q·n), 1), 1-indexed
+    over the sorted values; NOT pandas' interpolation='lower', which
+    disagrees at e.g. n=10, q=0.31). Float-free selection, so the twin
+    matches hash-exactly with no rounding pin. One values-only keyed
+    exchange + a vectorized rank take per block (no per-group Python)."""
+    import math
+
+    from epstein_pipeline_ray.stages.groupblock import (
+        group_starts,
+        map_key_blocks,
+    )
+
+    types = dict(zip(ds.schema().names, ds.schema().types))
+    OUT = pa.schema([(key, types[key]), (out_col, types[value_col])])
+    pruned = ds.select_columns([key, value_col])
+
+    def per_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return OUT.empty_table()
+        block = block.combine_chunks().sort_by(
+            [(key, "ascending"), (value_col, "ascending")])
+        kcol = block[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = np.asarray(kcol.dictionary_encode().indices)
+        starts = group_starts(codes)
+        counts = np.diff(np.concatenate([starts, [len(codes)]]))
+        # rank = max(ceil(q*n), 1), 1-indexed → 0-indexed offset
+        ranks = np.maximum(np.ceil(q * counts).astype(np.int64), 1) - 1
+        pos = starts + np.minimum(ranks, counts - 1)
+        vcol = block[value_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        return pa.table({key: kcol.take(pa.array(starts)),
+                         out_col: vcol.take(pa.array(pos))}, schema=OUT)
+
+    return map_key_blocks(pruned, [key], per_block, num_partitions,
+                          sort_blocks=False)
+
+
 def assign_split(ds: Dataset, id_col: str = "doc_id",
                  val_pct: int = 5, test_pct: int = 5,
                  out_col: str = "split") -> Dataset:

@@ -1441,3 +1441,34 @@ def test_bloom_semi_join_exact_both_plans(ray_session):
                              "k", "rk", broadcast_rows_limit=0)
              .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got32, want32)
+
+
+def test_grouped_quantile_disc_convention(ray_session):
+    """quantile_disc rank = max(ceil(q*n), 1) — an actual group element,
+    pinned against hand truths where interpolation='lower' disagrees."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_quantile_disc
+
+    # g10: 1..10 at q=0.31 → rank ceil(3.1)=4 → value 4 (pandas-lower
+    # would pick 3); g3: 1..3 at q=0.31 → rank 1 → value 1
+    tbl = pa.table({
+        "g": pa.array(["g10"] * 10 + ["g3"] * 3, pa.string()),
+        "v": pa.array(list(range(1, 11)) + [1, 2, 3], pa.float64()),
+    })
+    got = (grouped_quantile_disc(rd.from_arrow(tbl), "g", "v", 0.31)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = pd.DataFrame({"g": ["g10", "g3"], "quantile_value": [4.0, 1.0]})
+    pd.testing.assert_frame_equal(got, want)
+    # batching-invariant; q=1 → max, q=0 → min
+    got2 = (grouped_quantile_disc(rd.from_arrow(tbl).repartition(6),
+                                  "g", "v", 0.31)
+            .to_pandas().sort_values("g").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+    hi = grouped_quantile_disc(rd.from_arrow(tbl), "g", "v", 1.0).to_pandas()
+    assert sorted(hi["quantile_value"]) == [3.0, 10.0]
+    lo = grouped_quantile_disc(rd.from_arrow(tbl), "g", "v", 0.0).to_pandas()
+    assert lo["quantile_value"].tolist() == [1.0, 1.0]
