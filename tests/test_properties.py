@@ -321,3 +321,41 @@ def test_interleave8_is_bijective_and_monotone_on_boxes(vals):
         da |= ((z >> (2 * i + 1)) & 1) << i
         db |= ((z >> (2 * i)) & 1) << i
     assert (da == a).all() and (db == b).all()
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 6),                       # key
+              st.integers(0, 50),                      # rank (ties ok)
+              st.one_of(st.none(), st.integers(-9, 9)),  # value a
+              st.one_of(st.none(), st.text("xy", max_size=2))),
+    min_size=1, max_size=60))
+def test_golden_records_matches_pandas_reference(ray_session, rows):
+    """golden_records == per-field first non-null under the composite
+    (rank, a, b) order, one row per key — checked against a plain
+    pandas groupby on arbitrary null-laden inputs. Composite rank makes
+    the order total up to full-duplicate rows, so both sides are
+    deterministic."""
+    import pandas as pd
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.entity_resolution import golden_records
+
+    tbl = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "rnk": pa.array([r[1] for r in rows], pa.int64()),
+        "a": pa.array([r[2] for r in rows], pa.float64()),
+        "b": pa.array([r[3] for r in rows], pa.string()),
+    })
+    got = (golden_records(rd.from_arrow(tbl), "k", ["rnk", "a", "b"],
+                          ["a", "b"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    df = tbl.to_pandas().sort_values(
+        ["k", "rnk", "a", "b"], na_position="last", kind="mergesort")
+    want = (df.groupby("k", sort=True)
+              .agg(a=("a", "first"), b=("b", "first"),
+                   n_rec=("rnk", "size"))  # pandas first() skips nulls
+              .reset_index().rename(columns={"k": "k"}))
+    want["n_rec"] = want["n_rec"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got, want[["k", "a", "b", "n_rec"]], check_dtype=False)
