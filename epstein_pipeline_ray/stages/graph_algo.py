@@ -26,6 +26,20 @@ from ray.data import Dataset
 from epstein_pipeline_ray.functions.rounding import sql_round
 
 
+def _graph_cache_enabled() -> bool:
+    """Shared kill switch for the static-edge-shard caching used by the
+    pagerank family / HITS / label_propagation (connected components has
+    its own ``EPR_CC_CACHE_EDGES``). ``EPR_GRAPH_CACHE_EDGES=0``
+    disables it; the historical name ``EPR_PR_CACHE_EDGES`` is honored
+    for back-compat (new name wins when both are set). Documented next
+    to ``EPR_SHUFFLE`` in README.md."""
+    import os
+
+    v = os.environ.get("EPR_GRAPH_CACHE_EDGES",
+                       os.environ.get("EPR_PR_CACHE_EDGES", "1"))
+    return v.lower() not in ("0", "false")
+
+
 def _auto_partitions(ds: Dataset, num_partitions: int | None) -> int | None:
     """Loop-exchange width from the MATERIALIZED edge count — an
     iterative graph algorithm runs several exchanges per round, and
@@ -265,17 +279,18 @@ def pagerank(
     # Static-edge-shard caching (same trade as the CC loop): the
     # deg-attached edge table is identical every round — partition it by
     # dst ONCE and, per round, ship only the node-sized pr table into the
-    # cached-shard consume as a broadcast lookup. Within-group summand
-    # order is unchanged (the classic plan's stable sort by dst preserves
-    # raw concat order within each dst group), so the per-iteration
-    # rounding stays bit-equal to the unrolled SQL twin.
+    # cached-shard consume as a broadcast lookup. Within-dst-group
+    # summand ORDER may differ from the classic plan (shard files are
+    # concatenated in sorted-filename order, and the names embed
+    # per-task uuids) — parity with the unrolled SQL twin is
+    # rounding-mediated: the per-iteration sql_round absorbs ulp-level
+    # float-sum differences, as the equivalence tests pin.
     import os as _os
 
     use_cached_edges = (
         _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
         and disk_exchange_is_safe()
-        and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
-        not in ("0", "false")
+        and _graph_cache_enabled()
         and n_nodes <= 5_000_000  # pr must broadcast
     )
     edges_mdf = edges_dir = None
@@ -306,6 +321,9 @@ def pagerank(
                 return IN.empty_table()
             lidx, lvals = _ray.get(look_ref)
             pos = lidx.get_indexer(block["src"].to_pandas())
+            # get_indexer returns -1 for a missing key, which would
+            # silently read the LAST node's value — fail loudly instead.
+            assert (pos >= 0).all(), "pagerank: src missing from pr table"
             df = pd.DataFrame({
                 "dst": block["dst"].to_pandas(),
                 "c": (lvals[pos]
@@ -715,8 +733,7 @@ def label_propagation(
     use_cached_edges = (
         _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
         and disk_exchange_is_safe()
-        and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
-        not in ("0", "false")
+        and _graph_cache_enabled()
         and labels.count() <= 5_000_000  # the label table must broadcast
     )
     edges_mdf = edges_dir = None
@@ -747,7 +764,10 @@ def label_propagation(
             lidx, lvals = _ray.get(look_ref)
             s = np.asarray(block["s"].to_numpy(zero_copy_only=False),
                            np.int64)
-            lab = lvals[lidx.get_indexer(s)]
+            pos = lidx.get_indexer(s)
+            # -1 (missing key) would silently read the LAST label
+            assert (pos >= 0).all(), "label_prop: src missing from labels"
+            lab = lvals[pos]
             return vote_block(pa.table({
                 "d": block["d"], "lab": pa.array(lab, pa.int64())}))
 
@@ -1372,8 +1392,7 @@ def hits(
     use_cached_edges = (
         _os.environ.get("EPR_SHUFFLE", "disk") == "disk"
         and disk_exchange_is_safe()
-        and _os.environ.get("EPR_PR_CACHE_EDGES", "1").lower()
-        not in ("0", "false")
+        and _graph_cache_enabled()
         and nodes.count() <= 5_000_000  # the vector must broadcast
     )
     cached_dirs: list[str] = []
@@ -1413,6 +1432,8 @@ def hits(
                 pos = lidx.get_indexer(np.asarray(
                     block[from_col].to_numpy(zero_copy_only=False),
                     np.int64))
+                # -1 (missing key) would silently read the LAST value
+                assert (pos >= 0).all(), "hits: node missing from vector"
                 g = _pd.DataFrame({
                     to_col: np.asarray(block[to_col].to_numpy(
                         zero_copy_only=False), np.int64),

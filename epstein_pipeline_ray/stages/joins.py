@@ -395,8 +395,6 @@ def banded_count_join(
     per run, right timestamps sort once and every left row counts via
     two vectorized searchsorted probes. Left rows with no partners
     emit 0 (LEFT-join semantics)."""
-    import pandas as pd
-
     from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
     lsch = dict(zip(left.schema().names, left.schema().types))
@@ -438,27 +436,65 @@ def banded_count_join(
         if block_.num_rows == 0:
             return OUT.empty_table()
         # rid stays in Arrow: the null right-replica rids would coerce
-        # the pandas column to float64 and silently corrupt ids above
-        # 2^53. The frame carries row positions instead; left-row rids
-        # are taken from the Arrow column at the end.
+        # a pandas column to float64 and silently corrupt ids above
+        # 2^53. No pandas at all here — one Arrow sort, then pure numpy
+        # run arithmetic (no per-(k,bucket) Python group loop).
+        block_ = block_.combine_chunks().sort_by(
+            [("k", "ascending"), ("bucket", "ascending"),
+             ("side", "ascending"), ("t", "ascending")])
         rid = block_["rid"]
         if isinstance(rid, pa.ChunkedArray):
             rid = rid.combine_chunks()
-        df = block_.select(["k", "bucket", "t", "side"]).to_pandas()
-        out_pos, out_cnt = [], []
-        for (_, _), sub in df.groupby(["k", "bucket"], sort=False):
-            ev = sub[sub["side"] == 0]
-            if not len(ev):
-                continue
-            rts = np.sort(sub.loc[sub["side"] == 1, "t"].to_numpy(np.int64))
-            et = ev["t"].to_numpy(np.int64)
-            cnt = (np.searchsorted(rts, et + band_us, side="right")
-                   - np.searchsorted(rts, et - band_us, side="left"))
-            out_pos.extend(ev.index.to_numpy().tolist())
-            out_cnt.extend(cnt.tolist())
+        k = np.asarray(block_["k"].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(block_["bucket"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        t = np.asarray(block_["t"].to_numpy(zero_copy_only=False), np.int64)
+        side = np.asarray(block_["side"].to_numpy(zero_copy_only=False),
+                          np.int8)
+        n = len(k)
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = (k[1:] != k[:-1]) | (b[1:] != b[:-1])
+        run = np.cumsum(change) - 1  # 0-based (k, bucket) run id per row
+        n_runs = int(run[-1]) + 1
+        # within a run every t lies in [(b-1)·band, (b+2)·band) — right
+        # replicas come from buckets {b-1, b, b+1}, left rows from b —
+        # so t_rel = t − b·band ∈ [−band, 2band) and probes t_rel ± band
+        # ∈ [−band, 2band]. Shifting by +band maps all of it into
+        # [0, 3band] ⊂ [0, 4band): runs can be packed run·4band apart
+        # into ONE globally sorted key array and every left row counts
+        # via two block-wide searchsorted calls, zero per-run Python.
+        t_rel = t - b * band_us
+        left_m = side == 0
+        right_m = ~left_m
+        C = 4 * band_us
+        if n_runs * C < 2**62:  # Python ints: overflow-free check
+            key_r = run[right_m] * C + (t_rel[right_m] + band_us)
+            probe = run[left_m] * C + (t_rel[left_m] + band_us)
+            cnt = (np.searchsorted(key_r, probe + band_us, side="right")
+                   - np.searchsorted(key_r, probe - band_us, side="left"))
+        else:
+            # astronomically wide band: per-run numpy SLICES (no pandas
+            # groupby), boundaries once via searchsorted on the run ids
+            r_t, r_run = t_rel[right_m], run[right_m]
+            l_t, l_run = t_rel[left_m], run[left_m]
+            edges = np.arange(n_runs + 1)
+            r_bounds = np.searchsorted(r_run, edges)
+            l_bounds = np.searchsorted(l_run, edges)
+            cnt = np.zeros(len(l_t), np.int64)
+            for rix in range(n_runs):
+                ls, le = l_bounds[rix], l_bounds[rix + 1]
+                if ls == le:
+                    continue
+                seg = r_t[r_bounds[rix]:r_bounds[rix + 1]]
+                et = l_t[ls:le]
+                cnt[ls:le] = (
+                    np.searchsorted(seg, et + band_us, side="right")
+                    - np.searchsorted(seg, et - band_us, side="left"))
+        pos = np.nonzero(left_m)[0]
         return pa.table({
-            id_col: rid.take(pa.array(out_pos, pa.int64())),
-            out_col: pa.array(out_cnt, pa.int64()),
+            id_col: rid.take(pa.array(pos, pa.int64())),
+            out_col: pa.array(cnt, pa.int64()),
         }, schema=OUT)
 
     return map_key_blocks(unioned, ["k", "bucket"], block, num_partitions,

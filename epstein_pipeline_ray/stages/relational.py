@@ -792,7 +792,9 @@ def grouped_quantile(ds: Dataset, key: str, value_col: str, q: float,
         df = block.to_pandas()
         if not len(df):
             return pa.table({key: block[key], out_col: pa.array([], pa.float64())})
-        out = (df.groupby(key, sort=True)[value_col]
+        # dropna=False: SQL GROUP BY keeps a single NULL-key group;
+        # pandas' quantile already ignores NaN values (quantile_cont).
+        out = (df.groupby(key, sort=True, dropna=False)[value_col]
                  .quantile(q, interpolation="linear").reset_index())
         out.columns = [key, out_col]
         out[out_col] = sql_round(out[out_col].to_numpy(np.float64), 6)
@@ -809,8 +811,11 @@ def grouped_quantile_disc(ds: Dataset, key: str, value_col: str, q: float,
     convention, empirically pinned: rank = max(ceil(q·n), 1), 1-indexed
     over the sorted values; NOT pandas' interpolation='lower', which
     disagrees at e.g. n=10, q=0.31). Float-free selection, so the twin
-    matches hash-exactly with no rounding pin. One values-only keyed
-    exchange + a vectorized rank take per block (no per-group Python)."""
+    matches hash-exactly with no rounding pin. Null keys form a single
+    group (SQL GROUP BY) and null VALUES are excluded from the rank (the
+    quantile_disc convention; an all-null group yields NULL). One
+    values-only keyed exchange + a vectorized rank take per block (no
+    per-group Python)."""
     import math
 
     from epstein_pipeline_ray.stages.groupblock import (
@@ -830,17 +835,33 @@ def grouped_quantile_disc(ds: Dataset, key: str, value_col: str, q: float,
         kcol = block[key]
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
-        codes = np.asarray(kcol.dictionary_encode().indices)
+        enc = kcol.dictionary_encode()
+        idx = enc.indices
+        if idx.null_count:
+            # null keys form ONE group (SQL GROUP BY semantics) — raw
+            # null indices become NaN under np.asarray and NaN != NaN
+            # would split every null row into its own group. sort_by
+            # put them contiguous at the end; give them a fresh code.
+            idx = pc.fill_null(idx, len(enc.dictionary))
+        codes = np.asarray(idx)
         starts = group_starts(codes)
-        counts = np.diff(np.concatenate([starts, [len(codes)]]))
-        # rank = max(ceil(q*n), 1), 1-indexed → 0-indexed offset
-        ranks = np.maximum(np.ceil(q * counts).astype(np.int64), 1) - 1
-        pos = starts + np.minimum(ranks, counts - 1)
         vcol = block[value_col]
         if isinstance(vcol, pa.ChunkedArray):
             vcol = vcol.combine_chunks()
+        # quantile_disc ignores NULL values: sort_by placed them at the
+        # end of each group, so the valid run is the group prefix —
+        # rank over the per-group VALID count, not the raw count.
+        valid = np.asarray(pc.is_valid(vcol)).astype(np.int64)
+        ends = np.concatenate([starts[1:], [len(codes)]])
+        n_valid = np.add.reduceat(valid, starts)
+        n_valid[starts == ends] = 0  # reduceat quirk on empty runs
+        # rank = max(ceil(q*n), 1), 1-indexed → 0-indexed offset
+        ranks = np.maximum(np.ceil(q * n_valid).astype(np.int64), 1) - 1
+        pos = starts + np.minimum(ranks, np.maximum(n_valid - 1, 0))
+        empty = n_valid == 0  # all-null group → NULL quantile
+        take = pa.array(np.where(empty, 0, pos), pa.int64(), mask=empty)
         return pa.table({key: kcol.take(pa.array(starts)),
-                         out_col: vcol.take(pa.array(pos))}, schema=OUT)
+                         out_col: vcol.take(take)}, schema=OUT)
 
     return map_key_blocks(pruned, [key], per_block, num_partitions,
                           sort_blocks=False)

@@ -1350,6 +1350,46 @@ def test_banded_count_join_zero_and_brute(ray_session):
         assert out[i] == want
 
 
+def test_banded_count_join_negative_ts_and_fallback(ray_session):
+    """Negative timestamps (floor-division buckets) and the
+    overflow-guard per-run-slice fallback path (band so wide that
+    n_runs·4·band ≥ 2^62) both agree with brute force; result is
+    invariant under input repartitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.joins import banded_count_join
+
+    rng = np.random.default_rng(29)
+    lt = rng.integers(-500, 500, 60)
+    lk = rng.integers(0, 4, 60)
+    rt = rng.integers(-500, 500, 90)
+    rk = rng.integers(0, 4, 90)
+
+    def run(band, parts):
+        left = rd.from_arrow(pa.table({
+            "id": pa.array(np.arange(60), pa.int64()),
+            "k": pa.array(lk, pa.int64()),
+            "t": pa.array(lt, pa.int64()),
+        })).repartition(parts)
+        right = rd.from_arrow(pa.table({
+            "k2": pa.array(rk, pa.int64()),
+            "t2": pa.array(rt, pa.int64()),
+        })).repartition(parts + 1)
+        return {r["id"]: r["n"] for r in banded_count_join(
+            left, right, "k", "k2", "t", "t2", band_us=band,
+            id_col="id", out_col="n").take_all()}
+
+    for band in (37, 2**61):  # 2^61 forces the n_runs·4·band overflow
+        out3 = run(band, 3)   # fallback (4·band alone ≥ 2^62)
+        out7 = run(band, 7)
+        assert out3 == out7   # batching-invariant
+        for i in range(60):
+            want = int(((rk == lk[i]) & (np.abs(rt - lt[i]) <= band)).sum())
+            assert out3[i] == want, (band, i)
+
+
 def test_unpivot_melt_roundtrip(ray_session):
     import numpy as np
     import pandas as pd
@@ -1472,3 +1512,40 @@ def test_grouped_quantile_disc_convention(ray_session):
     assert sorted(hi["quantile_value"]) == [3.0, 10.0]
     lo = grouped_quantile_disc(rd.from_arrow(tbl), "g", "v", 0.0).to_pandas()
     assert lo["quantile_value"].tolist() == [1.0, 1.0]
+
+
+def test_grouped_quantile_disc_nulls(ray_session):
+    """Null keys form ONE group and null values are ignored by the rank
+    (the DuckDB quantile_disc convention) — checked directly against
+    DuckDB on a null-laden table including an all-null-value group."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.relational import grouped_quantile_disc
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a", None, None, "b", "b", "c", "a"],
+                      pa.string()),
+        "v": pa.array([3.0, None, 1.0, 5.0, 2.0, None, None, 7.0, 2.0],
+                      pa.float64()),
+    })
+    for q in (0.0, 0.31, 0.5, 1.0):
+        got = (grouped_quantile_disc(rd.from_arrow(tbl), "g", "v", q)
+               .to_pandas()
+               .sort_values("g", na_position="last")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        want = con.execute(
+            "SELECT g, quantile_disc(v, ?) AS quantile_value FROM tbl "
+            "GROUP BY g ORDER BY g NULLS LAST", [q]).df()
+        con.close()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # batching-invariant under repartition
+        got2 = (grouped_quantile_disc(rd.from_arrow(tbl).repartition(5),
+                                      "g", "v", q)
+                .to_pandas()
+                .sort_values("g", na_position="last")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, got2)
