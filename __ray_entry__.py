@@ -1044,6 +1044,12 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) over documents. FULL DuckDB
+    oracle (VERDICT r4 item 3): the twin recomputes the 64-bit
+    fingerprint end-to-end in SQL — rolling codepoint polynomial,
+    splitmix64, 32-bit mask, remix, bit-majority votes — and brute-forces
+    bit_count(xor) pairs; the engine reaches the same rows via 4x16-bit
+    pigeonhole banding (exact for hamming <= 3)."""
     from epstein_pipeline_ray.stages.dedup_extra import simhash_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2246,26 +2252,64 @@ def q_scrub_pii(sf_dir: str):
     return scrub_pii(docs).select_columns(["doc_id", "scrubbed", "n_masked"])
 
 
-def q_value_distinct_kmv(sf_dir: str):
-    """Approximate distinct event values per event_type via the KMV
-    sketch (k=256, sigma≈6%) — the mergeable-sketch twin of
-    user_event_types★; accuracy + merge-invariance pytest in
-    test_joins.py (no SQL oracle: it is an estimator)."""
-    from epstein_pipeline_ray.stages.relational import kmv_distinct_per_group
+def _sketch_bound_check(sf_dir: str, kind: str, bound: float):
+    """Shared body of the KMV/HLL bound-check queries: exact distinct
+    per group (SQL-matched, hash-exact) + a boolean asserting the
+    sketch estimate landed within ``bound`` relative error of it. A
+    broken sketch (hash regression, merge bug) flips the boolean and
+    fails the driver hash compare on real gate data."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.joins import attach_column
+    from epstein_pipeline_ray.stages.relational import (
+        grouped_count_distinct,
+        hll_distinct_per_group,
+        kmv_distinct_per_group,
+    )
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
-    return kmv_distinct_per_group(ev, "event_type", "value", k=256)
+    exact = grouped_count_distinct(ev, "event_type", "value")
+    if kind == "kmv":
+        est = kmv_distinct_per_group(ev, "event_type", "value", k=256)
+    else:
+        est = hll_distinct_per_group(ev, "event_type", "value", p=12)
+    joined = attach_column(exact, est, "event_type", "event_type",
+                           "n_distinct_est", "n_distinct_est")
+
+    def check(batch: pa.Table) -> pa.Table:
+        ex = np.asarray(batch["n_distinct"].to_numpy(zero_copy_only=False),
+                        np.float64)
+        es = np.asarray(
+            batch["n_distinct_est"].to_numpy(zero_copy_only=False),
+            np.float64)
+        ok = np.abs(es - ex) <= bound * np.maximum(ex, 1.0)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_distinct": batch["n_distinct"],
+            "est_within_bound": pa.array(ok, pa.bool_()),
+        })
+
+    return joined.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_value_distinct_kmv(sf_dir: str):
+    """KMV sketch (k=256, sigma≈6%) distinct-values-per-event_type,
+    bound-checked against the exact sibling IN the query (VERDICT r4
+    item 3): output is the exact COUNT(DISTINCT) (hash-exact vs DuckDB)
+    plus est_within_bound = |est−exact| <= 0.25·exact (4σ). The raw
+    estimate stays exposed via kmv_distinct_per_group + the accuracy /
+    merge-invariance property tests in test_joins.py."""
+    return _sketch_bound_check(sf_dir, "kmv", bound=0.25)
 
 
 def q_value_distinct_hll(sf_dir: str):
-    """Approximate distinct event values per event_type via HyperLogLog
-    (p=12, sigma≈1.6%) — O(1)-size mergeable register partials per key;
-    accuracy + merge-invariance pytest in test_joins.py (no SQL oracle:
-    it is an estimator)."""
-    from epstein_pipeline_ray.stages.relational import hll_distinct_per_group
-
-    ev = _read(sf_dir, "events", ["event_type", "value"])
-    return hll_distinct_per_group(ev, "event_type", "value", p=12)
+    """HyperLogLog (p=12, sigma≈1.6%) distinct-values-per-event_type,
+    bound-checked against the exact sibling IN the query (VERDICT r4
+    item 3): exact COUNT(DISTINCT) (hash-exact vs DuckDB) plus
+    est_within_bound = |est−exact| <= 0.10·exact (6σ). Raw estimate
+    exposed via hll_distinct_per_group + property tests."""
+    return _sketch_bound_check(sf_dir, "hll", bound=0.10)
 
 
 def q_heavy_event_values(sf_dir: str):
@@ -3334,15 +3378,43 @@ def q_bm25(sf_dir: str):
 def q_decontaminate_bloom(sf_dir: str):
     """Bloom-filter decontamination (fixed-size OR-mergeable membership
     side — the 100-TB path where even the deduped hash array won't
-    broadcast). Rows-only: bloom false positives are not
-    SQL-expressible; the exact sibling is decontaminate★ and the
-    no-false-negative containment is pytest-pinned (test_decontam)."""
-    from epstein_pipeline_ray.stages.decontam import decontaminate_bloom
+    broadcast), DRIVER-GATED via its guarantee (VERDICT r4 item 3):
+    output is the EXACT contamination flag (hash-exact vs the DuckDB
+    n-gram join) plus bloom_consistent = exact-contaminated ⇒
+    bloom-flagged — the no-false-negative property, TRUE on every row.
+    A bloom hashing/merge regression flips it and fails the hash
+    compare on real gate data; the FP rate itself stays pytest-pinned
+    (test_decontam)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.stages.decontam import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from epstein_pipeline_ray.stages.joins import attach_column
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     bench = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
         lambda r: r["doc_id"] % 50 == 0)
-    return decontaminate_bloom(docs, bench, n=8)
+    exact = decontaminate(docs, bench, n=8).select_columns(
+        ["doc_id", "contaminated"])
+    bloom = decontaminate_bloom(docs, bench, n=8)
+    joined = attach_column(exact, bloom, "doc_id", "doc_id",
+                           "contaminated_bloom", "contaminated_bloom")
+
+    def check(batch: pa.Table) -> pa.Table:
+        ex = np.asarray(batch["contaminated"].to_numpy(
+            zero_copy_only=False), bool)
+        bl = np.asarray(batch["contaminated_bloom"].to_numpy(
+            zero_copy_only=False), bool)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "contaminated": batch["contaminated"],
+            "bloom_consistent": pa.array(~ex | bl, pa.bool_()),
+        })
+
+    return joined.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def q_semdedup(sf_dir: str):
@@ -4875,6 +4947,89 @@ def _quality_logit_sql() -> str:
     """
 
 
+def _simhash_oracle_sql() -> str:
+    """Full-SQL 64-bit SimHash twin (VERDICT r4 item 3): DuckDB recomputes
+    the ENTIRE fingerprint — normalize, char-5-shingle rolling polynomial
+    over codepoints (FNV-prime base, uint64 wrap via HUGEINT mod),
+    splitmix64 finalizer, 32-bit mask + DISTINCT, golden-ratio remix,
+    64 per-bit majority votes — then brute-force bit_count(xor) <= 3
+    pairs. uint64 wrap multiplication is expressed as the split
+    (hi32*b % 2^32)<<32 + lo32*b (each product < 2^96 fits HUGEINT);
+    xor/shift run on UBIGINT. Pair-for-pair with stages/dedup_extra
+    .simhash_pairs at sf0.001 and sf0.01."""
+    B = 0x100000001B3  # functions/minhash._POLY_BASE
+    M64 = 18446744073709551616
+    B1, B2, B3, B4 = B % M64, B**2 % M64, B**3 % M64, B**4 % M64
+    C1, C2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB  # splitmix64
+    GOLD = 0x9E3779B97F4A7C15  # functions/simhash.py:26 remix
+
+    def mulmod(a: str, c: int) -> str:
+        return (f"(((({a} // 4294967296) * {c}::HUGEINT) % 4294967296) "
+                f"* 4294967296 + ({a} % 4294967296) * {c}::HUGEINT) % {M64}")
+
+    def xsh(a: str, s: int) -> str:
+        return f"xor({a}::UBIGINT, ({a}::UBIGINT >> {s}))::HUGEINT"
+
+    # len(norm) < 5: ONE shingle = whole string + length tag
+    # (minhash.py:62-68); otherwise rolling windows of 5 codepoints
+    short_h = f"""(
+      (CASE length(t)
+         WHEN 0 THEN 0::HUGEINT
+         WHEN 1 THEN unicode(t[1])::HUGEINT * {B1} + 1
+         WHEN 2 THEN unicode(t[1])::HUGEINT * {B2}
+                   + unicode(t[2])::HUGEINT * {B1} + 2
+         WHEN 3 THEN unicode(t[1])::HUGEINT * {B3}
+                   + unicode(t[2])::HUGEINT * {B2}
+                   + unicode(t[3])::HUGEINT * {B1} + 3
+         ELSE unicode(t[1])::HUGEINT * {B4}
+            + unicode(t[2])::HUGEINT * {B3}
+            + unicode(t[3])::HUGEINT * {B2}
+            + unicode(t[4])::HUGEINT * {B1} + 4
+       END) % {M64})"""
+    win_h = f"""(
+      ( unicode(s[1])::HUGEINT * {B4}
+      + unicode(s[2])::HUGEINT * {B3}
+      + unicode(s[3])::HUGEINT * {B2}
+      + unicode(s[4])::HUGEINT * {B1}
+      + unicode(s[5])::HUGEINT) % {M64})"""
+    bit_terms = "\n           + ".join(
+        f"(CASE WHEN 2 * sum(((h2 >> {b}) & 1)::HUGEINT) > count(*) "
+        f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64))
+    ham = ("bit_count((xor(a.sig, b.sig) >> 32)::BIGINT) "
+           "+ bit_count((xor(a.sig, b.sig) & 4294967295)::BIGINT)")
+    return f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+allh AS (
+  SELECT doc_id, {short_h} AS h64 FROM n WHERE length(t) < 5
+  UNION ALL
+  SELECT doc_id, {win_h} AS h64 FROM (
+    SELECT doc_id, unnest([substr(t, i, 5)
+             for i in generate_series(1, length(t) - 4)]) AS s
+    FROM n WHERE length(t) >= 5)
+),
+m1 AS (SELECT doc_id, {xsh('h64', 30)} AS v FROM allh),
+m2 AS (SELECT doc_id, {mulmod('v', C1)} AS v FROM m1),
+m3 AS (SELECT doc_id, {xsh('v', 27)} AS v FROM m2),
+m4 AS (SELECT doc_id, {mulmod('v', C2)} AS v FROM m3),
+h32 AS (SELECT DISTINCT doc_id,
+               ({xsh('v', 31)}::UBIGINT & 4294967295)::HUGEINT AS h32
+        FROM m4),
+r0 AS (SELECT doc_id, ({mulmod('h32', GOLD)} + 1) % {M64} AS v FROM h32),
+r1 AS (SELECT doc_id, {xsh('v', 30)} AS v FROM r0),
+r2 AS (SELECT doc_id, {mulmod('v', C1)} AS v FROM r1),
+r3 AS (SELECT doc_id, {xsh('v', 27)} AS v FROM r2),
+r4 AS (SELECT doc_id, {mulmod('v', C2)} AS v FROM r3),
+rem AS (SELECT doc_id, {xsh('v', 31)}::UBIGINT AS h2 FROM r4),
+sigs AS (SELECT doc_id,
+           ({bit_terms})::UBIGINT AS sig
+         FROM rem GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, ({ham})::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {ham} <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from epstein_pipeline_ray.stages.embed import kmeans_sql
     from epstein_pipeline_ray.stages.relational import cms_params, cms_sql
@@ -5536,6 +5691,7 @@ def oracle_sql() -> dict[str, str]:
         "json_gz_roundtrip": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
         """,
+        "simhash_pairs": _simhash_oracle_sql(),
         "minhash_true_jaccard": """
             -- brute-force true char-5-shingle Jaccard self-join (exploded
             -- relational form: the list_intersect pair scan is ~34ms/pair);
@@ -6070,6 +6226,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                    coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "decontaminate_bloom": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, regexp_split_to_array(t, ' ') AS ws
+                FROM nrm WHERE t <> ''
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(ws[i:i+7], ' ')
+                               for i in generate_series(1, len(ws) - 7)]) AS ng
+                FROM w WHERE len(ws) >= 8
+            ),
+            bg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT g.doc_id, count(DISTINCT g.ng)::BIGINT AS n_hits
+                FROM g JOIN bg USING (ng) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0) > 0 AS contaminated,
+                   TRUE AS bloom_consistent
             FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "user_event_types": """
@@ -7555,6 +7736,16 @@ def oracle_sql() -> dict[str, str]:
         "value_distinct_kmv_exact": """
             SELECT event_type,
                    round((count(DISTINCT value))::DOUBLE, 1) AS n_distinct_est
+            FROM events GROUP BY event_type
+        """,
+        "value_distinct_kmv": """
+            SELECT event_type, count(DISTINCT value)::BIGINT AS n_distinct,
+                   TRUE AS est_within_bound
+            FROM events GROUP BY event_type
+        """,
+        "value_distinct_hll": """
+            SELECT event_type, count(DISTINCT value)::BIGINT AS n_distinct,
+                   TRUE AS est_within_bound
             FROM events GROUP BY event_type
         """,
         "dsir_weights": """
