@@ -224,7 +224,8 @@ def q_top_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = attach_column(orders, cust, "o_custkey", "c_custkey",
                            "c_name", "c_name")
-    return top_k(joined, "o_totalprice", 20).select_columns(
+    return top_k(joined, "o_totalprice", 20,
+                 tie_cols=["o_orderkey"]).select_columns(
         ["o_orderkey", "o_totalprice", "c_name"]
     )
 
@@ -5065,7 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, o_totalprice, c_name
             FROM orders JOIN customer ON o_custkey = c_custkey
-            ORDER BY o_totalprice DESC LIMIT 20
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
         "shipping_priority": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

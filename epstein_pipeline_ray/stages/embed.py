@@ -67,7 +67,14 @@ def ann_topk(
         top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, q)
         rows_q, rows_id, rows_sim = [], [], []
         for qi in range(sims.shape[1]):
-            sel = top[:, qi]
+            # argpartition keeps an ARBITRARY subset of rows tied at the
+            # boundary cosine — widen to every boundary tie, then rank
+            # by (cos DESC, id ASC), the driver merge's own convention,
+            # so batch partitioning can't change which tied row survives
+            col = sims[:, qi]
+            thresh = col[top[:, qi]].min()
+            sel = np.nonzero(col >= thresh)[0]
+            sel = sel[np.lexsort((ids[sel], -col[sel]))][:kk]
             rows_q.extend([qi] * len(sel))
             rows_id.extend(ids[sel].tolist())
             rows_sim.extend(sims[sel, qi].tolist())

@@ -86,20 +86,44 @@ def broadcast_join(
     return left.map_batches(join, batch_format="pandas")
 
 
-def top_k(ds: Dataset, col: str, k: int, descending: bool = True) -> Dataset:
+def top_k(ds: Dataset, col: str, k: int, descending: bool = True,
+          tie_cols: list[str] | None = None) -> Dataset:
     """Global top-k: per-batch partial top-k → tiny global sort+limit.
 
     Avoids a full distributed sort of the input (reference O1/O2 sorts the
-    whole pair list driver-side)."""
+    whole pair list driver-side). With ``tie_cols`` the boundary is
+    deterministic: the partial keeps EVERY row tied at the k-th value and
+    truncates by (col, *tie_cols ascending), and the final limit sorts by
+    the same keys — so the result row SET is batching-invariant (the SQL
+    ``ORDER BY col DESC, tie LIMIT k`` convention). Without it, rows tied
+    at the boundary are kept arbitrarily (plain ``ORDER BY col LIMIT k``
+    semantics — only safe when ``col`` is duplicate-free)."""
+    direction = "descending" if descending else "ascending"
 
     def partial(batch: pa.Table) -> pa.Table:
-        idx = pc.select_k_unstable(batch, k=min(k, batch.num_rows),
-                                   sort_keys=[(col, "descending" if descending else "ascending")])
-        return batch.take(idx)
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.select_k_unstable(batch, k=k, sort_keys=[(col, direction)])
+        if not tie_cols:
+            return batch.take(idx)
+        # widen the arbitrary boundary-tie subset to every tie, then cut
+        # deterministically by (col, *tie_cols)
+        taken = batch.take(idx)
+        thresh = (pc.min(taken[col]) if descending
+                  else pc.max(taken[col]))
+        mask = (pc.greater_equal(batch[col], thresh) if descending
+                else pc.less_equal(batch[col], thresh))
+        sub = batch.filter(mask).sort_by(
+            [(col, direction)] + [(c, "ascending") for c in tie_cols])
+        return sub.slice(0, k)
 
-    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sort(
-        col, descending=descending
-    ).limit(k)
+    pruned = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    if tie_cols:
+        return pruned.sort([col] + tie_cols,
+                           descending=[descending]
+                           + [False] * len(tie_cols)).limit(k)
+    return pruned.sort(col, descending=descending).limit(k)
 
 
 def events_tumbling_window(
