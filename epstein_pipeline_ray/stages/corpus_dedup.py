@@ -35,6 +35,88 @@ from epstein_pipeline_ray.functions.rounding import sql_round
 from epstein_pipeline_ray.stages.dedup_extra import _token_hash64
 from epstein_pipeline_ray.stages.groupblock import map_key_blocks
 
+def _ngram_hash_postings(
+    batch: pa.Table, id_col: str, text_col: str, ngram: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized distinct word-``ngram`` hash postings for a batch:
+    returns ``(doc_pos, tok, n_per_row)`` — the batch row index, the
+    64-bit shingle hash (int64 bit-view) and that doc's distinct-shingle
+    count, one output row per DISTINCT (doc, shingle). Docs with fewer
+    than ``ngram`` words emit nothing (blank-doc convention).
+
+    Replaces the per-shingle ``_token_hash64(" ".join(...))`` Python set
+    loop: Arrow lowers + whitespace-splits the column, a C hash table
+    (``dictionary_encode``) collapses token instances to the vocabulary,
+    only the VOCABULARY is blake2b-hashed in Python, and the n-gram hash
+    is a rolling polynomial + splitmix64 over the word-hash array —
+    numpy end to end. Shingle identity therefore changed from
+    blake2b(joined n-gram string) to mix64(poly(word hashes)); both are
+    ~2^-64-collision identities and every consumer treats the hash as an
+    opaque set element, so results are invariant (oracle-checked)."""
+    import pyarrow.compute as pc
+
+    from epstein_pipeline_ray.functions.minhash import _mix64, _POLY_BASE
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    words = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(col, "")))
+    flat = pc.list_flatten(words)
+    parents = np.asarray(pc.list_parent_indices(words))
+    # split_whitespace can emit boundary empties — drop them
+    nonempty = np.asarray(pc.not_equal(flat, ""))
+    enc = pc.dictionary_encode(flat)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    vocab = enc.dictionary.to_pylist()
+    vh = np.fromiter((_token_hash64(w) for w in vocab),
+                     dtype=np.uint64, count=len(vocab))
+    if not nonempty.all():
+        parents = parents[nonempty]
+        codes = codes[nonempty]
+    wh = vh[codes]  # word hash per token, doc-ordered
+    m = wh.shape[0] - ngram + 1
+    if m <= 0:
+        empty = np.empty(0, np.int64)
+        return empty, empty, empty
+    h = wh[0:m].copy()
+    for j in range(1, ngram):
+        h = h * _POLY_BASE + wh[j: j + m]
+    h = _mix64(h)
+    # windows must not straddle doc boundaries
+    same = parents[:m] == parents[ngram - 1:]
+    h, p = h[same], parents[:m][same]
+    # distinct per (doc, hash)
+    order = np.lexsort((h, p))
+    h, p = h[order], p[order]
+    keep = np.r_[True, (p[1:] != p[:-1]) | (h[1:] != h[:-1])]
+    h, p = h[keep], p[keep]
+    # distinct count per doc, aligned per row
+    new_doc = np.r_[True, p[1:] != p[:-1]]
+    run = np.cumsum(new_doc) - 1
+    n_per_doc = np.bincount(run)
+    return p, h.view(np.int64), n_per_doc[run]
+
+
+def _pair_group_agg(
+    ka: np.ndarray, kb: np.ndarray, sum_col: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Group rows by the (ka, kb) pair without a pandas round-trip:
+    returns ``(sel, agg)`` — for each distinct pair (in (ka, kb)-sorted
+    order) the index of one member row and the group COUNT (or the sum
+    of ``sum_col``). One lexsort + run-boundary reduceat."""
+    order = np.lexsort((kb, ka))
+    ka_s, kb_s = ka[order], kb[order]
+    new = np.r_[True, (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])]
+    starts = np.flatnonzero(new)
+    sel = order[starts]
+    if sum_col is None:
+        agg = np.diff(np.r_[starts, ka_s.size])
+    else:
+        agg = np.add.reduceat(sum_col[order], starts)
+    return sel, agg
+
+
 _LINE_ROWS_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("line_idx", pa.int32()),
@@ -222,34 +304,22 @@ def containment_pairs(
     Postings longer than ``max_posting`` are truncated with metrics
     accounting (``containment.postings_capped`` — house skew-cap
     convention; never fires on the sf corpora, so oracle parity holds).
-    Shingle identity is the 64-bit blake2b hash: a cross-doc collision
-    (~2^-64 per shingle pair) could overcount one intersection slot.
+    Shingle identity is a 64-bit splitmix-mixed rolling polynomial over
+    blake2b word hashes: a cross-doc collision (~2^-64 per shingle
+    pair) could overcount one intersection slot.
     """
     t = float(threshold)
 
     def featurize(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        out_tok: list[int] = []
-        out_id: list[int] = []
-        out_n: list[int] = []
-        for doc_id, text in zip(ids, texts):
-            words = str(text or "").lower().split()
-            if len(words) < ngram:
-                continue
-            toks = {
-                _token_hash64(" ".join(words[j: j + ngram]))
-                for j in range(len(words) - ngram + 1)
-            }
-            n = len(toks)
-            for h in toks:
-                out_tok.append(h if h < (1 << 63) else h - (1 << 64))
-                out_id.append(int(doc_id))
-                out_n.append(n)
+        p, tok, n = _ngram_hash_postings(batch, id_col, text_col, ngram)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = np.asarray(ids.to_numpy(zero_copy_only=False), np.int64)[p]
         return pa.table({
-            "tok": pa.array(out_tok, pa.int64()),
-            "__id": pa.array(out_id, pa.int64()),
-            "n": pa.array(out_n, pa.int32()),
+            "tok": pa.array(tok, pa.int64()),
+            "__id": pa.array(idv, pa.int64()),
+            "n": pa.array(n.astype(np.int32), pa.int32()),
         })
 
     postings = docs.select_columns([id_col, text_col]).map_batches(
@@ -285,19 +355,16 @@ def containment_pairs(
         ib2 = np.where(swap, ia, ib)
         na2 = np.where(swap, nb, na)
         nb2 = np.where(swap, na, nb)
-        # map-side combine: one row per (pair) with its shared-token count
-        key = (ia2.astype(np.int64) << 32) ^ ib2.astype(np.int64)
-        df = pd.DataFrame({"k": key, "id_a": ia2, "id_b": ib2,
-                           "na": na2, "nb": nb2})
-        g = df.groupby(["id_a", "id_b"], sort=False).agg(
-            cnt=("k", "size"), na=("na", "first"), nb=("nb", "first")
-        ).reset_index()
+        # map-side combine: one row per (pair) with its shared-token
+        # count — lexsort + run boundaries, no pandas round-trip (na/nb
+        # are pair-constant, so any member row's values serve)
+        sel, cnt = _pair_group_agg(ia2, ib2)
         return pa.table({
-            "id_a": pa.array(g["id_a"].to_numpy(np.int64), pa.int64()),
-            "id_b": pa.array(g["id_b"].to_numpy(np.int64), pa.int64()),
-            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
-            "na": pa.array(g["na"].to_numpy(np.int32), pa.int32()),
-            "nb": pa.array(g["nb"].to_numpy(np.int32), pa.int32()),
+            "id_a": pa.array(ia2[sel].astype(np.int64), pa.int64()),
+            "id_b": pa.array(ib2[sel].astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            "na": pa.array(na2[sel].astype(np.int32), pa.int32()),
+            "nb": pa.array(nb2[sel].astype(np.int32), pa.int32()),
         }, schema=_PAIR_PARTIAL_SCHEMA)
 
     partials = map_key_blocks(postings, ["tok"], pair_block, num_partitions,
@@ -306,15 +373,19 @@ def containment_pairs(
     def reduce_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return _CONTAIN_SCHEMA.empty_table()
-        df = block.to_pandas()
-        g = df.groupby(["id_a", "id_b"], sort=True).agg(
-            cnt=("cnt", "sum"), na=("na", "first"), nb=("nb", "first")
-        ).reset_index()
-        inter = g["cnt"].to_numpy(np.int64)
-        na = g["na"].to_numpy(np.float64)
-        nb = g["nb"].to_numpy(np.float64)
-        ida = g["id_a"].to_numpy(np.int64)
-        idb = g["id_b"].to_numpy(np.int64)
+        ida0 = np.asarray(block["id_a"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        idb0 = np.asarray(block["id_b"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        cnt0 = np.asarray(block["cnt"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        sel, inter = _pair_group_agg(ida0, idb0, sum_col=cnt0)
+        na = np.asarray(block["na"].to_numpy(zero_copy_only=False),
+                        np.float64)[sel]
+        nb = np.asarray(block["nb"].to_numpy(zero_copy_only=False),
+                        np.float64)[sel]
+        ida = ida0[sel]
+        idb = idb0[sel]
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
         out_i: list[np.ndarray] = []
@@ -475,38 +546,27 @@ def cross_jaccard_pairs(
     duplicate-heavy. Docs with fewer than ``ngram`` words never pair
     (blank-doc convention); postings above ``max_posting`` rows are
     truncated with metrics accounting (``cross_dedup.postings_capped``).
-    Shingle identity is the 64-bit blake2b hash (collision ~2^-64 may
-    overcount one intersection slot — documented, matches containment).
+    Shingle identity is a 64-bit splitmix-mixed rolling polynomial over
+    blake2b word hashes (collision ~2^-64 may overcount one
+    intersection slot — documented, matches containment).
     """
     t = float(threshold)
 
     def make_featurize(side: int):
         def featurize(batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
-            texts = batch[text_col].to_pylist()
-            out_tok: list[int] = []
-            out_id: list[int] = []
-            out_n: list[int] = []
-            out_s: list[int] = []
-            for doc_id, text in zip(ids, texts):
-                words = str(text or "").lower().split()
-                if len(words) < ngram:
-                    continue
-                toks = {
-                    _token_hash64(" ".join(words[j: j + ngram]))
-                    for j in range(len(words) - ngram + 1)
-                }
-                n = len(toks)
-                for h in toks:
-                    out_tok.append(h if h < (1 << 63) else h - (1 << 64))
-                    out_id.append(int(doc_id))
-                    out_n.append(n)
-                    out_s.append(side)
+            p, tok, n = _ngram_hash_postings(batch, id_col, text_col,
+                                             ngram)
+            ids = batch[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idv = np.asarray(ids.to_numpy(zero_copy_only=False),
+                             np.int64)[p]
             return pa.table({
-                "tok": pa.array(out_tok, pa.int64()),
-                "__id": pa.array(out_id, pa.int64()),
-                "n": pa.array(out_n, pa.int32()),
-                "side": pa.array(out_s, pa.int8()),
+                "tok": pa.array(tok, pa.int64()),
+                "__id": pa.array(idv, pa.int64()),
+                "n": pa.array(n.astype(np.int32), pa.int32()),
+                "side": pa.array(np.full(len(p), side, np.int8),
+                                 pa.int8()),
             })
         return featurize
 
@@ -551,18 +611,18 @@ def cross_jaccard_pairs(
         I, J = I[cross], J[cross]
         if I.size == 0:
             return _XPAIR_PARTIAL_SCHEMA.empty_table()
-        # after the side-major sort, I is always the new side of the pair
-        g = (pd.DataFrame({"new_id": ids[I], "old_id": ids[J],
-                           "nn": ns[I], "no": ns[J]})
-             .groupby(["new_id", "old_id"], sort=False)
-             .agg(cnt=("nn", "size"), nn=("nn", "first"), no=("no", "first"))
-             .reset_index())
+        # after the side-major sort, I is always the new side of the
+        # pair; lexsort + run boundaries replace the pandas groupby
+        # (nn/no are pair-constant)
+        nid, oid = ids[I], ids[J]
+        nn, no = ns[I], ns[J]
+        sel, cnt = _pair_group_agg(nid, oid)
         return pa.table({
-            "new_id": pa.array(g["new_id"].to_numpy(np.int64), pa.int64()),
-            "old_id": pa.array(g["old_id"].to_numpy(np.int64), pa.int64()),
-            "cnt": pa.array(g["cnt"].to_numpy(np.int64), pa.int64()),
-            "nn": pa.array(g["nn"].to_numpy(np.int32), pa.int32()),
-            "no": pa.array(g["no"].to_numpy(np.int32), pa.int32()),
+            "new_id": pa.array(nid[sel].astype(np.int64), pa.int64()),
+            "old_id": pa.array(oid[sel].astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            "nn": pa.array(nn[sel].astype(np.int32), pa.int32()),
+            "no": pa.array(no[sel].astype(np.int32), pa.int32()),
         }, schema=_XPAIR_PARTIAL_SCHEMA)
 
     partials = map_key_blocks(postings, ["tok"], pair_block, num_partitions,
@@ -571,17 +631,23 @@ def cross_jaccard_pairs(
     def reduce_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return _XPAIR_SCHEMA.empty_table()
-        df = block.to_pandas()
-        g = df.groupby(["new_id", "old_id"], sort=True).agg(
-            cnt=("cnt", "sum"), nn=("nn", "first"), no=("no", "first")
-        ).reset_index()
-        inter = g["cnt"].to_numpy(np.int64)
-        union = g["nn"].to_numpy(np.int64) + g["no"].to_numpy(np.int64) - inter
+        nid0 = np.asarray(block["new_id"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        oid0 = np.asarray(block["old_id"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        cnt0 = np.asarray(block["cnt"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        sel, inter = _pair_group_agg(nid0, oid0, sum_col=cnt0)
+        nn = np.asarray(block["nn"].to_numpy(zero_copy_only=False),
+                        np.int64)[sel]
+        no = np.asarray(block["no"].to_numpy(zero_copy_only=False),
+                        np.int64)[sel]
+        union = nn + no - inter
         jac = inter / union
         m = jac >= t
         return pa.table({
-            "new_id": pa.array(g["new_id"].to_numpy(np.int64)[m], pa.int64()),
-            "old_id": pa.array(g["old_id"].to_numpy(np.int64)[m], pa.int64()),
+            "new_id": pa.array(nid0[sel][m], pa.int64()),
+            "old_id": pa.array(oid0[sel][m], pa.int64()),
             "n_inter": pa.array(inter[m], pa.int64()),
             "jaccard": pa.array(sql_round(jac[m], 6), pa.float64()),
         }, schema=_XPAIR_SCHEMA)
