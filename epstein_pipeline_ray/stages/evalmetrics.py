@@ -281,8 +281,8 @@ def per_class_prf(
         Sum("__cnt", alias_name="cnt")).to_pandas()
     truth_tot = cells.groupby(truth_col)["cnt"].sum()
     pred_tot = cells.groupby(pred_col)["cnt"].sum()
-    diag = {r[truth_col]: int(r["cnt"]) for _, r in cells.iterrows()
-            if r[truth_col] == r[pred_col]}
+    d = cells[cells[truth_col] == cells[pred_col]]
+    diag = dict(zip(d[truth_col], d["cnt"].astype(int)))
     labels = sorted(set(truth_tot.index) | set(pred_tot.index))
     rows = {"label": [], "tp": [], "fp": [], "fn": [],
             "precision": [], "recall": [], "f1": []}

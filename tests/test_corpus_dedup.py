@@ -526,3 +526,52 @@ def test_ngram_novelty_hand_truth(ray_session):
         "novelty": [1.0, 0.5, 0.0],
     })
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ngram_hash_postings_matches_set_semantics():
+    """The vectorized featurizer must agree with the original per-doc
+    Python set loop on STRUCTURE (doc membership + distinct-shingle
+    counts + within-batch set equality of hash collections) for
+    whitespace-heavy, unicode and sub-ngram edge docs; hash VALUES are
+    an opaque identity, so equality of partition structure is the
+    invariant that matters."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epstein_pipeline_ray.stages.corpus_dedup import (
+        _ngram_hash_postings,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # exact dup doc
+        "  The   QUICK  brown\tfox\n jumps over the lazy dog  ",  # ws/case
+        "too few words",                     # < ngram -> no postings
+        "",                                  # empty
+        None,                                # null
+        "a b c d e a b c d e a b c d e",     # repeated shingles
+        "naïve café déjà vu encore une fois voilà",  # unicode
+    ]
+    ids = list(range(len(texts)))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.large_string())})
+    p, tok, n = _ngram_hash_postings(batch, "doc_id", "text", 5)
+
+    def ref_shingles(t):
+        words = str(t or "").lower().split()
+        return {" ".join(words[j:j + 5])
+                for j in range(len(words) - 4)} if len(words) >= 5 else set()
+
+    ref = [ref_shingles(t) for t in texts]
+    got = {i: tok[p == i] for i in set(p.tolist())}
+    for i, s in enumerate(ref):
+        if not s:
+            assert i not in got
+            continue
+        assert len(got[i]) == len(s) == n[p == i][0]
+        assert len(np.unique(got[i])) == len(got[i])
+    # identical docs -> identical hash sets; ws/case-variant doc too
+    assert np.array_equal(np.sort(got[0]), np.sort(got[1]))
+    assert np.array_equal(np.sort(got[0]), np.sort(got[2]))
+    # distinct docs -> disjoint hash sets (no collisions at this size)
+    assert not set(got[0].tolist()) & set(got[7].tolist())
