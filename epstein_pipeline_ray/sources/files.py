@@ -62,7 +62,8 @@ def dedup_files_by_hash(paths: str | list[str]) -> Dataset:
         import numpy as np
         import pyarrow.compute as pc
 
-        block = block.sort_by([("sha256", "ascending"), ("path", "ascending")])
+        block = block.combine_chunks().sort_by(
+            [("sha256", "ascending"), ("path", "ascending")])
         h = block["sha256"]
         codes = np.asarray((h.combine_chunks() if isinstance(h, pa.ChunkedArray)
                             else h).dictionary_encode().indices)

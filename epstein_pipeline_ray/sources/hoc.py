@@ -166,7 +166,7 @@ def _assign_docs_exchange(
     def bucket_max_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return BMAX.empty_table()
-        block = block.sort_by([("__bucket", "ascending")])
+        block = block.combine_chunks().sort_by([("__bucket", "ascending")])
         b = np.asarray(block["__bucket"])
         nums = np.asarray(block["bates_num"])
         starts = group_starts(np.asarray(
@@ -199,7 +199,8 @@ def _assign_docs_exchange(
             if "__bucket" in sch.names:
                 sch = sch.remove(sch.get_field_index("__bucket"))
             return sch.append(pa.field("doc_num", pa.int64())).empty_table()
-        block = block.sort_by([("__bucket", "ascending"), ("bates_num", "ascending")])
+        block = block.combine_chunks().sort_by(
+            [("__bucket", "ascending"), ("bates_num", "ascending")])
         bkt_col = block["__bucket"]
         if isinstance(bkt_col, pa.ChunkedArray):
             bkt_col = bkt_col.combine_chunks()
@@ -282,7 +283,8 @@ def load_hoc_documents(
     def per_doc_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return out_schema.empty_table()
-        block = block.sort_by([("doc_num", "ascending"), ("bates_num", "ascending")])
+        block = block.combine_chunks().sort_by(
+            [("doc_num", "ascending"), ("bates_num", "ascending")])
         doc = np.asarray(block["doc_num"])
         bounds = np.concatenate([[0], np.nonzero(doc[1:] != doc[:-1])[0] + 1, [len(doc)]])
         lo, hi = bounds[:-1], bounds[1:]

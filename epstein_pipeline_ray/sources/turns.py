@@ -398,7 +398,8 @@ def nest_turns(turns: Dataset, num_partitions: int | None = None) -> Dataset:
     def block_fn(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return NESTED_CONV_SCHEMA.empty_table()
-        block = block.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        block = block.combine_chunks().sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")])
         conv = block["conv_id"]
         if isinstance(conv, pa.ChunkedArray):
             conv = conv.combine_chunks()

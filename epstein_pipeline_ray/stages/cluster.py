@@ -202,7 +202,8 @@ def min_label_propagation(pairs: Dataset, num_partitions: int | None = None,
         # and (node=k, cand=ℓ, own=1) once to carry the old label forward
         if block.num_rows == 0:
             return CAND.empty_table()
-        block = block.sort_by([("k", "ascending"), ("own", "descending")])
+        block = block.combine_chunks().sort_by(
+            [("k", "ascending"), ("own", "descending")])
         ks = block["k"]
         if isinstance(ks, pa.ChunkedArray):
             ks = ks.combine_chunks()
@@ -237,7 +238,8 @@ def min_label_propagation(pairs: Dataset, num_partitions: int | None = None,
     def gather_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return STEP.empty_table()
-        block = block.sort_by([("node", "ascending"), ("cand", "ascending")])
+        block = block.combine_chunks().sort_by(
+            [("node", "ascending"), ("cand", "ascending")])
         nodes = block["node"]
         if isinstance(nodes, pa.ChunkedArray):
             nodes = nodes.combine_chunks()
@@ -416,7 +418,7 @@ def assign_clusters_exchange(docs: Dataset, pairs: Dataset,
             return STATS.empty_table()
         # representative = longest text, ties → larger id: sort each
         # cluster by (n_chars, conv_id) and flag the last row
-        block = block.sort_by([
+        block = block.combine_chunks().sort_by([
             ("cluster_id", "ascending"), ("n_chars", "ascending"),
             ("conv_id", "ascending"),
         ])

@@ -265,7 +265,7 @@ def _match_exchange(
         if block.num_rows == 0:
             return out_schema.empty_table()
         # winner first within each key: exact before alias, then max __ord
-        block = block.sort_by([
+        block = block.combine_chunks().sort_by([
             ("__key", "ascending"), ("__side", "descending"),
             ("__kind", "ascending"), ("__ord", "descending"),
         ])

@@ -127,7 +127,7 @@ def nest_participants(participants: Dataset,
     def rebuild(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return OUT.empty_table()
-        block = block.sort_by([
+        block = block.combine_chunks().sort_by([
             ("email_id", "ascending"), ("role", "ascending"), ("pos", "ascending"),
         ])
         ids = _combine(block["email_id"])

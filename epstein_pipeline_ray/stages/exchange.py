@@ -133,6 +133,9 @@ def disk_exchange_is_safe(root: str | None = None) -> bool:
     return safe
 
 
+_DISPATCH_PAD = 8192  # rows per reduce-dispatch block; > any fused batch_size
+
+
 def hash64_column(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Deterministic 64-bit hash of one column. ``pd.util.hash_array``
     is a fixed-key vectorized hash — identical across processes and
@@ -174,22 +177,30 @@ def _size_is_metadata(ds: Dataset) -> bool:
 
 
 def auto_partitions_from(ds: Dataset, default: int) -> int:
-    """Width from input size: one reduce partition per ~8 MB, capped at
-    ``default``, floored at 4. A 2 MB correctness-gate input gets 4
+    """Width from input size. Below ``default``: one reduce partition per
+    ~8 MB, floored at 4 — a 2 MB correctness-gate input gets 4
     partitions instead of 32 (32 reduce tasks on 500 rows is ~0.5 s of
     pure scheduling; the floor keeps compute-heavy whole-partition fns —
-    true-Jaccard confirm, DP panels — from serializing on one task); the
-    sf0.1 corpus still gets the full width. Callers at real scale pass
-    explicit widths — this only ever SHRINKS the default, never grows it.
-    ``size_bytes`` is metadata-only on materialized datasets and bare
-    parquet reads (the two shapes that reach here)."""
+    true-Jaccard confirm, DP panels — from serializing on one task).
+    ABOVE ``default``: one partition per ~32 MB, capped at 4096 — the
+    width must GROW with the input or a big exchange violates the
+    "one partition fits a worker heap" contract: a 43M-turn corpus's
+    ~10 GB semi-join exchange at the old fixed 32-wide cap produced
+    ~1 GB text partitions whose fused reduce+signature tasks ran 20+
+    minutes each as stragglers (measured, round 5); at 32 MB/partition
+    the same exchange is ~300 well-parallelized tasks. ``size_bytes``
+    is metadata-only on materialized datasets and bare parquet reads
+    (the two shapes that reach here)."""
     try:
         nbytes = ds.size_bytes()
     except Exception:
         return default
     if not nbytes or nbytes < 0:
         return default
-    return max(min(4, default), min(default, -(-nbytes // (8 << 20))))
+    small = -(-nbytes // (8 << 20))
+    if small <= default:
+        return max(min(4, default), small)
+    return min(4096, max(default, -(-nbytes // (32 << 20))))
 
 
 def exchange_key_blocks(
@@ -384,7 +395,8 @@ def _consume_exchange(
         timing = os.environ.get("EPR_TIMING_CONSUME")
         pp = ray.get(paths_ref)
         out: list[pa.Table] = []
-        for part in batch["part"].to_pylist():
+        # rows are PADDED repeats of one part id (see below) — dedup
+        for part in dict.fromkeys(batch["part"].to_pylist()):
             paths = pp.get(int(part))
             if paths:
                 t0 = _time.time()
@@ -415,7 +427,22 @@ def _consume_exchange(
         return pa.concat_tables(out, promote_options="default")
 
     consume.__name__ = getattr(fn, "__name__", "exchange_consume")
-    tasks = rd.from_items([{"part": i} for i in range(p)]).repartition(p)
+    # ONE TASK PER PARTITION — defensively. Two observed failure modes
+    # (round 5, 43M turns, p=649) collapsed the whole reduce onto one
+    # core: (a) from_items(...).repartition(p) handing one task a batch
+    # of many part ids, and (b) Ray's task bundler merging the one-row
+    # dispatch blocks because a DOWNSTREAM map fused behind the consume
+    # carried an explicit batch_size, which becomes min-rows-per-bundle
+    # (operator log: num_tasks_submitted=1, rows_inputs_of_submitted_
+    # tasks=649). override_num_blocks pins the block layout AND each
+    # block is padded to _DISPATCH_PAD identical part-id rows so no
+    # realistic fused batch_size can ever bundle two partitions into
+    # one task; consume dedups the ids.
+    tasks = rd.from_arrow([
+        pa.table({"part": pa.array(
+            np.full(_DISPATCH_PAD, i, np.int64), pa.int64())})
+        for i in range(p)
+    ])  # from_arrow: exactly one block per table, no re-splitting
     out = tasks.map_batches(consume, batch_size=None, batch_format="pyarrow")
     return out
 

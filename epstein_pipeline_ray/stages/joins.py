@@ -106,7 +106,13 @@ def key_membership_join(
     def per_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return out_schema.empty_table()
-        block = block.sort_by([(left_key, "ascending")])
+        # combine BEFORE the sort: the block arrives as one chunk per
+        # shard file, and sort_by's take on a many-chunk large_string
+        # column resolves the chunk per element — measured as the 28-min
+        # single-task straggler that serialized the 43M-turn run's
+        # signature stage (round 5; same pathology exchange.py's consume
+        # documents at 70 s/partition vs 2 s contiguous)
+        block = block.combine_chunks().sort_by([(left_key, "ascending")])
         keys = block[left_key]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -195,7 +201,8 @@ def attach_column(
         if block.num_rows == 0:
             return out_schema.empty_table()
         # right rows first within each key so the value to propagate leads
-        block = block.sort_by([(left_key, "ascending"), ("__side", "descending")])
+        block = block.combine_chunks().sort_by(
+            [(left_key, "ascending"), ("__side", "descending")])
         keys = block[left_key]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()

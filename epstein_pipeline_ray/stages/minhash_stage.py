@@ -143,10 +143,16 @@ def signature_rows(docs: Dataset, cfg: DedupConfig) -> Dataset:
     # actor-style amortization without actor-pool ramp-up (autoscaling
     # pools trickle actors in ~1s apiece, which dominated this stage).
     stage = SignatureActor(cfg)
+    # batch_size=None (whole blocks): an explicit batch_size here becomes
+    # min-rows-per-bundle when Ray fuses this map behind an exchange
+    # consume, which was observed to bundle EVERY reduce partition into
+    # one serial task (round 5, exchange.py:_consume_exchange). The
+    # per-doc loop's working set is per-document, so block-sized batches
+    # cost nothing.
     return pruned.map_batches(
         stage.__call__,
         batch_format="pyarrow",
-        batch_size=cfg.minhash_batch_size,
+        batch_size=None,
     )
 
 

@@ -656,7 +656,7 @@ def hll_distinct_per_group(ds: Dataset, key: str, value_col: str, p: int = 12,
         if block.num_rows == 0:
             return pa.table({key: pa.array([], ktype),
                              out_col: pa.array([], pa.float64())})
-        block = block.sort_by([(key, "ascending")])
+        block = block.combine_chunks().sort_by([(key, "ascending")])
         karr = block[key]
         if isinstance(karr, pa.ChunkedArray):
             karr = karr.combine_chunks()

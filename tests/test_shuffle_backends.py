@@ -294,3 +294,24 @@ def test_exchange_resume_rereads_shards(ray_session, tmp_path):
               .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(first, second)
     assert first["s"].tolist() == [100, 70, 40]
+
+
+def test_auto_partitions_grows_with_input(ray_session):
+    """Width must GROW beyond the default for big exchange inputs (the
+    round-5 straggler fix): ~32 MB per partition above the default,
+    ~8 MB below, floor 4, cap 4096 — so one partition always fits a
+    worker heap."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from epstein_pipeline_ray.stages.exchange import auto_partitions_from
+
+    tiny = rd.from_arrow(pa.table({"x": np.zeros(100)})).materialize()
+    assert auto_partitions_from(tiny, 32) == 4
+    # ~512 MB dataset -> well above the 32-wide default: expect ~16
+    big = rd.from_arrow(pa.table(
+        {"x": np.zeros(64 << 20, np.int64)})).materialize()  # 512 MB
+    w = auto_partitions_from(big, 8)
+    assert w == 16, w          # 512 MB / 32 MB, grown past default=8
+    assert auto_partitions_from(big, 32) == 32  # shrink rule still caps
