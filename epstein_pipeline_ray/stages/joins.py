@@ -127,8 +127,24 @@ def key_membership_join(
         keep = (side == 0) & ((has_right[run_id] == 1) == want_present)
         return block.filter(pa.array(keep)).select(left_cols).cast(out_schema)
 
+    # skip the exchange's materialize barrier: the upstream maps here are
+    # trivial tag columns, so fusing them into the shard writers loses
+    # nothing — while materializing a corpus-sized left side costs a full
+    # extra round-trip (and, beyond the store size, a spill) through the
+    # object store. The barrier exists to protect COMPUTE-heavy
+    # upstreams (exchange.py:write_exchange_shards); tags are not that.
+    # Width must then come from the LEFT side's metadata (the lazy
+    # tagged union cannot be sized without executing it).
+    from epstein_pipeline_ray.stages.exchange import (
+        _size_is_metadata,
+        auto_partitions_from,
+    )
+    from epstein_pipeline_ray.stages.groupblock import default_partitions
+
+    if num_partitions is None and _size_is_metadata(left):
+        num_partitions = auto_partitions_from(left, default_partitions())
     return map_key_blocks(unioned, [left_key], per_block, num_partitions,
-                          sort_blocks=False)
+                          sort_blocks=False, materialize_input=False)
 
 
 def attach_column(
